@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{ColumnBridge => CB}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for URL canonicalization — the operators the
+  * built-in function library cannot express (SURVEY.md §2.10):
+  *
+  *  - [[NormalizeUrl]] — keep-last-duplicate + key-sorted query re-encoding
+  *    (`parse_url`/`regexp_replace` compositions can't do stateful re-encode)
+  *  - [[UrlResolve]]  — RFC-3986 resolution with CPython-`urljoin` parity
+  *  - [[UrlHost]]     — netloc incl. non-default port (built-in
+  *    `parse_url(url, 'HOST')` strips the port, which breaks the reference's
+  *    same-domain filter for host:port sites)
+  *
+  * All implement `doGenCode` as a single static call so they stay inside
+  * whole-stage codegen; all are null-intolerant and foldable-when-child-
+  * foldable so constant folding / filter pushdown apply.
+  */
+/** Analysis-time input check: every URL expression takes STRING children. */
+trait StringInputCheck { self: Expression =>
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = self.children.filterNot(_.dataType.isInstanceOf[StringType])
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} requires STRING arguments, got " +
+        bad.map(_.dataType.catalogString).mkString(", "))
+  }
+}
+
+case class NormalizeUrl(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "normalize_url"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKernels.normalizeUrl(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.normalizeUrl($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeUrl =
+    copy(child = newChild)
+}
+
+case class UrlResolve(left: Expression, right: Expression)
+    extends BinaryExpression with StringInputCheck {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_resolve"
+  override protected def nullSafeEval(base: Any, ref: Any): Any =
+    UrlKernels.urlJoin(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, r) => s"graft.functions.UrlKernels.urlJoin($b, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): UrlResolve =
+    copy(left = l, right = r)
+}
+
+case class UrlHost(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_host"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKernels.urlHost(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.urlHost($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlHost =
+    copy(child = newChild)
+}
+
+case class UrlSyntacticValid(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_syntactic_valid"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKernels.urlSyntacticOk(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.urlSyntacticOk($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlSyntacticValid =
+    copy(child = newChild)
+}
+
+case class UrlSecurityValid(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_security_valid"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKernels.urlSecurityOk(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.urlSecurityOk($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlSecurityValid =
+    copy(child = newChild)
+}
+
+/** 1→N href generator over a raw-HTML column (G1 in SURVEY.md §2.6). */
+case class ExtractHrefs(child: Expression)
+    extends UnaryExpression with StringInputCheck
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_hrefs"
+  override protected def nullSafeEval(input: Any): Any = {
+    val hrefs = UrlKernels.extractHrefs(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(hrefs.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(newChild: Expression): ExtractHrefs =
+    copy(child = newChild)
+}
+
+/** Column-DSL facade + SQL registration for the URL expression family. */
+object UrlFunctions {
+  def normalize_url(c: Column): Column = CB.column(NormalizeUrl(CB.expression(c)))
+  def url_resolve(base: Column, ref: Column): Column = CB.column(UrlResolve(CB.expression(base), CB.expression(ref)))
+  def url_host(c: Column): Column = CB.column(UrlHost(CB.expression(c)))
+  def url_syntactic_valid(c: Column): Column = CB.column(UrlSyntacticValid(CB.expression(c)))
+  def url_security_valid(c: Column): Column = CB.column(UrlSecurityValid(CB.expression(c)))
+  def extract_hrefs(c: Column): Column = CB.column(ExtractHrefs(CB.expression(c)))
+
+  /** 64-bit canonical URL key: xxhash64 over the normalized URL (C4). */
+  def url_seen_key(c: Column): Column =
+    org.apache.spark.sql.functions.xxhash64(normalize_url(c))
+
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression)(es: Seq[Expression]): Expression = {
+    require(es.length == n, s"$name expects $n argument(s), got ${es.length}")
+    f(es)
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("normalize_url", arity("normalize_url", 1)(es => NormalizeUrl(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("url_resolve", arity("url_resolve", 2)(es => UrlResolve(es(0), es(1))), "built-in")
+    reg.createOrReplaceTempFunction("url_host", arity("url_host", 1)(es => UrlHost(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("url_syntactic_valid", arity("url_syntactic_valid", 1)(es => UrlSyntacticValid(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("url_security_valid", arity("url_security_valid", 1)(es => UrlSecurityValid(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("extract_hrefs", arity("extract_hrefs", 1)(es => ExtractHrefs(es.head)), "built-in")
+  }
+}
