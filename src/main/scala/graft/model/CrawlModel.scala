@@ -1,0 +1,78 @@
+package graft.model
+
+/** Shared data model for the crawl engine, the reference-replay oracle and
+  * the synthetic site-graph generator.
+  *
+  * Mirrors the observable records of the reference
+  * (`/root/reference/src/web_crawler.py:20-44`) plus the scale-out fields the
+  * north rule adds (priority, politeness, salted partitioning).
+  */
+
+/** One row of the synthetic "web": what an HTTP GET of `url` returns.
+  *
+  * Replaces the live fetch at `/root/reference/src/utils/redirect_handler.py:101-103`.
+  * `links` carries hrefs pre-extracted **in document order** (parity with the
+  * BeautifulSoup projection, `src/web_crawler.py:163-167`); `html` is only set
+  * for raw-HTML extraction tests. A URL absent from the table models a
+  * network error (`response_data is None`, `src/web_crawler.py:126-130`).
+  */
+final case class PageRow(
+    url: String,
+    status: Int,
+    location: Option[String],
+    links: Seq[String],
+    html: Option[String],
+    contentType: Option[String],
+    retryAfter: Option[Int],
+    imageId: Option[String])
+
+/** Crawl configuration — reference defaults (`src/web_crawler.py:20-30`) plus
+  * the scheduler/scale knobs of the north rule (BASELINE.json `north_star`).
+  */
+final case class CrawlConfig(
+    // reference fields (src/web_crawler.py:24-30)
+    delay: Double = 0.1,
+    maxRedirects: Int = 10,
+    maxConcurrent: Int = 10,
+    timeout: Int = 10,
+    userAgent: String = "Mozilla/5.0 (compatible; MyCrawler/1.0; +https://example.com/bot)",
+    // scheduler mode: true  = exact reference FIFO semantics (parity path);
+    //                 false = per-host politeness + priority top-k (scale path)
+    fifoParity: Boolean = true,
+    sameDomainOnly: Boolean = true,
+    // scale knobs (north rule: salted partitioning, Bloom seen-set, budgets)
+    perHostBudget: Int = 10,
+    saltBuckets: Int = 16,
+    bloomEnabled: Boolean = true,
+    bloomExpectedItems: Long = 4L * 1000 * 1000,
+    bloomFpp: Double = 0.01,
+    maxRounds: Int = Int.MaxValue,
+    compactEvery: Int = 8,
+    checkpointDir: Option[String] = None)
+
+/** Frontier entry — the typed Dataset row of the URL frontier.
+  *
+  * `discoveryIdx` is the FIFO position (reference deque order,
+  * `src/web_crawler.py:222,286`); `priority`/`nextFetchTime` drive the
+  * polite scheduler's sort-within-partition (north rule "priority queue").
+  */
+final case class FrontierEntry(
+    url: String,
+    urlHash: Long,
+    host: String,
+    depth: Int,
+    priority: Int,
+    discoveryIdx: Long,
+    nextFetchTime: Long)
+
+/** Scalar result of a crawl — counts mirror `CrawlResult`
+  * (`src/web_crawler.py:33-44`); URL relations stay distributed and are
+  * exposed as Datasets on [[graft.operators.CrawlOutcome]].
+  */
+final case class CrawlStats(
+    visitedCount: Long,
+    errorCount: Long,
+    redirectCount: Long,
+    rounds: Int,
+    scheduledTotal: Long,
+    fetchedTotal: Long)

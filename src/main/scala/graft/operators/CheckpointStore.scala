@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.sketch.BloomFilter
+import java.io.{BufferedInputStream, BufferedOutputStream, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Properties
+import scala.jdk.CollectionConverters._
+
+/** Per-round crawl state on disk — the north rule's "checkpoints
+  * per-partition frontier state (seen-filter snapshots, queue offsets,
+  * lineage + fetch metrics) for exact resume" (BASELINE.json `north_rule`).
+  *
+  * Layout under `dir`:
+  *  - `visited/round=K/`   parquet delta: the URLs first visited in round K
+  *    (globally disjoint across rounds → their union IS the visited set,
+  *    no distinct needed on read)
+  *  - `frontier/seg=K/`    parquet frontier segment appended in round K;
+  *    FIFO consumption never rewrites segments — the manifest's `watermark`
+  *    (max consumed discoveryIdx, i.e. the queue offset) plus each segment's
+  *    [minIdx,maxIdx] range prune fully-consumed files without reading them
+  *  - `sides/round=K/`     error/redirect side-output delta (tagged `kind`)
+  *  - `visitlog/round=K/`  (round, batchIdx, url) crawl-ordering lineage
+  *  - `bloom/round=K.bin`  serialized URL-seen Bloom filter snapshot
+  *  - `manifest/round=K.properties` atomic commit record (written last;
+  *    resume reads the highest round with a manifest — partially written
+  *    rounds are invisible)
+  */
+object CheckpointStore {
+  final case class SegInfo(seg: Int, minIdx: Long, maxIdx: Long, rows: Long)
+
+  final case class Manifest(
+      round: Int,
+      nextIdx: Long,
+      watermark: Long,
+      errorCount: Long,
+      redirectCount: Long,
+      scheduledTotal: Long,
+      fetchedTotal: Long,
+      visitedRounds: Seq[Int],
+      liveSegs: Seq[SegInfo],
+      hasBloom: Boolean)
+}
+
+final class CheckpointStore(spark: SparkSession, val dir: String) {
+  import CheckpointStore._
+
+  private def p(parts: String*): Path = Paths.get(dir, parts: _*)
+  Files.createDirectories(p("manifest"))
+
+  def visitedPath(round: Int): String = p("visited", s"round=$round").toString
+  def segPath(seg: Int): String = p("frontier", s"seg=$seg").toString
+  def sidesPath(round: Int): String = p("sides", s"round=$round").toString
+  def visitLogPath(round: Int): String = p("visitlog", s"round=$round").toString
+
+  def saveManifest(m: Manifest): Unit = {
+    val props = new Properties()
+    props.setProperty("round", m.round.toString)
+    props.setProperty("nextIdx", m.nextIdx.toString)
+    props.setProperty("watermark", m.watermark.toString)
+    props.setProperty("errorCount", m.errorCount.toString)
+    props.setProperty("redirectCount", m.redirectCount.toString)
+    props.setProperty("scheduledTotal", m.scheduledTotal.toString)
+    props.setProperty("fetchedTotal", m.fetchedTotal.toString)
+    props.setProperty("visitedRounds", m.visitedRounds.mkString(","))
+    props.setProperty("liveSegs",
+      m.liveSegs.map(s => s"${s.seg}:${s.minIdx}:${s.maxIdx}:${s.rows}").mkString(","))
+    props.setProperty("hasBloom", m.hasBloom.toString)
+    val tmp = p("manifest", s".round=${m.round}.tmp")
+    val out = Files.newOutputStream(tmp)
+    try props.store(out, null) finally out.close()
+    Files.move(tmp, p("manifest", s"round=${m.round}.properties"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def latestManifest(): Option[Manifest] = {
+    val mdir = p("manifest").toFile
+    val rounds = Option(mdir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).collect { case s if s.startsWith("round=") && s.endsWith(".properties") =>
+        s.stripPrefix("round=").stripSuffix(".properties").toInt }
+    if (rounds.isEmpty) None else Some(loadManifest(rounds.max))
+  }
+
+  def loadManifest(round: Int): Manifest = {
+    val props = new Properties()
+    val in = Files.newInputStream(p("manifest", s"round=$round.properties"))
+    try props.load(in) finally in.close()
+    def seq(key: String): Seq[String] = {
+      val v = props.getProperty(key, "")
+      if (v.isEmpty) Nil else v.split(",").toSeq
+    }
+    Manifest(
+      props.getProperty("round").toInt,
+      props.getProperty("nextIdx").toLong,
+      props.getProperty("watermark").toLong,
+      props.getProperty("errorCount").toLong,
+      props.getProperty("redirectCount").toLong,
+      props.getProperty("scheduledTotal").toLong,
+      props.getProperty("fetchedTotal").toLong,
+      seq("visitedRounds").map(_.toInt),
+      seq("liveSegs").map { s =>
+        val Array(a, b, c, d) = s.split(":")
+        SegInfo(a.toInt, b.toLong, c.toLong, d.toLong)
+      },
+      props.getProperty("hasBloom").toBoolean)
+  }
+
+  /** The visited set: union of disjoint per-round deltas (no distinct). */
+  def readVisited(visitedRounds: Seq[Int]): Option[DataFrame] =
+    if (visitedRounds.isEmpty) None
+    else Some(spark.read.parquet(visitedRounds.map(visitedPath): _*))
+
+  /** Live frontier: segment files pruned by the queue-offset watermark
+    * (a fully consumed segment is never opened), residual consumed rows in
+    * the boundary segment removed by a parquet-stat-prunable predicate. */
+  def readFrontier(liveSegs: Seq[SegInfo], watermark: Long): Option[DataFrame] = {
+    val live = liveSegs.filter(_.maxIdx > watermark)
+    if (live.isEmpty) None
+    else Some(spark.read.parquet(live.map(s => segPath(s.seg)): _*)
+      .filter(org.apache.spark.sql.functions.col("discoveryIdx") > watermark))
+  }
+
+  def readSides(rounds: Seq[Int]): Option[DataFrame] = {
+    val existing = rounds.map(sidesPath).filter(pp => Files.exists(Paths.get(pp)))
+    if (existing.isEmpty) None else Some(spark.read.parquet(existing: _*))
+  }
+
+  def readVisitLog(rounds: Seq[Int]): Option[DataFrame] = {
+    val existing = rounds.map(visitLogPath).filter(pp => Files.exists(Paths.get(pp)))
+    if (existing.isEmpty) None else Some(spark.read.parquet(existing: _*))
+  }
+
+  def saveBloom(round: Int, bloom: BloomFilter): Unit = {
+    Files.createDirectories(p("bloom"))
+    val tmp = p("bloom", s".round=$round.tmp")
+    val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
+    try bloom.writeTo(out) finally out.close()
+    Files.move(tmp, p("bloom", s"round=$round.bin"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def loadBloom(round: Int): BloomFilter = {
+    val in = new BufferedInputStream(new FileInputStream(p("bloom", s"round=$round.bin").toFile))
+    try BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** Round-local fetch metrics (lineage + fetch metrics per north rule). */
+  def saveMetrics(round: Int, kv: Map[String, Long]): Unit = {
+    Files.createDirectories(p("metrics"))
+    val props = new Properties()
+    kv.foreach { case (k, v) => props.setProperty(k, v.toString) }
+    val out = Files.newOutputStream(p("metrics", s"round=$round.properties"))
+    try props.store(out, null) finally out.close()
+  }
+
+  /** Retry-After host backoff state (host → first eligible round). */
+  def saveHostState(round: Int, state: Map[String, Int]): Unit = {
+    Files.createDirectories(p("hoststate"))
+    val props = new Properties()
+    state.foreach { case (h, nb) => props.setProperty(h, nb.toString) }
+    val out = Files.newOutputStream(p("hoststate", s"round=$round.properties"))
+    try props.store(out, null) finally out.close()
+  }
+
+  def loadHostState(round: Int): Map[String, Int] = {
+    val path = p("hoststate", s"round=$round.properties")
+    if (!Files.exists(path)) return Map.empty
+    val props = new Properties()
+    val in = Files.newInputStream(path)
+    try props.load(in) finally in.close()
+    props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k).toInt).toMap
+  }
+
+  def loadMetrics(round: Int): Map[String, Long] = {
+    val props = new Properties()
+    val in = Files.newInputStream(p("metrics", s"round=$round.properties"))
+    try props.load(in) finally in.close()
+    props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k).toLong).toMap
+  }
+}

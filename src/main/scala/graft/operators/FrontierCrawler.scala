@@ -1,0 +1,463 @@
+package graft.operators
+
+import graft.functions.UrlFunctions._
+import graft.model._
+import graft.url.{PyUrl, RedirectLoop, UrlNormalizer, UrlValidator}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+import java.nio.file.Files
+
+/** Result of a crawl — URL relations stay distributed (Datasets), scalars in
+  * [[graft.model.CrawlStats]]. Mirrors `CrawlResult`
+  * (`/root/reference/src/web_crawler.py:33-44`).
+  */
+final case class CrawlOutcome(
+    found: DataFrame,        // url, urlHash — the found/visited set (a true set)
+    errorUrls: DataFrame,    // url (distinct)
+    redirectUrls: DataFrame, // url (distinct)
+    visitLog: DataFrame,     // round, batchIdx, url — crawl-ordering lineage
+    stats: CrawlStats,
+    checkpointDir: String) {
+
+  /** stdout contract: all found URLs sorted ascending
+    * (`src/web_crawler.py:308-309`). */
+  def sortedFound: Seq[String] = {
+    import found.sparkSession.implicits._
+    found.select("url").orderBy("url").as[String].collect().toSeq
+  }
+}
+
+/** Redirect-walk state — one row per in-flight batch URL. The walk re-creates
+  * `follow_redirects` (`/root/reference/src/utils/redirect_handler.py:76-156`)
+  * as ≤ maxRedirects iterated equi-joins against the pages relation; after
+  * the first hop only still-redirecting rows remain in flight, so the
+  * common case costs a single join per round.
+  */
+final case class Hop(
+    origUrl: String,
+    batchIdx: Long,
+    depth: Int,
+    currentUrl: String,
+    chain: Seq[String],
+    phase: Int,
+    status: Int,
+    links: Seq[String],
+    retryAfter: Option[Int])
+
+object Hop {
+  final val Walking = 0
+  final val Done = 1
+  final val NetworkErr = 2 // GET failed → `response_data is None` path
+  final val LoopErr = 3    // RedirectLoopError
+
+  private val RedirectStatuses = Set(301, 302, 303, 307, 308)
+
+  /** One GET of `currentUrl` (`redirect_handler.py:99-149`). */
+  def transition(h: Hop, page: Option[PageRow], maxRedirects: Int): Hop = page match {
+    case None => h.copy(phase = NetworkErr) // ClientError path (`:151-153`)
+    case Some(p) if RedirectStatuses.contains(p.status) =>
+      p.location match {
+        case None | Some("") => // no Location header → body is the answer (`:109-117`)
+          h.copy(phase = Done, status = p.status, links = p.links, retryAfter = p.retryAfter)
+        case Some(loc) =>
+          val target = PyUrl.urljoin(h.currentUrl, loc) // `:119-120`
+          if (RedirectLoop.detect(h.chain, target, maxRedirects).isLoop) h.copy(phase = LoopErr)
+          else h.copy(chain = h.chain :+ target, currentUrl = target)
+      }
+    case Some(p) =>
+      h.copy(phase = Done, status = p.status, links = p.links, retryAfter = p.retryAfter)
+  }
+}
+
+/** Spark-native URL-frontier + fetch scheduler (SURVEY.md §3.1 "Spark
+  * lifecycle equivalent"; north rule in BASELINE.json).
+  *
+  * Driver-side round loop; each round:
+  *   frontier →(Bloom-prefiltered anti-join visited)→ eligible
+  *           →(FIFO top-K | per-host polite top-k over (priority,
+  *             nextFetchTime) with salted skew-safe windows)→ batch
+  *           →(iterated equi-join against pages = redirect-following fetch)→
+  *           →(explode links → resolve → normalize → domain filter →
+  *             anti-join)→ new frontier segment; state deltas checkpointed.
+  *
+  * Two scheduler modes:
+  *  - `cfg.fifoParity = true`: bit-exact reference semantics — global FIFO by
+  *    discoveryIdx, batches of maxConcurrent, sequential merge-order visited
+  *    marking (`src/web_crawler.py:245-295`), duplicates allowed in queue.
+  *  - `cfg.fifoParity = false`: the north rule's scale scheduler — per-host
+  *    politeness budgets, priority queue as sort-within-partition, two-phase
+  *    (salted) top-k so a skewed host cannot overload one window partition,
+  *    robots.txt cache via broadcast join, Retry-After host backoff.
+  */
+final class FrontierCrawler(
+    spark: SparkSession,
+    pages: Dataset[PageRow],
+    cfg: CrawlConfig = CrawlConfig(),
+    robots: Option[DataFrame] = None) { // host, disallow: boolean, crawlDelay: double
+
+  import spark.implicits._
+
+  private val ckptDir =
+    cfg.checkpointDir.getOrElse(Files.createTempDirectory("graft-crawl-").toString)
+  private val store = new CheckpointStore(spark, ckptDir)
+
+  private val ContentTypes = Seq("text/html", "text/plain", "application/xhtml+xml")
+
+  /** Seed pre-flight — the reference's 5-stage `verify`
+    * (`/root/reference/src/utils/url_verifier.py:289-327`): pure stages
+    * (syntactic/semantic/security) via [[UrlValidator]]; effectful stages
+    * (DNS + protocol + operational probes) resolved against the pages
+    * relation (a URL absent from it ≡ DNS/connection failure).
+    */
+  def verifySeed(url: String): Unit = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"Invalid base URL: $url ($msg)")
+    if (!UrlValidator.syntacticOk(url)) fail("syntactic checks failed")
+    if (!UrlValidator.semanticOkPure(url)) fail("semantic checks failed")
+    if (!UrlValidator.securityOk(url)) fail("security checks failed")
+    val hit = pages.filter(col("url") === lit(url)).take(1).headOption
+    hit match {
+      case None => fail("semantic checks failed (unresolvable)")
+      case Some(p) =>
+        if (p.status < 200 || p.status >= 400) fail(s"protocol checks failed (HTTP ${p.status})")
+        if (!p.contentType.exists(ct => ContentTypes.exists(ct.startsWith))) fail("protocol checks failed (content type)")
+        if (p.retryAfter.isDefined) fail("operational checks failed (Retry-After)")
+    }
+  }
+
+  /** Flagship entry: single-seed crawl with reference semantics
+    * (`src/web_crawler.py:190-332`). */
+  def crawl(seedUrl: String): CrawlOutcome = {
+    verifySeed(seedUrl)
+    val seed = UrlNormalizer.normalize(seedUrl)
+    val baseDomain = PyUrl.urlparse(seed).netloc
+    val seedDf = Seq(FrontierEntry(seed, 0L, baseDomain, 0, 0, 0L, 0L)).toDS().toDF()
+      .withColumn("urlHash", xxhash64($"url"))
+    run(seedDf, seedCount = 1L, if (cfg.sameDomainOnly) Some(baseDomain) else None)
+  }
+
+  /** Scale entry: a seed-list relation (columns `url`, optional `priority`)
+    * — the north rule's 10^10-URL frontier path. Invalid/unsafe seeds are
+    * filtered (F8+F15 applied as column predicates), not raised. */
+  def crawlSeeds(seeds: DataFrame): CrawlOutcome = {
+    val hasPriority = seeds.columns.contains("priority")
+    val base = seeds
+      .withColumn("url", normalize_url($"url"))
+      .filter(url_syntactic_valid($"url") && url_security_valid($"url"))
+      .dropDuplicates("url")
+      .withColumn("urlHash", xxhash64($"url"))
+      .withColumn("host", url_host($"url"))
+      .withColumn("depth", lit(0))
+      .withColumn("priority", if (hasPriority) coalesce($"priority", lit(0)) else lit(0))
+      .withColumn("nextFetchTime", lit(0L))
+    val seedDf =
+      if (cfg.fifoParity)
+        base.withColumn("discoveryIdx", row_number().over(Window.orderBy($"url")).cast("long") - 1)
+      else // deterministic, shuffle-free idx for huge seed lists
+        base.withColumn("discoveryIdx", pmod(xxhash64($"url"), lit(IdxSpan)))
+    val cols = Seq("url", "urlHash", "host", "depth", "priority", "discoveryIdx", "nextFetchTime")
+    run(seedDf.select(cols.map(col): _*), seedCount = -1L, None)
+  }
+
+  private val IdxSpan: Long = 1L << 40
+
+  // ----------------------------------------------------------------------
+
+  private def run(seedDf: DataFrame, seedCount: Long, baseDomain: Option[String]): CrawlOutcome = {
+    val t0 = System.nanoTime()
+    var m: CheckpointStore.Manifest = store.latestManifest() match {
+      case Some(mm) => mm
+      case None =>
+        val sc = if (seedCount >= 0) seedCount else seedDf.count()
+        seedDf.write.mode("overwrite").parquet(store.segPath(0))
+        val nextIdx = if (cfg.fifoParity) sc else IdxSpan
+        val mm = CheckpointStore.Manifest(-1, nextIdx, -1L, 0L, 0L, 0L, 0L, Nil,
+          Seq(CheckpointStore.SegInfo(0, 0L, nextIdx - 1, sc)), cfg.bloomEnabled)
+        if (sc > 0) store.saveManifest(mm) // commit round -1 (seed load)
+        mm
+    }
+    var bloom: Option[BloomFilter] =
+      if (!cfg.bloomEnabled) None
+      else if (m.round >= 0 && m.hasBloom) Some(store.loadBloom(m.round))
+      else Some(BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp))
+    hostNotBefore = if (m.round >= 0) store.loadHostState(m.round) else Map.empty
+
+    var round = m.round + 1
+    var done = false
+    while (!done && round < cfg.maxRounds) {
+      val roundT0 = System.nanoTime()
+      store.readFrontier(m.liveSegs, m.watermark) match {
+        case None => done = true
+        case Some(frontier0) =>
+          val visitedOpt = store.readVisited(m.visitedRounds)
+
+          // dequeue-time re-checks (`src/web_crawler.py:254-263`): frontier
+          // rows are already normalized, so re-normalization is a no-op; the
+          // domain re-check stays as a cheap filter.
+          val frontier = baseDomain.fold(frontier0)(bd => frontier0.filter($"host" === lit(bd)))
+
+          // J1: anti-join frontier ∖ visited, Bloom-prefiltered — rows the
+          // filter has definitely never seen skip the join entirely
+          // (SURVEY.md §2.4 J1; the 10^10-scale path).
+          val bloomBc = bloom.map(b => spark.sparkContext.broadcast(b))
+          val eligible = (visitedOpt, bloomBc) match {
+            case (None, _) => frontier
+            case (Some(v), None) => frontier.join(v.select("url"), Seq("url"), "left_anti")
+            case (Some(v), Some(bc)) =>
+              val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+              frontier.filter(!mightContain($"urlHash"))
+                .unionByName(
+                  frontier.filter(mightContain($"urlHash"))
+                    .join(v.select("url"), Seq("url"), "left_anti"))
+          }
+
+          // O1: batch selection.
+          val batch0 =
+            if (cfg.fifoParity) {
+              // reference FIFO: pop ≤ maxConcurrent in deque order (`:247-265`)
+              eligible.orderBy($"discoveryIdx").limit(cfg.maxConcurrent)
+                .withColumn("batchIdx",
+                  row_number().over(Window.orderBy($"discoveryIdx")).cast("long") - 1)
+            } else politeBatch(eligible, round)
+          val batch = batch0.persist()
+
+          val Row(batchCntAny, maxIdxAny) =
+            batch.agg(count(lit(1)), max($"discoveryIdx")).head()
+          val batchCnt = batchCntAny.asInstanceOf[Long]
+
+          if (batchCnt == 0L) { batch.unpersist(); done = true }
+          else {
+            val maxBatchIdx = maxIdxAny.asInstanceOf[Long]
+            val maxRedirects = cfg.maxRedirects // local copy: keep `this` out of task closures
+
+            // J2 + J5: fetch = iterated equi-join with redirect chain walk.
+            var cur = batch.select($"url", $"batchIdx", $"depth").as[(String, Long, Int)]
+              .map { case (u, bi, d) => Hop(u, bi, d, u, Seq(u), Hop.Walking, -1, Nil, None) }
+              .persist()
+            var active = batchCnt
+            var hops = 0
+            while (active > 0 && hops < maxRedirects) {
+              val walking = cur.filter(_.phase == Hop.Walking)
+              val stepped = walking
+                .joinWith(pages, walking("currentUrl") === pages("url"), "left_outer")
+                .map { case (h, pg) => Hop.transition(h, Option(pg), maxRedirects) }
+              val next = stepped.union(cur.filter(_.phase != Hop.Walking)).persist()
+              active = next.filter(_.phase == Hop.Walking).count()
+              cur.unpersist()
+              cur = next
+              hops += 1
+            }
+            // for-loop exhaustion ⇒ RedirectLoopError (`redirect_handler.py:156`)
+            val fetched = cur.map(h => if (h.phase == Hop.Walking) h.copy(phase = Hop.LoopErr) else h)
+
+            // post-fetch classification (`src/web_crawler.py:104-188`)
+            val withFlags = fetched.toDF()
+              .withColumn("moved", $"currentUrl" =!= $"origUrl")
+              .withColumn("redirected", (size($"chain") > 1) && $"phase" =!= Hop.LoopErr)
+              .withColumn("external", baseDomain match {
+                case Some(bd) => $"moved" && url_host($"currentUrl") =!= lit(bd) // `:111-114`
+                case None => lit(false)
+              })
+            val flagged = visitedOpt match {
+              case Some(v) => // F5: redirect landing already visited (`:117-119`)
+                withFlags.join(v.select($"url".as("__vu")),
+                    $"currentUrl" === $"__vu" && $"moved" && !$"external", "left_outer")
+                  .withColumn("finalVisited", $"__vu".isNotNull).drop("__vu")
+              case None => withFlags.withColumn("finalVisited", lit(false))
+            }
+            val f = flagged
+              .withColumn("dropped", $"external" || $"finalVisited")
+              // the `url = final_url` rebinding (`:122`) — applies only when
+              // not dropped; error attribution uses the rebound URL
+              .withColumn("urlPrime",
+                when($"moved" && !$"dropped", $"currentUrl").otherwise($"origUrl"))
+              .withColumn("errUrl",
+                when($"phase" === Hop.LoopErr, $"origUrl")                              // `:142-146`
+                  .when(!$"dropped" && $"phase" === Hop.NetworkErr, $"urlPrime")        // `:126-130`
+                  .when(!$"dropped" && $"phase" === Hop.Done && $"status" >= 400, $"urlPrime")) // `:136-140`
+              .persist()
+
+            val Row(errAny, redirAny, retryAny) = f.agg(
+              coalesce(sum(when($"errUrl".isNotNull, 1L)), lit(0L)),
+              coalesce(sum(when($"redirected", 1L)), lit(0L)),
+              coalesce(sum(when($"retryAfter".isNotNull, 1L)), lit(0L))).head()
+            val (errCnt, redirCnt, retryCnt) =
+              (errAny.asInstanceOf[Long], redirAny.asInstanceOf[Long], retryAny.asInstanceOf[Long])
+
+            // S-sinks: lineage + state deltas
+            batch.select(lit(round).as("round"), $"batchIdx", $"url")
+              .write.mode("overwrite").parquet(store.visitLogPath(round))
+            batch.select($"url").dropDuplicates("url").withColumn("urlHash", xxhash64($"url"))
+              .write.mode("overwrite").parquet(store.visitedPath(round))
+            f.filter($"errUrl".isNotNull).select($"errUrl".as("url"), lit("error").as("kind"))
+              .unionByName(f.filter($"redirected").select($"origUrl".as("url"), lit("redirect").as("kind")))
+              .write.mode("overwrite").parquet(store.sidesPath(round))
+
+            // G1 + C1/C2/C3 + F1 + F4/U3: link explosion and admission
+            val okRows = f.filter($"phase" === Hop.Done && !$"dropped" && $"status" < 400 &&
+              size($"links") > 0)
+            val exploded = okRows
+              .select($"batchIdx".as("parentIdx"), $"depth", $"urlPrime".as("base"),
+                posexplode($"links").as(Seq("pos", "href")))
+              .withColumn("absUrl", url_resolve($"base", $"href"))   // `:170`
+              .withColumn("url", normalize_url($"absUrl"))           // `:173`
+            val domained = baseDomain match {
+              case Some(bd) => exploded.filter(url_host($"url") === lit(bd)) // `:176-177`
+              case None => // multi-host mode: F8+F15 column predicates instead
+                exploded.filter(url_syntactic_valid($"url") && url_security_valid($"url"))
+            }
+            val unseen0 = visitedOpt
+              .fold(domained)(v => domained.join(v.select("url"), Seq("url"), "left_anti"))
+            // merge-loop semantics (`:275-291`): link of batch row i is also
+            // checked against batch rows 0..i marked visited before it
+            val batchKeys = batch.select($"url".as("bUrl"), $"batchIdx".as("bIdx"))
+            val unseen =
+              if (cfg.fifoParity)
+                unseen0.join(broadcast(batchKeys),
+                  $"url" === $"bUrl" && $"bIdx" <= $"parentIdx", "left_anti")
+              else unseen0.join(batchKeys, $"url" === $"bUrl", "left_anti")
+
+            val newEntries0 =
+              if (cfg.fifoParity)
+                unseen.withColumn("discoveryIdx",
+                  lit(m.nextIdx) + row_number().over(Window.orderBy($"parentIdx", $"pos")).cast("long") - 1)
+              else // deterministic, window-free idx at scale
+                unseen.withColumn("discoveryIdx",
+                  lit((round.toLong + 1) * IdxSpan) + pmod(xxhash64($"url", $"parentIdx", $"pos"), lit(IdxSpan)))
+            val newEntries = newEntries0.select(
+              $"url", xxhash64($"url").as("urlHash"), url_host($"url").as("host"),
+              ($"depth" + 1).as("depth"), ($"depth" + 1).as("priority"),
+              $"discoveryIdx", lit(0L).as("nextFetchTime")).persist()
+
+            val Row(nlCntAny, nlMinAny, nlMaxAny) =
+              newEntries.agg(count(lit(1)), min($"discoveryIdx"), max($"discoveryIdx")).head()
+            val nlCnt = nlCntAny.asInstanceOf[Long]
+            val seg = round + 1
+            if (nlCnt > 0) newEntries.write.mode("overwrite").parquet(store.segPath(seg))
+
+            // Bloom seen-filter: absorb this round's batch (built distributed,
+            // merged on the driver; snapshot persisted for exact resume)
+            bloom.foreach { b =>
+              b.mergeInPlace(batch.stat.bloomFilter("urlHash", cfg.bloomExpectedItems, cfg.bloomFpp))
+              store.saveBloom(round, b)
+            }
+
+            // Retry-After → per-host backoff (F14; polite mode only)
+            if (!cfg.fifoParity && retryCnt > 0) {
+              val span = math.max(cfg.perHostBudget * cfg.delay, 1e-9)
+              val bumps = f.filter($"retryAfter".isNotNull)
+                .groupBy(url_host($"origUrl").as("host")).agg(max($"retryAfter").as("ra"))
+                .collect()
+                .map(r => r.getString(0) -> (round + 1 + math.ceil(r.getInt(1) / span).toInt))
+              hostNotBefore = hostNotBefore ++ bumps.map { case (h, nb) =>
+                h -> math.max(nb, hostNotBefore.getOrElse(h, 0))
+              }
+            }
+            store.saveHostState(round, hostNotBefore)
+
+            val newWatermark =
+              if (cfg.fifoParity) {
+                if (batchCnt == cfg.maxConcurrent) maxBatchIdx else m.nextIdx - 1
+              } else m.watermark
+            val newNextIdx =
+              if (cfg.fifoParity) m.nextIdx + nlCnt else (round.toLong + 2) * IdxSpan
+            var liveSegs = (m.liveSegs ++
+              (if (nlCnt > 0) Seq(CheckpointStore.SegInfo(seg, nlMinAny.asInstanceOf[Long],
+                nlMaxAny.asInstanceOf[Long], nlCnt)) else Nil))
+              .filter(_.maxIdx > newWatermark)
+
+            // polite-mode compaction: drop already-visited rows from the
+            // frontier every compactEvery rounds (consumed rows are filtered
+            // by the anti-join either way; this bounds storage)
+            if (!cfg.fifoParity && round > 0 && round % cfg.compactEvery == 0 && liveSegs.nonEmpty) {
+              val liveDf = spark.read.parquet(liveSegs.map(s => store.segPath(s.seg)): _*)
+              val compacted = store.readVisited(m.visitedRounds :+ round)
+                .fold(liveDf)(v => liveDf.join(v.select("url"), Seq("url"), "left_anti"))
+              val cSeg = 1000000 + round
+              compacted.write.mode("overwrite").parquet(store.segPath(cSeg))
+              val Row(cCnt, cMin, cMax) =
+                spark.read.parquet(store.segPath(cSeg)).agg(count(lit(1)), min($"discoveryIdx"), max($"discoveryIdx")).head()
+              liveSegs =
+                if (cCnt.asInstanceOf[Long] == 0) Nil
+                else Seq(CheckpointStore.SegInfo(cSeg, cMin.asInstanceOf[Long], cMax.asInstanceOf[Long],
+                  cCnt.asInstanceOf[Long]))
+            }
+
+            store.saveMetrics(round, Map(
+              "scheduled" -> batchCnt, "errors" -> errCnt, "redirects" -> redirCnt,
+              "newLinks" -> nlCnt, "hops" -> hops.toLong,
+              "wallMs" -> (System.nanoTime() - roundT0) / 1000000))
+
+            m = CheckpointStore.Manifest(round, newNextIdx, newWatermark,
+              m.errorCount + errCnt, m.redirectCount + redirCnt,
+              m.scheduledTotal + batchCnt, m.fetchedTotal + batchCnt,
+              m.visitedRounds :+ round, liveSegs, bloom.isDefined)
+            store.saveManifest(m)
+
+            f.unpersist(); newEntries.unpersist(); cur.unpersist(); batch.unpersist()
+            round += 1
+          }
+          bloomBc.foreach(_.destroy())
+      }
+    }
+
+    // final relations (S4-S7 read side)
+    val empty = Seq.empty[(String, Long)].toDF("url", "urlHash")
+    val visited = store.readVisited(m.visitedRounds).getOrElse(empty)
+    val sides = store.readSides(0 to math.max(m.round, 0))
+      .getOrElse(Seq.empty[(String, String)].toDF("url", "kind"))
+    val visitLog = store.readVisitLog(0 to math.max(m.round, 0))
+      .getOrElse(Seq.empty[(Int, Long, String)].toDF("round", "batchIdx", "url"))
+    val visitedCount = visited.count()
+    CrawlOutcome(
+      found = visited,
+      errorUrls = sides.filter($"kind" === "error").select("url").distinct(),
+      redirectUrls = sides.filter($"kind" === "redirect").select("url").distinct(),
+      visitLog = visitLog,
+      stats = CrawlStats(visitedCount, m.errorCount, m.redirectCount, m.round + 1,
+        m.scheduledTotal, m.fetchedTotal),
+      checkpointDir = ckptDir)
+  }
+
+  /** Polite scheduler (north rule): per-host budget with the priority queue
+    * realized as a sort-within-partition over (priority, nextFetchTime);
+    * two-phase top-k — phase 1 partitions by (host, salt) so one skewed host
+    * is split across `saltBuckets` bounded windows, phase 2 sees at most
+    * saltBuckets×budget rows per host. Robots cache joined broadcast (J4);
+    * hosts under Retry-After backoff excluded.
+    */
+  private def politeBatch(eligible: DataFrame, round: Int): DataFrame = {
+    val blocked = hostBlockFilter(round)
+    val el0 = blocked.fold(eligible)(c => eligible.filter(c))
+    val (el, budgetCol) = robots match {
+      case Some(r) =>
+        val joined = el0.join(broadcast(r), Seq("host"), "left_outer")
+          .filter(!coalesce($"disallow", lit(false)))
+        val b = when($"crawlDelay".isNotNull && $"crawlDelay" > lit(cfg.delay),
+          greatest(lit(1.0), lit(cfg.perHostBudget.toDouble) * lit(cfg.delay) / $"crawlDelay").cast("int"))
+          .otherwise(lit(cfg.perHostBudget))
+        (joined, b)
+      case None => (el0, lit(cfg.perHostBudget))
+    }
+    val salt = pmod(xxhash64($"url"), lit(cfg.saltBuckets))
+    val ord = Seq($"priority", $"nextFetchTime", $"discoveryIdx", $"url")
+    val w1 = Window.partitionBy($"host", salt).orderBy(ord: _*)
+    val w2 = Window.partitionBy($"host").orderBy(ord: _*)
+    val delayMs = (cfg.delay * 1000).toLong
+    el.withColumn("__budget", budgetCol)
+      .withColumn("rn1", row_number().over(w1)).filter($"rn1" <= $"__budget")
+      .withColumn("rn2", row_number().over(w2)).filter($"rn2" <= $"__budget")
+      .dropDuplicates("url")
+      .withColumn("batchIdx", $"rn2".cast("long") - 1)
+      .withColumn("nextFetchTime",
+        lit(round.toLong * math.max(cfg.perHostBudget, 1) * delayMs) + ($"rn2" - 1) * delayMs)
+      .drop("rn1", "rn2", "__budget", "disallow", "crawlDelay")
+  }
+
+  private var hostNotBefore: Map[String, Int] = Map.empty
+  private def hostBlockFilter(round: Int): Option[org.apache.spark.sql.Column] = {
+    val blocked = hostNotBefore.collect { case (h, nb) if nb > round => h }.toSeq
+    if (blocked.isEmpty) None else Some(!$"host".isInCollection(blocked))
+  }
+}
