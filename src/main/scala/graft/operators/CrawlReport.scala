@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+/** Crawl-report sink — the reference's report folder contract
+  * (`/root/reference/src/utils/report_generator.py:21-143`): a timestamped
+  * run directory containing `run_details.txt` (9 `key: value` lines) and
+  * three URL files sorted ascending, one URL per line.
+  *
+  * Scale path: each URL file is produced by a Spark range-partitioned sort
+  * (`orderBy(url)`) written through a single reducer and renamed to the
+  * reference's exact filename — "one sorted text file" is inherently a
+  * single-writer contract; everything before the final merge is distributed.
+  */
+object CrawlReport {
+
+  private val TsDir = DateTimeFormatter.ofPattern("yyyy-MM-dd_HH-mm-ss")
+  private val TsLine = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Python `str(timedelta)` — `[D day[s], ]H:MM:SS[.ffffff]`
+    * (`report_generator.py:122` writes `Total Time: {timedelta}`). */
+  def pythonTimedelta(totalMicros: Long): String = {
+    val micros = ((totalMicros % 1000000) + 1000000) % 1000000
+    val totalSecs = Math.floorDiv(totalMicros, 1000000L)
+    val days = Math.floorDiv(totalSecs, 86400L)
+    val rem = Math.floorMod(totalSecs, 86400L)
+    val h = rem / 3600; val m = (rem % 3600) / 60; val s = rem % 60
+    val base = f"$h%d:$m%02d:$s%02d"
+    val frac = if (micros > 0) f".$micros%06d" else ""
+    val dayPart =
+      if (days == 0) "" else if (days == 1) "1 day, " else s"$days days, "
+    s"$dayPart$base$frac"
+  }
+
+  def write(
+      outcome: CrawlOutcome,
+      baseUrl: String,
+      startTime: LocalDateTime,
+      endTime: LocalDateTime,
+      runsDir: String): String = {
+    val runFolder = Paths.get(runsDir, startTime.format(TsDir))
+    Files.createDirectories(runFolder)
+
+    val totalMicros = java.time.Duration.between(startTime, endTime).toNanos / 1000
+    val details = Seq(
+      s"Base URL: $baseUrl",
+      s"Start Time: ${startTime.format(TsLine)}",
+      s"End Time: ${endTime.format(TsLine)}",
+      s"Total Time: ${pythonTimedelta(totalMicros)}",
+      s"URLs Found/Visited: ${outcome.stats.visitedCount}",
+      s"Error URLs: ${outcome.errorUrls.count()}",
+      s"Redirect URLs: ${outcome.redirectUrls.count()}",
+      s"Total Errors: ${outcome.stats.errorCount}",
+      s"Total Redirects: ${outcome.stats.redirectCount}")
+    Files.write(runFolder.resolve("run_details.txt"),
+      (details.mkString("\n") + "\n").getBytes("UTF-8"))
+
+    writeSortedUrls(outcome.found.select("url"), runFolder, "all_found_urls.txt")
+    writeSortedUrls(outcome.errorUrls, runFolder, "all_error_urls.txt")
+    writeSortedUrls(outcome.redirectUrls, runFolder, "all_redirect_urls.txt")
+    runFolder.toString
+  }
+
+  /** `sorted(urls)`, one per line (`report_generator.py:131-143`).
+    *
+    * The global sort is distributed (range partitioning); part files come
+    * out in ascending key ranges, so concatenating them in filename order
+    * yields the globally sorted file without funneling the sort itself
+    * through one task.
+    */
+  private def writeSortedUrls(urls: DataFrame, runFolder: Path, name: String): Unit = {
+    val tmp = runFolder.resolve(s".$name.spark")
+    urls.orderBy("url").write.mode("overwrite").text(tmp.toString)
+    val parts = {
+      val s = Files.list(tmp)
+      try s.filter(p => p.getFileName.toString.startsWith("part-"))
+        .sorted().iterator().asScalaSeq
+      finally s.close()
+    }
+    val target = runFolder.resolve(name)
+    val out = Files.newOutputStream(target)
+    try parts.foreach(p => Files.copy(p, out)) finally out.close()
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScalaSeq: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+}

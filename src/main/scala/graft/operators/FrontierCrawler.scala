@@ -226,7 +226,18 @@ final class FrontierCrawler(
             batch.agg(count(lit(1)), max($"discoveryIdx")).head()
           val batchCnt = batchCntAny.asInstanceOf[Long]
 
-          if (batchCnt == 0L) { batch.unpersist(); done = true }
+          if (batchCnt == 0L) {
+            batch.unpersist()
+            // polite mode: an empty batch while hosts sit under Retry-After
+            // backoff is an idle tick, not termination — their frontier rows
+            // become eligible again once the backoff round passes
+            if (!cfg.fifoParity && hostNotBefore.values.exists(_ > round)) {
+              store.saveHostState(round, hostNotBefore)
+              m = m.copy(round = round)
+              store.saveManifest(m)
+              round += 1
+            } else done = true
+          }
           else {
             val maxBatchIdx = maxIdxAny.asInstanceOf[Long]
             val maxRedirects = cfg.maxRedirects // local copy: keep `this` out of task closures

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.TestSpark
+import graft.model.{CrawlConfig, PageRow}
+import graft.sources.SiteGraph
+import graft.url.{PyUrl, UrlNormalizer, UrlValidator}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale scheduler (north rule): per-host politeness budgets, robots
+  * cache, Retry-After backoff, skew-safe salted top-k, multi-host frontier.
+  */
+class PoliteSchedulerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.UrlFunctions.url_host
+
+  /** Order-independent reachability closure for redirect-free graphs:
+    * the polite scheduler's found set must equal it exactly. */
+  private def closure(pages: Map[String, PageRow], seeds: Seq[String]): Set[String] = {
+    val seen = scala.collection.mutable.Set[String]()
+    val q = scala.collection.mutable.Queue[String]()
+    seeds.map(UrlNormalizer.normalize).foreach { s => if (seen.add(s)) q += s }
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      pages.get(u).filter(p => p.status == 200).foreach { p =>
+        p.links.foreach { href =>
+          val n = UrlNormalizer.normalize(PyUrl.urljoin(u, href))
+          if (UrlValidator.syntacticOk(n) && UrlValidator.securityOk(n) && seen.add(n)) q += n
+        }
+      }
+    }
+    seen.toSet
+  }
+
+  test("multi-host crawl: found = reachability closure; per-host budget enforced; no re-visits") {
+    val p = SiteGraph.GraphParams(nHosts = 4, pagesPerHost = 30, linksPerPage = 4,
+      redirectFrac = 0.0, errorFrac = 0.1, deadLinkFrac = 0.05, crossHostFrac = 0.3,
+      heavyHostFrac = 0.5, seed = 13L)
+    val pages = SiteGraph.localPages(p)
+    val seeds = (0 until 4).flatMap(h =>
+      pages.find(r => r.status == 200 && r.url.startsWith(s"http://site$h.com")).map(_.url))
+    val budget = 3
+    val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
+      perHostBudget = budget, saltBuckets = 4, bloomEnabled = true,
+      bloomExpectedItems = 100000L)
+    val out = new FrontierCrawler(spark, pages.toDS(), cfg)
+      .crawlSeeds(seeds.toDF("url"))
+
+    val expected = closure(pages.map(r => r.url -> r).toMap, seeds)
+    assert(out.sortedFound.toSet == expected, "polite found set != reachability closure")
+
+    // each URL scheduled exactly once (set semantics, no duplicate fetches)
+    val log = out.visitLog.cache()
+    assert(log.count() == log.select("url").distinct().count(), "URL scheduled twice")
+
+    // politeness: ≤ budget fetches per host per round, every round
+    val over = log.withColumn("host", url_host($"url"))
+      .groupBy("round", "host").count().filter($"count" > budget).count()
+    assert(over == 0, "per-host politeness budget exceeded")
+    log.unpersist()
+  }
+
+  test("robots: disallowed host never fetched; crawl-delay host gets a reduced budget") {
+    val p = SiteGraph.GraphParams(nHosts = 3, pagesPerHost = 20, linksPerPage = 3,
+      redirectFrac = 0.0, errorFrac = 0.0, deadLinkFrac = 0.0, crossHostFrac = 0.3, seed = 21L)
+    val pages = SiteGraph.localPages(p)
+    val seeds = (0 until 3).flatMap(h =>
+      pages.find(r => r.status == 200 && r.url.startsWith(s"http://site$h.com")).map(_.url))
+    val robots = Seq(
+      ("site1.com", true, null.asInstanceOf[java.lang.Double]),  // Disallow: /
+      ("site2.com", false, java.lang.Double.valueOf(0.2))        // Crawl-delay: 0.2
+    ).toDF("host", "disallow", "crawlDelay")
+    val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
+      delay = 0.1, perHostBudget = 4, bloomEnabled = false)
+    val out = new FrontierCrawler(spark, pages.toDS(), cfg, robots = Some(robots))
+      .crawlSeeds(seeds.toDF("url"))
+
+    val log = out.visitLog.withColumn("host", url_host($"url")).cache()
+    assert(log.filter($"host" === "site1.com").count() == 0, "disallowed host was fetched")
+    // crawl-delay 0.2 with budget 4 × delay 0.1 → at most 2 fetches/round
+    val over = log.filter($"host" === "site2.com")
+      .groupBy("round").count().filter($"count" > 2).count()
+    assert(over == 0, "crawl-delay budget not honored")
+    assert(log.filter($"host" === "site0.com").count() > 0)
+    log.unpersist()
+  }
+
+  test("Retry-After: throttled host backs off and the crawl resumes it later") {
+    def pg(url: String, links: Seq[String]): PageRow =
+      PageRow(url, 200, None, links, None, Some("text/html"), None, None)
+    val pages = Seq(
+      pg("http://a.com/root", Seq("/throttle", "/x1")),
+      PageRow("http://a.com/throttle", 503, None, Nil, None, Some("text/html"), Some(1), None),
+      pg("http://a.com/x1", Seq("/x2")),
+      pg("http://a.com/x2", Seq("/x3")),
+      pg("http://a.com/x3", Nil))
+    val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
+      delay = 0.1, perHostBudget = 2, bloomEnabled = false, maxRounds = 40)
+    val out = new FrontierCrawler(spark, pages.toDS(), cfg)
+      .crawlSeeds(Seq("http://a.com/root").toDF("url"))
+
+    // all pages still crawled eventually (backoff is a pause, not a stop)
+    assert(out.sortedFound.toSet ==
+      Set("http://a.com/root", "http://a.com/throttle", "http://a.com/x1",
+        "http://a.com/x2", "http://a.com/x3"))
+    // rounds after the 503 are idle until the backoff expires: with
+    // retry-after 1s and span perHostBudget×delay = 0.2s, ≥5 idle rounds
+    val throttleRound = out.visitLog.filter($"url" === "http://a.com/throttle")
+      .select("round").as[Int].head()
+    val laterRounds = out.visitLog.filter($"round" > throttleRound)
+      .select("round").as[Int].collect()
+    assert(laterRounds.forall(_ > throttleRound + 4),
+      s"host resumed too early: ${laterRounds.toSeq.sorted} after throttle at $throttleRound")
+    assert(out.stats.errorCount >= 1) // the 503 itself is an error event
+  }
+}
