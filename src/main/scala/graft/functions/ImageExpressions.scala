@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => CB}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions over the binary image column of the payload
+  * table (`input_hint` schema) — codegen'd static calls into
+  * [[ImageKernels]], same pattern as the URL expression family.
+  */
+trait BinaryInputCheck { self: Expression =>
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = self.children.filterNot(_.dataType == BinaryType)
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} requires BINARY arguments, got " +
+        bad.map(_.dataType.catalogString).mkString(", "))
+  }
+}
+
+/** 64-bit perceptual hash of encoded image bytes (dedup key — C8). */
+case class PHash64(child: Expression) extends UnaryExpression with BinaryInputCheck {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phash64"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageKernels.phash64(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKernels.phash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): PHash64 =
+    copy(child = newChild)
+}
+
+/** Decoded-pixel PSNR (dB) between two encoded images (the ≥ 40 dB lossy
+  * invariant from BASELINE.json `input_hint`). */
+case class ImagePsnr(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryInputCheck {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_psnr"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ImageKernels.psnr(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ImageKernels.psnr($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ImagePsnr =
+    copy(left = l, right = r)
+}
+
+object ImageFunctions {
+  def phash64(c: Column): Column = CB.column(PHash64(CB.expression(c)))
+  def image_psnr(a: Column, b: Column): Column =
+    CB.column(ImagePsnr(CB.expression(a), CB.expression(b)))
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("phash64",
+      es => { require(es.length == 1, "phash64 expects 1 argument"); PHash64(es.head) }, "built-in")
+    reg.createOrReplaceTempFunction("image_psnr",
+      es => { require(es.length == 2, "image_psnr expects 2 arguments"); ImagePsnr(es(0), es(1)) }, "built-in")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Image kernels for the image+caption payload table (BASELINE.json
+  * `input_hint`): decode via JDK `javax.imageio` (no external deps),
+  * 64-bit perceptual hash (32×32 grayscale DCT, top-left 8×8 AC
+  * coefficients thresholded at the median — the classic pHash recipe), and
+  * PSNR for the decoded-pixel invariant (≥ 40 dB for lossy formats).
+  */
+object ImageKernels {
+
+  def decode(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    if (fmt == "jpg" || fmt == "jpeg") {
+      // no-alpha raster + explicit high quality: the ≥ 40 dB decoded-pixel
+      // invariant presumes archival-quality lossy encoding, not the
+      // ImageIO default (0.75 ≈ 28 dB on smooth gradients)
+      val rgb = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+      val g = rgb.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.95f)
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
+      } finally { ios.close(); writer.dispose() }
+    } else require(ImageIO.write(img, fmt, bos), s"no encoder for $fmt")
+    bos.toByteArray
+  }
+
+  private def grayAt(img: BufferedImage, x: Int, y: Int): Double = {
+    val rgb = img.getRGB(x, y)
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+  }
+
+  /** Area-average resample to n×n grayscale. */
+  private def grayResample(img: BufferedImage, n: Int): Array[Array[Double]] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = Array.ofDim[Double](n, n)
+    var gy = 0
+    while (gy < n) {
+      val y0 = gy * h / n; val y1 = math.max(y0 + 1, (gy + 1) * h / n)
+      var gx = 0
+      while (gx < n) {
+        val x0 = gx * w / n; val x1 = math.max(x0 + 1, (gx + 1) * w / n)
+        var s = 0.0; var y = y0
+        while (y < y1) { var x = x0; while (x < x1) { s += grayAt(img, x, y); x += 1 }; y += 1 }
+        out(gy)(gx) = s / ((y1 - y0) * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  private val N = 32
+  private val dctCos: Array[Array[Double]] = Array.tabulate(N, N) { (k, x) =>
+    math.cos(math.Pi * k * (2 * x + 1) / (2.0 * N))
+  }
+
+  /** 64-bit perceptual hash of encoded image bytes (SURVEY.md §2.3 C8). */
+  def phash64(bytes: Array[Byte]): Long = {
+    val img = decode(bytes)
+    if (img == null) return 0L
+    val g = grayResample(img, N)
+    // 2D DCT-II, only the 8×8 low-frequency block is needed
+    val block = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0; var y = 0
+        while (y < N) {
+          var x = 0
+          while (x < N) { s += g(y)(x) * dctCos(u)(y) * dctCos(v)(x); x += 1 }
+          y += 1
+        }
+        block(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = (for (i <- 0 until 8; j <- 0 until 8 if !(i == 0 && j == 0)) yield block(i)(j)).toArray
+    val sorted = ac.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L
+    var i = 0
+    while (i < 63) { if (ac(i) > median) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** PSNR in dB between two encoded images' decoded pixels; +Inf for
+    * identical, NaN when undecodable/size-mismatched. */
+  def psnr(aBytes: Array[Byte], bBytes: Array[Byte]): Double = {
+    val a = decode(aBytes); val b = decode(bBytes)
+    if (a == null || b == null) return Double.NaN
+    if (a.getWidth != b.getWidth || a.getHeight != b.getHeight) return Double.NaN
+    var se = 0.0
+    var y = 0
+    while (y < a.getHeight) {
+      var x = 0
+      while (x < a.getWidth) {
+        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
+        var c = 0
+        while (c < 3) {
+          val d = ((pa >> (8 * c)) & 0xff) - ((pb >> (8 * c)) & 0xff)
+          se += d.toDouble * d
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val mse = se / (a.getWidth.toLong * a.getHeight * 3)
+    if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+}

@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.model.PageRow
+import graft.sources.{IceLite, ImageRow}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** S8 (SURVEY.md §2.1): image/caption writeback — join the crawl's visited
+  * set to the pages' payload pointers, pull the image rows, and MERGE them
+  * into the Iceberg-style snapshot table deduplicating on `phash`
+  * (`MERGE INTO t USING s ON t.phash = s.phash WHEN NOT MATCHED THEN
+  * INSERT`, J3 in SURVEY.md §2.4). The fetch→payload join is an equi-join
+  * on image_id; at scale both sides shuffle on that key and AQE picks the
+  * strategy — the visited side is usually the small one and broadcasts.
+  */
+object ImageWriteback {
+
+  def payloadRows(found: DataFrame, pages: Dataset[PageRow], images: Dataset[ImageRow]): DataFrame = {
+    val withImage = found.select("url")
+      .join(pages.toDF().select(col("url"), col("imageId")), Seq("url"))
+      .filter(col("imageId").isNotNull)
+      .select(col("imageId").as("image_id")).distinct()
+    images.toDF().join(withImage, Seq("image_id"))
+      .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+  }
+
+  /** Returns the number of newly inserted rows (duplicates by phash skipped). */
+  def ingest(outcome: CrawlOutcome, pages: Dataset[PageRow], images: Dataset[ImageRow],
+      table: IceLite): Long =
+    table.mergeInsert(payloadRows(outcome.found, pages, images), "phash")
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.functions.{ImageFunctions, ImageKernels, TestSpark}
+import graft.model.CrawlConfig
+import graft.sources.{IceLite, ImageGen, SiteGraph}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The image+caption payload path (BASELINE.json `input_hint`): phash, the
+  * decoded-pixel PSNR ≥ 40 dB invariant, caption equality, and the
+  * Iceberg-style MERGE-on-phash writeback with snapshot time travel.
+  */
+class ImagePipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private lazy val images = ImageGen.localImages(40, seed = 42L, dupEvery = 10)
+
+  test("phash: deterministic; planted duplicates collide; distinct content mostly distinct") {
+    val again = ImageGen.localImages(40, seed = 42L, dupEvery = 10)
+    assert(images.map(_.phash) == again.map(_.phash))
+    // every 10th image (from id 19 on) repeats content of id-10 → equal phash
+    assert(images(19).phash == images(9).phash)
+    assert(images(29).phash == images(19).phash)
+    assert(images(19).image_id != images(9).image_id)
+    val distinctFrac = images.map(_.phash).distinct.size.toDouble / images.size
+    assert(distinctFrac > 0.6, s"phash collapsing too much: $distinctFrac")
+  }
+
+  test("PSNR ≥ 40 dB for lossy formats, exact bytes for lossless (input_hint invariant)") {
+    images.foreach { im =>
+      val ck = im.caption.split("#").last.toLong
+      val reference = ImageKernels.encode(ImageGen.render(ck, 42L, im.w, im.h), "png")
+      val p = ImageKernels.psnr(im.bytes, reference)
+      if (im.fmt == "jpg") assert(p >= 40.0, s"${im.image_id} ($im.fmt) PSNR $p < 40")
+      else assert(p.isPosInfinity, s"${im.image_id} (${im.fmt}) lossless not exact: $p")
+    }
+  }
+
+  test("PHash64 / ImagePsnr expressions match kernels through a Spark plan (and SQL)") {
+    val df = images.take(8).toDF()
+    val got = df.select($"image_id", ImageFunctions.phash64($"bytes").as("ph"),
+      ImageFunctions.image_psnr($"bytes", $"bytes").as("self"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byId = images.map(i => i.image_id -> i).toMap
+    got.foreach { case (id, ph, self) =>
+      assert(ph == byId(id).phash)
+      assert(self.isPosInfinity)
+    }
+    ImageFunctions.registerAll(spark)
+    df.createOrReplaceTempView("imgs")
+    val sqlPh = spark.sql("select phash64(bytes) from imgs where image_id = 'img_00000000'")
+      .head().getLong(0)
+    assert(sqlPh == byId("img_00000000").phash)
+  }
+
+  test("icelite: append, MERGE-on-phash dedup, snapshot time travel, atomic pointer") {
+    val t = new IceLite(spark, Files.createTempDirectory("icelite-").toString)
+    val (a, b) = images.splitAt(25)
+    assert(t.mergeInsert(a.toDF(), "phash") == a.map(_.phash).distinct.size)
+    val v1 = t.currentVersion()
+    val v1Count = t.read().count()
+    // second merge overlaps: only phashes unseen in v1 insert
+    val inserted = t.mergeInsert(b.toDF(), "phash")
+    val expectedNew = b.map(_.phash).distinct.toSet.diff(a.map(_.phash).toSet).size
+    assert(inserted == expectedNew)
+    assert(t.read().count() == v1Count + expectedNew)
+    // full re-merge is a no-op and does not advance the snapshot
+    val vBefore = t.currentVersion()
+    assert(t.mergeInsert(images.toDF(), "phash") == 0)
+    assert(t.currentVersion() == vBefore)
+    // time travel: v1 still readable and unchanged
+    assert(t.readAt(v1).count() == v1Count)
+    // table is keyed: no duplicate phash
+    assert(t.read().select("phash").distinct().count() == t.read().count())
+  }
+
+  test("crawl → writeback: visited pages' payloads land deduped; captions round-trip exactly") {
+    val pages = SiteGraph.localPages(SiteGraph.GraphParams(nHosts = 1, pagesPerHost = 40,
+      linksPerPage = 4, redirectFrac = 0.05, errorFrac = 0.05, seed = 3L))
+    // payload table keyed by the pages' imageId pointers
+    val ids = pages.flatMap(_.imageId)
+    val imgs = ids.zipWithIndex.map { case (id, i) =>
+      ImageGen.imageFor(i.toLong, seed = 7L, dupEvery = 8).copy(image_id = id)
+    }
+    val seed = pages.find(_.status == 200).get.url
+    val out = new FrontierCrawler(spark, pages.toDS(), CrawlConfig(maxConcurrent = 8)).crawl(seed)
+
+    val t = new IceLite(spark, Files.createTempDirectory("icelite-wb-").toString)
+    val inserted = ImageWriteback.ingest(out, pages.toDS(), imgs.toDS(), t)
+
+    val visited = out.sortedFound.toSet
+    val visitedImageIds = pages.filter(p => visited(p.url)).flatMap(_.imageId).toSet
+    val expected = imgs.filter(i => visitedImageIds(i.image_id)).map(_.phash).distinct.size
+    assert(inserted == expected, "MERGE inserted row count mismatch")
+
+    // caption equality per input_hint: table rows carry the source captions
+    val src = imgs.map(i => i.phash -> i.caption).toMap
+    val back = t.read().select("phash", "caption").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    back.foreach { case (ph, cap) => assert(src.values.toSet.contains(cap) && src.contains(ph)) }
+    // and pixels: stored bytes are exactly the source bytes for these rows
+    val pairs = t.read().as[graft.sources.ImageRow].collect()
+    val byId = imgs.map(i => i.image_id -> i).toMap
+    pairs.foreach { row =>
+      val p = ImageKernels.psnr(row.bytes, byId(row.image_id).bytes)
+      assert(p.isPosInfinity, s"stored bytes differ for ${row.image_id}")
+    }
+  }
+}
