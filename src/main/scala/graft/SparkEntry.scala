@@ -1,13 +1,275 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.CrawlConfig
+import graft.operators.FrontierCrawler
+import graft.queries.ContractQueries
+import graft.sources.SiteGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds one named DataFrame program per operator family; each has
+  * an ANSI-SQL oracle in [[oracleSql]] (DuckDB dialect) producing the same
+  * columns/rows — the DuckDB compare is the correctness gate. Queries whose
+  * semantics DuckDB cannot replay (engine-specific crawl loop, xxhash-keyed
+  * ops) are covered by the ScalaTest parity suite instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: end-to-end frontier crawl over a deterministic synthetic web
+    * graph — the reference's whole pipeline (verify → rounds of
+    * fetch/extract/dedup → sorted found relation). Driver smoke-checks
+    * rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = SiteGraph.localPages(SiteGraph.GraphParams(
+      nHosts = 1, pagesPerHost = 40, linksPerPage = 4,
+      redirectFrac = 0.05, errorFrac = 0.05, seed = 42L))
+    val seed = pages.find(_.status == 200).get.url
+    val out = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(maxConcurrent = 20, bloomEnabled = false)).crawl(seed)
+    out.found.select("url").orderBy("url")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_agg" -> ContractQueries.q1PricingAgg _,
+    "q2_anti_join" -> ContractQueries.q2AntiJoin _,
+    "q3_topk_per_group" -> ContractQueries.q3TopkPerGroup _,
+    "q4_politeness_schedule" -> ContractQueries.q4PolitenessSchedule _,
+    "q5_explode_tokens" -> ContractQueries.q5ExplodeTokens _,
+    "q6_star_join" -> ContractQueries.q6StarJoin _,
+    "q7_counters" -> ContractQueries.q7Counters _,
+    "q8_union_distinct" -> ContractQueries.q8UnionDistinct _,
+    "q9_sessionize" -> ContractQueries.q9Sessionize _,
+    "q10_dedup_exact" -> ContractQueries.q10DedupExact _,
+    "q11_minhash_sig" -> ContractQueries.q11MinhashSig _,
+    "q12_minhash_pairs" -> ContractQueries.q12MinhashPairs _,
+    "q13_simhash" -> ContractQueries.q13Simhash _,
+    "q14_ngram_jaccard" -> ContractQueries.q14NgramJaccard _,
+    "q15_langid" -> ContractQueries.q15LangId _,
+    "q16_quality" -> ContractQueries.q16Quality _,
+    "q17_token_count" -> ContractQueries.q17TokenCount _,
+    "q18_fingerprint" -> ContractQueries.q18Fingerprint _,
+    "q19_cosine_topk" -> ContractQueries.q19CosineTopk _,
+    "q20_lsh_buckets" -> ContractQueries.q20LshBuckets _,
+    "q21_near_dup_cosine" -> ContractQueries.q21NearDupCosine _,
+    "q22_url_normalize" -> ContractQueries.q22UrlNormalize _)
+
+  // DuckDB-dialect oracles. Shared fragments:
+  private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
+  private val P = "1000000007"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | round(avg(l_discount), 6) AS avg_disc, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_anti_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q3_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q4_politeness_schedule" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS slot,
+        |  (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 100 AS fetch_offset_ms
+        |FROM events ORDER BY user_id, slot""".stripMargin,
+
+    "q5_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q6_star_join" ->
+      """SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q7_counters" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS n_neg,
+        |  round(sum(value), 4) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q8_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q9_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR date_diff('second', prev_ts, ts) > 3600 THEN 1 ELSE 0 END AS new_session
+        |  FROM g)
+        |SELECT user_id,
+        |  max(session_id) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q10_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "q11_minhash_sig" -> {
+      val ab = Seq((370248451L, 55229L), (414606793L, 94727L),
+        (173961109L, 13873L), (873191981L, 71339L))
+      val mins = ab.zipWithIndex.map { case ((a, b), i) =>
+        s"min(((h % $P) * $a + $b) % $P) AS m$i" }.mkString(",\n  ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |hs AS (SELECT doc_id, $H AS h FROM toks)
+         |SELECT doc_id, $mins,
+         |  m0 || ':' || m1 AS band0, m2 || ':' || m3 AS band1
+         |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q12_minhash_pairs" -> {
+      val ab = Seq((370248451L, 55229L), (414606793L, 94727L),
+        (173961109L, 13873L), (873191981L, 71339L))
+      val mins = ab.zipWithIndex.map { case ((a, b), i) =>
+        s"min(((h % $P) * $a + $b) % $P) AS m$i" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |hs AS (SELECT doc_id, $H AS h FROM toks),
+         |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, m0 || ':' || m1 AS band FROM sig
+         |  UNION ALL SELECT doc_id, m2 || ':' || m3 AS band FROM sig)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |ORDER BY d1, d2""".stripMargin
+    },
+
+    "q13_simhash" -> {
+      val sums = (0 until 16).map(j =>
+        s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n  ")
+      val sig = (0 until 16).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END").mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |hs AS (SELECT doc_id, $H AS h FROM toks),
+         |sums AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id)
+         |SELECT doc_id, $sig AS simhash FROM sums ORDER BY doc_id""".stripMargin
+    },
+
+    "q14_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 40),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) >= 0.2
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q15_langid" ->
+      """SELECT doc_id, lang,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to','in','is','on','for','with','as','by','at','an','or')))::BIGINT AS n_stop,
+        |  round(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to','in','is','on','for','with','as','by','at','an','or')))::DOUBLE
+        |    / len(string_split(text, ' '))::DOUBLE, 6) AS stop_ratio,
+        |  CASE WHEN round(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to','in','is','on','for','with','as','by','at','an','or')))::DOUBLE
+        |    / len(string_split(text, ' '))::DOUBLE, 6) >= 0.08 THEN 1 ELSE 0 END AS pred_en
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q16_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+        |  round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |    / len(string_split(text, ' '))::DOUBLE, 6) AS distinct_ratio,
+        |  round((n_chars - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |    / len(string_split(text, ' '))::DOUBLE, 6) AS avg_token_len,
+        |  CASE WHEN len(string_split(text, ' ')) >= 10
+        |        AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |          / len(string_split(text, ' '))::DOUBLE >= 0.3 THEN 1 ELSE 0 END AS quality_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_token_count" ->
+      """SELECT lang, source,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS tokens,
+        |  count(*) AS docs, sum(n_chars) AS chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q18_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+        |    i -> list_reduce(list_transform(range(0, 8),
+        |           k -> ascii(substr(text, i + k, 1))::BIGINT),
+        |         (acc, v) -> acc * 31 + v))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q19_cosine_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(ee, qe)
+        |    / (sqrt(list_dot_product(ee, ee)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
+        |FROM e, q ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q20_lsh_buckets" -> {
+      val planes = (0 until 8).map(p =>
+        s"""CASE WHEN list_dot_product(e, list_transform(range(0, 64),
+           |  d -> (($p * 1000003 + d * 7919) % 2001 - 1000)::DOUBLE)) > 0
+           |  THEN ${1L << p}::BIGINT ELSE 0::BIGINT END""".stripMargin).mkString(" + ")
+      s"""WITH s AS (
+         |  SELECT vec_id, $planes AS sig
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+         |b AS (SELECT sig, count(*) AS bucket_n FROM s GROUP BY sig)
+         |SELECT s.vec_id, s.sig, b.bucket_n FROM s JOIN b ON s.sig = b.sig
+         |ORDER BY s.vec_id""".stripMargin
+    },
+
+    "q21_near_dup_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_dot_product(a.ee, b.ee)
+        |    / (sqrt(list_dot_product(a.ee, a.ee)) * sqrt(list_dot_product(b.ee, b.ee))), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.ee, b.ee)
+        |    / (sqrt(list_dot_product(a.ee, a.ee)) * sqrt(list_dot_product(b.ee, b.ee))), 6) >= 0.35
+        |ORDER BY v1, v2""".stripMargin,
+
+    "q22_url_normalize" ->
+      """SELECT doc_id,
+        |  'http://' || lower(source) || '.com/p/' || doc_id || '?a=9&b=2' AS url,
+        |  lower(source) || '.com' AS host
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

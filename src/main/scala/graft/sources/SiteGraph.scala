@@ -103,7 +103,10 @@ object SiteGraph {
       PageRow(url, 301, Some(loc), Nil, None, Some("text/html"), None, None)
     } else {
       val nl = 1 + (mix(r, 5L) >>> 33) % p.linksPerPage
-      val links = (0L until nl).map { j =>
+      // ring link first: keeps the host graph connected through the random
+      // error/redirect interruptions so crawls exercise the full site
+      val ring = s"/p/${(i + 1) % n}"
+      val links = ring +: (0L until nl).map { j =>
         val lr = mix(r, 6L, j)
         val cross = unit(lr) < p.crossHostFrac && p.nHosts > 1
         val dead = unit(mix(lr, 7L)) < p.deadLinkFrac
@@ -116,12 +119,17 @@ object SiteGraph {
           pageUrl(oh, (mix(lr, 10L) >>> 33) % math.max(1L, pagesOnHost(oh, p)))
         } else {
           val tgt = (mix(lr, 11L) >>> 33) % n
-          // exercise the resolver: relative, absolute, query, fragment forms
-          (mix(lr, 12L) >>> 33) % 4 match {
-            case 0 => s"/p/$tgt"
-            case 1 => pageUrl(h, tgt)
-            case 2 => s"/p/$tgt#frag"
-            case _ => s"/p/$tgt?b=2&a=1"
+          // exercise the resolver: rooted/absolute/bare-relative/fragment
+          // forms all canonicalize onto a live page; the rare query-string
+          // alias canonicalizes to a URL outside the table (a dead alias —
+          // it exercises keep-last+sorted query re-encoding and the
+          // network-error path without starving connectivity)
+          (mix(lr, 12L) >>> 33) % 8 match {
+            case 0 | 1 => s"/p/$tgt"
+            case 2 | 3 => pageUrl(h, tgt)
+            case 4 | 5 => s"$tgt" // resolves against the /p/<i> base dir
+            case 6     => s"/p/$tgt#frag"
+            case _     => s"/p/$tgt?b=2&a=1"
           }
         }
       }
