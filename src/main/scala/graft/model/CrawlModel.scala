@@ -46,6 +46,7 @@ final case class CrawlConfig(
     bloomEnabled: Boolean = true,
     bloomExpectedItems: Long = 4L * 1000 * 1000,
     bloomFpp: Double = 0.01,
+    bloomUpdateEvery: Int = 4,
     maxRounds: Int = Int.MaxValue,
     compactEvery: Int = 8,
     checkpointDir: Option[String] = None)

@@ -39,7 +39,8 @@ object CheckpointStore {
       fetchedTotal: Long,
       visitedRounds: Seq[Int],
       liveSegs: Seq[SegInfo],
-      hasBloom: Boolean)
+      hasBloom: Boolean,
+      bloomRound: Int = -1)
 }
 
 final class CheckpointStore(spark: SparkSession, val dir: String) {
@@ -66,6 +67,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String) {
     props.setProperty("liveSegs",
       m.liveSegs.map(s => s"${s.seg}:${s.minIdx}:${s.maxIdx}:${s.rows}").mkString(","))
     props.setProperty("hasBloom", m.hasBloom.toString)
+    props.setProperty("bloomRound", m.bloomRound.toString)
     val tmp = p("manifest", s".round=${m.round}.tmp")
     val out = Files.newOutputStream(tmp)
     try props.store(out, null) finally out.close()
@@ -102,7 +104,8 @@ final class CheckpointStore(spark: SparkSession, val dir: String) {
         val Array(a, b, c, d) = s.split(":")
         SegInfo(a.toInt, b.toLong, c.toLong, d.toLong)
       },
-      props.getProperty("hasBloom").toBoolean)
+      props.getProperty("hasBloom").toBoolean,
+      props.getProperty("bloomRound", "-1").toInt)
   }
 
   /** The visited set: union of disjoint per-round deltas (no distinct). */

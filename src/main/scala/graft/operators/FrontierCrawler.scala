@@ -162,6 +162,55 @@ final class FrontierCrawler(
 
   private val IdxSpan: Long = 1L << 40
 
+  /** Redirect-resolved fetch relation, computed ONCE per crawl: the pages
+    * table is static, so the chain walk (`redirect_handler.py:76-156`) is a
+    * function of the page alone — precomputing its transitive closure turns
+    * the per-round fetch from ≤ maxRedirects iterated joins into a single
+    * equi-join. Only the 3xx subset is walked; hops shrink geometrically.
+    */
+  private var closureHops: Int = 0
+
+  /** Materialized to parquet under the checkpoint dir: every round's fetch
+    * plan then references ONE flat scan instead of re-analyzing the typed
+    * walk's union-of-maps over the whole pages relation — driver-side
+    * Catalyst planning time was the round bottleneck, not execution. */
+  private lazy val fetchResolved: DataFrame = {
+    val path = s"$ckptDir/fetchclosure"
+    if (!Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val maxRedirects = cfg.maxRedirects
+      val redirectStatuses = Set(301, 302, 303, 307, 308)
+      val direct = pages
+        .filter(p => !redirectStatuses.contains(p.status) || p.location.forall(_.isEmpty))
+        .map(p => Hop(p.url, 0L, 0, p.url, Seq(p.url), Hop.Done, p.status, p.links, p.retryAfter))
+      var cur = pages
+        .filter(p => redirectStatuses.contains(p.status) && p.location.exists(_.nonEmpty))
+        .map(p => Hop(p.url, 0L, 0, p.url, Seq(p.url), Hop.Walking, -1, Nil, None))
+        .persist()
+      var active = cur.count()
+      var hops = 0
+      while (active > 0 && hops < maxRedirects) {
+        val walking = cur.filter(_.phase == Hop.Walking)
+        val stepped = walking
+          .joinWith(pages, walking("currentUrl") === pages("url"), "left_outer")
+          .map { case (h, pg) => Hop.transition(h, Option(pg), maxRedirects) }
+        val next = stepped.union(cur.filter(_.phase != Hop.Walking)).persist()
+        active = next.filter(_.phase == Hop.Walking).count()
+        cur.unpersist()
+        cur = next
+        hops += 1
+      }
+      closureHops = hops
+      // loop-bound exhaustion ⇒ RedirectLoopError (`redirect_handler.py:156`)
+      val walked = cur.map(h => if (h.phase == Hop.Walking) h.copy(phase = Hop.LoopErr) else h)
+      direct.union(walked).toDF()
+        .select($"origUrl".as("url"), $"currentUrl", $"chain", $"phase",
+          $"status", $"links", $"retryAfter")
+        .write.mode("overwrite").parquet(path)
+      cur.unpersist()
+    }
+    spark.read.parquet(path)
+  }
+
   // ----------------------------------------------------------------------
 
   private def run(seedDf: DataFrame, seedCount: Long, baseDomain: Option[String]): CrawlOutcome = {
@@ -173,20 +222,31 @@ final class FrontierCrawler(
         seedDf.write.mode("overwrite").parquet(store.segPath(0))
         val nextIdx = if (cfg.fifoParity) sc else IdxSpan
         val mm = CheckpointStore.Manifest(-1, nextIdx, -1L, 0L, 0L, 0L, 0L, Nil,
-          Seq(CheckpointStore.SegInfo(0, 0L, nextIdx - 1, sc)), cfg.bloomEnabled)
+          Seq(CheckpointStore.SegInfo(0, 0L, nextIdx - 1, sc)), cfg.bloomEnabled, -1)
         if (sc > 0) store.saveManifest(mm) // commit round -1 (seed load)
         mm
     }
+    // seeded from the first round's distributed build — sizing must come
+    // from the same code path (stat.bloomFilter) or merges are incompatible
     var bloom: Option[BloomFilter] =
       if (!cfg.bloomEnabled) None
-      else if (m.round >= 0 && m.hasBloom) Some(store.loadBloom(m.round))
-      else Some(BloomFilter.create(cfg.bloomExpectedItems, cfg.bloomFpp))
+      else if (m.round >= 0 && m.hasBloom && m.bloomRound >= 0) Some(store.loadBloom(m.bloomRound))
+      else None
+    var bloomRound: Int = m.bloomRound
     hostNotBefore = if (m.round >= 0) store.loadHostState(m.round) else Map.empty
 
     var round = m.round + 1
     var done = false
+    val phaseTimes = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def timed[T](name: String)(body: => T): T = {
+      val t = System.nanoTime()
+      val r = body
+      phaseTimes(name) = phaseTimes.getOrElse(name, 0L) + (System.nanoTime() - t) / 1000000
+      r
+    }
     while (!done && round < cfg.maxRounds) {
       val roundT0 = System.nanoTime()
+      phaseTimes.clear()
       store.readFrontier(m.liveSegs, m.watermark) match {
         case None => done = true
         case Some(frontier0) =>
@@ -206,10 +266,18 @@ final class FrontierCrawler(
             case (Some(v), None) => frontier.join(v.select("url"), Seq("url"), "left_anti")
             case (Some(v), Some(bc)) =>
               val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
-              frontier.filter(!mightContain($"urlHash"))
-                .unionByName(
-                  frontier.filter(mightContain($"urlHash"))
-                    .join(v.select("url"), Seq("url"), "left_anti"))
+              // rows the bloom has never seen still need checking against the
+              // visited deltas the filter has not absorbed yet (lazy merge)
+              val recentRounds = m.visitedRounds.filter(_ > bloomRound)
+              val defNew0 = frontier.filter(!mightContain($"urlHash"))
+              val defNew =
+                if (recentRounds.isEmpty) defNew0
+                else defNew0.join(
+                  spark.read.parquet(recentRounds.map(store.visitedPath): _*).select("url"),
+                  Seq("url"), "left_anti")
+              defNew.unionByName(
+                frontier.filter(mightContain($"urlHash"))
+                  .join(v.select("url"), Seq("url"), "left_anti"))
           }
 
           // O1: batch selection.
@@ -220,14 +288,19 @@ final class FrontierCrawler(
                 .withColumn("batchIdx",
                   row_number().over(Window.orderBy($"discoveryIdx")).cast("long") - 1)
             } else politeBatch(eligible, round)
-          val batch = batch0.persist()
-
+          // materialize the batch through its lineage sink (one write) and
+          // re-read it: downstream plans then reference a flat parquet scan
+          // instead of re-analyzing the whole scheduler tree per action
+          timed("t_batch") {
+            batch0.select(lit(round).as("round"), $"batchIdx", $"url", $"depth", $"discoveryIdx")
+              .write.mode("overwrite").parquet(store.visitLogPath(round))
+          }
+          val batch = spark.read.parquet(store.visitLogPath(round))
           val Row(batchCntAny, maxIdxAny) =
             batch.agg(count(lit(1)), max($"discoveryIdx")).head()
           val batchCnt = batchCntAny.asInstanceOf[Long]
 
           if (batchCnt == 0L) {
-            batch.unpersist()
             // polite mode: an empty batch while hosts sit under Retry-After
             // backoff is an idle tick, not termination — their frontier rows
             // become eligible again once the backoff round passes
@@ -240,30 +313,24 @@ final class FrontierCrawler(
           }
           else {
             val maxBatchIdx = maxIdxAny.asInstanceOf[Long]
-            val maxRedirects = cfg.maxRedirects // local copy: keep `this` out of task closures
 
-            // J2 + J5: fetch = iterated equi-join with redirect chain walk.
-            var cur = batch.select($"url", $"batchIdx", $"depth").as[(String, Long, Int)]
-              .map { case (u, bi, d) => Hop(u, bi, d, u, Seq(u), Hop.Walking, -1, Nil, None) }
-              .persist()
-            var active = batchCnt
-            var hops = 0
-            while (active > 0 && hops < maxRedirects) {
-              val walking = cur.filter(_.phase == Hop.Walking)
-              val stepped = walking
-                .joinWith(pages, walking("currentUrl") === pages("url"), "left_outer")
-                .map { case (h, pg) => Hop.transition(h, Option(pg), maxRedirects) }
-              val next = stepped.union(cur.filter(_.phase != Hop.Walking)).persist()
-              active = next.filter(_.phase == Hop.Walking).count()
-              cur.unpersist()
-              cur = next
-              hops += 1
-            }
-            // for-loop exhaustion ⇒ RedirectLoopError (`redirect_handler.py:156`)
-            val fetched = cur.map(h => if (h.phase == Hop.Walking) h.copy(phase = Hop.LoopErr) else h)
+            // J2 + J5: fetch = one equi-join against the precomputed
+            // redirect-resolved pages relation; a miss is a network error
+            // (`response_data is None`, `src/web_crawler.py:126-130`).
+            val fetched = batch.select($"url", $"batchIdx", $"depth")
+              .join(fetchResolved, Seq("url"), "left_outer")
+              .select(
+                $"url".as("origUrl"), $"batchIdx", $"depth",
+                coalesce($"currentUrl", $"url").as("currentUrl"),
+                coalesce($"chain", array($"url")).as("chain"),
+                coalesce($"phase", lit(Hop.NetworkErr)).as("phase"),
+                coalesce($"status", lit(-1)).as("status"),
+                coalesce($"links", typedLit(Seq.empty[String])).as("links"),
+                $"retryAfter")
+            val hops = closureHops
 
             // post-fetch classification (`src/web_crawler.py:104-188`)
-            val withFlags = fetched.toDF()
+            val withFlags = fetched
               .withColumn("moved", $"currentUrl" =!= $"origUrl")
               .withColumn("redirected", (size($"chain") > 1) && $"phase" =!= Hop.LoopErr)
               .withColumn("external", baseDomain match {
@@ -289,21 +356,19 @@ final class FrontierCrawler(
                   .when(!$"dropped" && $"phase" === Hop.Done && $"status" >= 400, $"urlPrime")) // `:136-140`
               .persist()
 
-            val Row(errAny, redirAny, retryAny) = f.agg(
+            val Row(errAny, redirAny, retryAny) = timed("t_fagg") { f.agg(
               coalesce(sum(when($"errUrl".isNotNull, 1L)), lit(0L)),
               coalesce(sum(when($"redirected", 1L)), lit(0L)),
-              coalesce(sum(when($"retryAfter".isNotNull, 1L)), lit(0L))).head()
+              coalesce(sum(when($"retryAfter".isNotNull, 1L)), lit(0L))).head() }
             val (errCnt, redirCnt, retryCnt) =
               (errAny.asInstanceOf[Long], redirAny.asInstanceOf[Long], retryAny.asInstanceOf[Long])
 
             // S-sinks: lineage + state deltas
-            batch.select(lit(round).as("round"), $"batchIdx", $"url")
-              .write.mode("overwrite").parquet(store.visitLogPath(round))
-            batch.select($"url").dropDuplicates("url").withColumn("urlHash", xxhash64($"url"))
-              .write.mode("overwrite").parquet(store.visitedPath(round))
-            f.filter($"errUrl".isNotNull).select($"errUrl".as("url"), lit("error").as("kind"))
+            timed("t_wvis") { batch.select($"url").dropDuplicates("url").withColumn("urlHash", xxhash64($"url"))
+              .write.mode("overwrite").parquet(store.visitedPath(round)) }
+            timed("t_wsides") { f.filter($"errUrl".isNotNull).select($"errUrl".as("url"), lit("error").as("kind"))
               .unionByName(f.filter($"redirected").select($"origUrl".as("url"), lit("redirect").as("kind")))
-              .write.mode("overwrite").parquet(store.sidesPath(round))
+              .write.mode("overwrite").parquet(store.sidesPath(round)) }
 
             // G1 + C1/C2/C3 + F1 + F4/U3: link explosion and admission
             val okRows = f.filter($"phase" === Hop.Done && !$"dropped" && $"status" < 400 &&
@@ -336,22 +401,41 @@ final class FrontierCrawler(
               else // deterministic, window-free idx at scale
                 unseen.withColumn("discoveryIdx",
                   lit((round.toLong + 1) * IdxSpan) + pmod(xxhash64($"url", $"parentIdx", $"pos"), lit(IdxSpan)))
-            val newEntries = newEntries0.select(
+            // polite mode admits each URL once per round (set semantics —
+            // unbounded duplicate admission would balloon the frontier);
+            // FIFO parity keeps the reference's duplicates-in-queue quirk
+            val newEntries1 =
+              if (cfg.fifoParity) newEntries0 else newEntries0.dropDuplicates("url")
+            val newEntries = newEntries1.select(
               $"url", xxhash64($"url").as("urlHash"), url_host($"url").as("host"),
               ($"depth" + 1).as("depth"), ($"depth" + 1).as("priority"),
               $"discoveryIdx", lit(0L).as("nextFetchTime")).persist()
 
-            val Row(nlCntAny, nlMinAny, nlMaxAny) =
-              newEntries.agg(count(lit(1)), min($"discoveryIdx"), max($"discoveryIdx")).head()
+            val Row(nlCntAny, nlMinAny, nlMaxAny) = timed("t_nlagg") {
+              newEntries.agg(count(lit(1)), min($"discoveryIdx"), max($"discoveryIdx")).head() }
             val nlCnt = nlCntAny.asInstanceOf[Long]
             val seg = round + 1
-            if (nlCnt > 0) newEntries.write.mode("overwrite").parquet(store.segPath(seg))
+            if (nlCnt > 0) timed("t_wseg") {
+              newEntries.write.mode("overwrite").parquet(store.segPath(seg)) }
 
-            // Bloom seen-filter: absorb this round's batch (built distributed,
-            // merged on the driver; snapshot persisted for exact resume)
-            bloom.foreach { b =>
-              b.mergeInPlace(batch.stat.bloomFilter("urlHash", cfg.bloomExpectedItems, cfg.bloomFpp))
-              store.saveBloom(round, b)
+            // Bloom seen-filter: merged lazily — absorbing every round would
+            // rebuild/broadcast a full-size filter per round (at 10^10 the
+            // filter itself is GBs and must live per-partition); instead the
+            // filter absorbs visited deltas every bloomUpdateEvery rounds and
+            // the uncovered tail is handled by a small delta anti-join at
+            // eligibility time. Snapshot persisted for exact resume.
+            if (cfg.bloomEnabled &&
+                (bloom.isEmpty || round - bloomRound >= cfg.bloomUpdateEvery)) timed("t_bloom") {
+              val deltaRounds = (m.visitedRounds :+ round).filter(_ > bloomRound)
+              val deltas = spark.read.parquet(deltaRounds.map(store.visitedPath): _*)
+              val deltaBloom =
+                deltas.stat.bloomFilter("urlHash", cfg.bloomExpectedItems, cfg.bloomFpp)
+              bloom match {
+                case Some(b) => b.mergeInPlace(deltaBloom)
+                case None => bloom = Some(deltaBloom)
+              }
+              bloomRound = round
+              store.saveBloom(round, bloom.get)
             }
 
             // Retry-After → per-host backoff (F14; polite mode only)
@@ -398,15 +482,15 @@ final class FrontierCrawler(
             store.saveMetrics(round, Map(
               "scheduled" -> batchCnt, "errors" -> errCnt, "redirects" -> redirCnt,
               "newLinks" -> nlCnt, "hops" -> hops.toLong,
-              "wallMs" -> (System.nanoTime() - roundT0) / 1000000))
+              "wallMs" -> (System.nanoTime() - roundT0) / 1000000) ++ phaseTimes)
 
             m = CheckpointStore.Manifest(round, newNextIdx, newWatermark,
               m.errorCount + errCnt, m.redirectCount + redirCnt,
               m.scheduledTotal + batchCnt, m.fetchedTotal + batchCnt,
-              m.visitedRounds :+ round, liveSegs, bloom.isDefined)
+              m.visitedRounds :+ round, liveSegs, bloom.isDefined, bloomRound)
             store.saveManifest(m)
 
-            f.unpersist(); newEntries.unpersist(); cur.unpersist(); batch.unpersist()
+            f.unpersist(); newEntries.unpersist()
             round += 1
           }
           bloomBc.foreach(_.destroy())
@@ -419,6 +503,7 @@ final class FrontierCrawler(
     val sides = store.readSides(0 to math.max(m.round, 0))
       .getOrElse(Seq.empty[(String, String)].toDF("url", "kind"))
     val visitLog = store.readVisitLog(0 to math.max(m.round, 0))
+      .map(_.select("round", "batchIdx", "url"))
       .getOrElse(Seq.empty[(Int, Long, String)].toDF("round", "batchIdx", "url"))
     val visitedCount = visited.count()
     CrawlOutcome(

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for training-data pipelines — exact,
+  * MinHash+LSH, SimHash, and token-set Jaccard. All hashing is integer-only
+  * (md5-hex → int64, modulo before multiply) so results are engine-portable
+  * and overflow-free; every stage is a shuffle-conscious DataFrame program:
+  * token explosion is a narrow generator, signatures are one hash-partitioned
+  * aggregation by document, and candidate generation joins on band buckets
+  * (never all-pairs).
+  */
+object Dedup {
+
+  val DefaultP: Long = 1000000007L
+  val DefaultPerms: Seq[(Long, Long)] = Seq((370248451L, 55229L), (414606793L, 94727L),
+    (173961109L, 13873L), (873191981L, 71339L))
+
+  /** 60-bit integer token hash: first 15 hex digits of md5. */
+  def tokenHash(token: Column): Column =
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: one row per distinct content fingerprint with the
+    * surviving (minimum) id and the copy count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_copies"), min(idCol).as("keep_id"))
+
+  /** (id, token) relation of distinct whitespace tokens with hash column. */
+  def distinctTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .distinct()
+      .withColumn("h", tokenHash(col("token")))
+
+  /** MinHash signatures: one column `m<i>` per permutation, plus LSH band
+    * ids pairing consecutive signature components. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      perms: Seq[(Long, Long)] = DefaultPerms, p: Long = DefaultP): DataFrame = {
+    val toks = distinctTokens(df, idCol, textCol)
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"((h % $p) * $a + $b) % $p")).as(s"m$i")
+    }
+    val sig = toks.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val withBands = (0 until perms.length / 2).foldLeft(sig) { (acc, b) =>
+      acc.withColumn(s"band$b", concat_ws(":", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+    }
+    withBands
+  }
+
+  /** LSH candidate pairs: documents sharing any MinHash band bucket.
+    * The join is per-bucket (shuffle on band), not all-pairs. */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      perms: Seq[(Long, Long)] = DefaultPerms, p: Long = DefaultP): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, perms, p)
+    val nBands = perms.length / 2
+    val bands = (0 until nBands).map(b =>
+      sig.select(col(idCol), col(s"band$b").as("band"))).reduce(_ unionByName _)
+    val l = bands.select(col("band"), col(idCol).as("d1"))
+    val r = bands.select(col("band"), col(idCol).as("d2"))
+    l.join(r, Seq("band")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** SimHash over distinct-token hash bits (default 16 bits). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val toks = distinctTokens(df, idCol, textCol)
+    val bitSums = (0 until bits).map(j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1L).otherwise(-1L)).as(s"s$j"))
+    val withSums = toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    withSums.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Token-set Jaccard similarity for all pairs sharing ≥1 token; rounded to
+    * 6 places. Candidate generation is by token co-occurrence (shuffle on
+    * token) — quadratic only within a token's posting list. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
+    val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val l = toks.select(col("token"), col(idCol).as("d1"))
+    val r = toks.select(col("token"), col(idCol).as("d2"))
+    val inter = l.join(r, Seq("token")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+}

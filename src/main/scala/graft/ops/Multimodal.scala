@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.functions.ImageKernels
+import graft.sources.SiteGraph
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal payload row: media as an opaque binary column plus typed
+  * metadata — the pattern the engine uses for any non-text modality at
+  * 100 TB (images here; audio/video identically shaped). */
+final case class MediaRow(
+    media_id: String,
+    kind: String, // image | audio | video
+    bytes: Array[Byte],
+    meta: Map[String, String])
+
+final case class MediaMeta(
+    media_id: String,
+    kind: String,
+    n_bytes: Long,
+    width: Int,     // -1 when not applicable / undecodable
+    height: Int,
+    durationMs: Long, // -1 for images
+    decoder: String)
+
+final case class MediaFeature(
+    media_id: String,
+    feature: Array[Float])
+
+/** Batch operators over binary media columns, as `mapPartitions` programs
+  * (the Scala analog of `mapInPandas`): the partition iterator is the batch
+  * boundary, decode state is per-partition, and nothing ever collects to the
+  * driver.
+  *
+  * Decoders: images are REAL (JDK `javax.imageio` — png/jpg/bmp). Audio and
+  * video codecs do not ship in this environment, so their decode is a
+  * clearly-marked deterministic STUB (seeded from the bytes) — the
+  * Spark-side plumbing (schema, partitioning, batch shape, feature
+  * dimensionality) is real and tested, and a codec-backed decoder can be
+  * dropped into [[stubProbe]] / [[stubFrames]] without touching the
+  * dataflow.
+  */
+object Multimodal {
+
+  /** STUB: deterministic fake probe for audio/video payloads (no codecs in
+    * the sandbox). Replace with a real demuxer probe in production. */
+  private def stubProbe(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
+    val h = SiteGraph.mix(0x5eedL, bytes.length.toLong,
+      if (bytes.isEmpty) 0L else bytes(0).toLong)
+    kind match {
+      case "audio" => (-1, -1, 1000L + (h >>> 33) % 60000L)
+      case "video" =>
+        (320 + ((h >>> 20) % 4L).toInt * 160, 240 + ((h >>> 30) % 4L).toInt * 120,
+          2000L + (h >>> 33) % 120000L)
+      case _ => (-1, -1, -1L)
+    }
+  }
+
+  /** STUB: deterministic fake frame sampler for video — emits real (tiny)
+    * PNG frames seeded from the payload so downstream image stages can
+    * decode them. Replace with a real frame decoder in production. */
+  private def stubFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+    (0 until n).map { i =>
+      val h = SiteGraph.mix(0xf4a3eL, bytes.length.toLong, i.toLong)
+      ImageKernels.encode(graft.sources.ImageGen.render(h, 0xf4a3eL, 32, 24), "png")
+    }
+
+  /** Decode / probe metadata per row — images decoded for real. */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        m.kind match {
+          case "image" =>
+            val img = try ImageKernels.decode(m.bytes) catch { case _: Exception => null }
+            if (img == null) MediaMeta(m.media_id, m.kind, m.bytes.length, -1, -1, -1L, "imageio:failed")
+            else MediaMeta(m.media_id, m.kind, m.bytes.length, img.getWidth, img.getHeight, -1L, "imageio")
+          case k =>
+            val (w, h, d) = stubProbe(k, m.bytes)
+            MediaMeta(m.media_id, m.kind, m.bytes.length, w, h, d, s"stub:$k")
+        }
+      }
+    }
+  }
+
+  /** Resize images to fit within (maxW, maxH); non-images pass through
+    * untouched. Real for images (Graphics2D bilinear). */
+  def resizeImages(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "image") m
+        else {
+          val img = try ImageKernels.decode(m.bytes) catch { case _: Exception => null }
+          if (img == null || (img.getWidth <= maxW && img.getHeight <= maxH)) m
+          else {
+            val scale = math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight)
+            val (nw, nh) = (math.max(1, (img.getWidth * scale).toInt),
+              math.max(1, (img.getHeight * scale).toInt))
+            val out = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            m.copy(bytes = ImageKernels.encode(out, "png"),
+              meta = m.meta + ("resized" -> s"${nw}x$nh"))
+          }
+        }
+      }
+    }
+  }
+
+  private val FeatureDim = 64
+
+  /** Fixed-dimension feature vector per row: images get a REAL 8×8 grayscale
+    * thumbnail embedding; audio/video get a deterministic stub embedding of
+    * the same shape (so downstream ANN plumbing is exercised end to end). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val vec: Array[Float] = m.kind match {
+          case "image" =>
+            val img = try ImageKernels.decode(m.bytes) catch { case _: Exception => null }
+            if (img == null) Array.fill(FeatureDim)(0f)
+            else {
+              val out = new Array[Float](FeatureDim)
+              var gy = 0
+              while (gy < 8) {
+                var gx = 0
+                while (gx < 8) {
+                  val x = math.min(img.getWidth - 1, gx * img.getWidth / 8)
+                  val y = math.min(img.getHeight - 1, gy * img.getHeight / 8)
+                  val rgb = img.getRGB(x, y)
+                  out(gy * 8 + gx) = (0.299f * ((rgb >> 16) & 0xff) +
+                    0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)) / 255f
+                  gx += 1
+                }
+                gy += 1
+              }
+              out
+            }
+          case k =>
+            Array.tabulate(FeatureDim) { i =>
+              (SiteGraph.unit(SiteGraph.mix(0xfea7L, m.bytes.length.toLong, i.toLong)) * 2 - 1).toFloat
+            }
+        }
+        MediaFeature(m.media_id, vec)
+      }
+    }
+  }
+
+  /** Sample `n` frames per video row (1→N expansion); stub decode. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        stubFrames(m.bytes, n).zipWithIndex.map { case (frame, i) =>
+          MediaRow(s"${m.media_id}#f$i", "image", frame,
+            m.meta + ("frame" -> i.toString, "source" -> m.media_id))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, random-hyperplane LSH bucketing as the scale path (candidate
+  * generation inside a bucket instead of all-pairs), and cosine near-dup
+  * pair mining. Dot products fold the vector sequentially in index order
+  * (`aggregate` over `zip_with`) in double precision — deterministic and
+  * engine-portable. Plane weights are integer-derived, so bucket
+  * assignment is exactly reproducible anywhere.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors of one query vector: broadcast the query, scan
+    * the corpus once (the ANN baseline — O(n·d), no shuffle except top-k). */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+    val q = e.filter(col(idCol) === queryId).select(col("e").as("qe"))
+    e.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosine("e", "qe"), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic integer plane weight for (plane p, dimension d). */
+  private def planeWeightExpr(p: Int, dims: Int): String =
+    s"zip_with(e, sequence(0, ${dims - 1}), " +
+      s"(x, d) -> x * cast(($p * 1000003 + d * 7919) % 2001 - 1000 as double))"
+
+  /** Random-hyperplane LSH signature (`planes` bits) per vector. */
+  def lshSignature(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dims: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+    val sig = (0 until planes).map { p =>
+      val d = expr(s"aggregate(${planeWeightExpr(p, dims)}, cast(0 as double), (acc, v) -> acc + v)")
+      when(d > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    e.select(col(idCol), col("e"), sig.as("sig"))
+  }
+
+  /** ANN candidate pairs via LSH buckets: all-pairs only within a bucket
+    * (shuffle on sig), each verified with the exact cosine. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dims: Int, threshold: Double): DataFrame = {
+    val s = lshSignature(emb, idCol, vecCol, planes, dims)
+    val l = s.select(col("sig"), col(idCol).as("v1"), col("e").as("e1"))
+    val r = s.select(col("sig"), col(idCol).as("v2"), col("e").as("e2"))
+    l.join(r, Seq("sig")).filter(col("v1") < col("v2"))
+      .withColumn("cos", round(
+        dot("e1", "e2") / (sqrt(dot("e1", "e1")) * sqrt(dot("e2", "e2"))), 6))
+      .filter(col("cos") >= threshold)
+      .select("v1", "v2", "cos")
+  }
+
+  /** Exact cosine near-dup pairs (bounded input — the verification
+    * baseline for [[lshNearDupPairs]]). */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+    val l = e.select(col(idCol).as("v1"), col("e").as("e1"))
+    val r = e.select(col(idCol).as("v2"), col("e").as("e2"))
+    l.crossJoin(r).filter(col("v1") < col("v2"))
+      .withColumn("cos", round(
+        dot("e1", "e2") / (sqrt(dot("e1", "e1")) * sqrt(dot("e2", "e2"))), 6))
+      .filter(col("cos") >= threshold)
+      .select("v1", "v2", "cos")
+  }
+}

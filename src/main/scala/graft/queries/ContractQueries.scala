@@ -118,169 +118,70 @@ object ContractQueries {
       .orderBy("user_id")
   }
 
-  // ---- training-data pipeline ops (documents) -------------------------
+  // ---- training-data pipeline ops (documents/embeddings) --------------
+  // Thin bindings of the reusable operators in graft.ops onto the testdata
+  // tables — the library surface is Dedup/TextOps/Similarity; these named
+  // queries pin each operator to its DuckDB oracle.
 
-  /** 60-bit integer content hash both engines compute identically:
-    * first 15 hex digits of md5. */
-  private val H = "cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)"
+  import graft.ops.{Dedup, Similarity, TextOps}
 
   /** Exact dedup: group documents by content hash, keep min doc_id. */
   def q10DedupExact(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .groupBy(md5(col("text")).as("fingerprint"))
-      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
-      .orderBy("fingerprint")
-
-  private val MinhashP = 1000000007L
-  private val MinhashAB = Seq((370248451L, 55229L), (414606793L, 94727L),
-    (173961109L, 13873L), (873191981L, 71339L))
+    Dedup.exact(t(spark, dir, "documents"), "doc_id", "text").orderBy("fingerprint")
 
   /** MinHash signatures (4 permutations) + 2 LSH band ids per document. */
-  def q11MinhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
-      .withColumn("h", expr(H))
-    val aggs = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
-      min(expr(s"((h % $MinhashP) * $a + $b) % $MinhashP")).as(s"m$i")
-    }
-    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .withColumn("band0", concat_ws(":", col("m0"), col("m1")))
-      .withColumn("band1", concat_ws(":", col("m2"), col("m3")))
-      .orderBy("doc_id")
-  }
+  def q11MinhashSig(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id")
 
   /** LSH candidate pairs: documents sharing a MinHash band bucket. */
-  def q12MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = q11MinhashSig(spark, dir)
-    val bands = sig.select(col("doc_id"), col("band0").as("band"))
-      .unionByName(sig.select(col("doc_id"), col("band1").as("band")))
-    val l = bands.select(col("band"), col("doc_id").as("d1"))
-    val r = bands.select(col("band"), col("doc_id").as("d2"))
-    l.join(r, Seq("band")).filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+  def q12MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(t(spark, dir, "documents"), "doc_id", "text")
       .orderBy("d1", "d2")
-  }
 
   /** 16-bit SimHash per document over its distinct-token hash bits. */
-  def q13Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
-      .withColumn("h", expr(H))
-    val bitSums = (0 until 16).map(j =>
-      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1L).otherwise(-1L)).as(s"s$j"))
-    val withSums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 16).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
-    withSums.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
-  }
+  def q13Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id")
 
   /** N-gram (token-set) Jaccard similarity for near-dup pairs (doc_id<40). */
-  def q14NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents").filter(col("doc_id") < 40)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val l = toks.select(col("token"), col("doc_id").as("d1"))
-    val r = toks.select(col("token"), col("doc_id").as("d2"))
-    val inter = l.join(r, Seq("token")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= 0.2)
-      .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
-  }
-
-  private val EnStopwords = Seq("the", "a", "of", "and", "to", "in", "is",
-    "on", "for", "with", "as", "by", "at", "an", "or")
+  def q14NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(spark, dir, "documents").filter(col("doc_id") < 40),
+      "doc_id", "text", threshold = 0.2).orderBy("d1", "d2")
 
   /** Language-ID heuristic: stopword-ratio scoring per document. */
-  def q15LangId(spark: SparkSession, dir: String): DataFrame = {
-    val stopList = EnStopwords.map(s => s"'$s'").mkString(", ")
-    t(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_stop",
-        expr(s"size(filter(toks, t -> t in ($stopList)))").cast("long"))
-      .withColumn("stop_ratio",
-        round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6))
-      .withColumn("pred_en", (col("stop_ratio") >= 0.08).cast("int"))
+  def q15LangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langIdEn(t(spark, dir, "documents"), "text")
       .select("doc_id", "lang", "n_tokens", "n_stop", "stop_ratio", "pred_en")
       .orderBy("doc_id")
-  }
 
   /** Quality scoring: length/token statistics per document. */
   def q16Quality(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_distinct", expr("size(array_distinct(toks))").cast("long"))
-      .withColumn("distinct_ratio",
-        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6))
-      .withColumn("avg_token_len",
-        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") /
-          col("n_tokens").cast("double"), 6))
-      .withColumn("quality_ok",
-        (col("n_tokens") >= 10 && col("distinct_ratio") >= 0.3).cast("int"))
+    TextOps.qualityMetrics(t(spark, dir, "documents"), "text", "n_chars")
       .select("doc_id", "n_tokens", "n_distinct", "distinct_ratio", "avg_token_len", "quality_ok")
       .orderBy("doc_id")
 
   /** Token counting rollup by language + source. */
   def q17TokenCount(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .groupBy("lang", "source")
-      .agg(sum("n_tokens").as("tokens"), count(lit(1)).as("docs"),
-        sum("n_chars").as("chars"))
+    TextOps.tokenRollup(t(spark, dir, "documents"), "text", "n_chars", "lang", "source")
       .orderBy("lang", "source")
 
   /** Document fingerprint: min polynomial hash over character 8-grams
     * (winnowing-style rolling fingerprint, integer math only). */
   def q18Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .withColumn("fp", expr(
-        """array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
-          |  i -> aggregate(sequence(0, 7), 0L,
-          |        (acc, k) -> acc * 31L + ascii(substr(text, i + k, 1)))))""".stripMargin))
-      .select("doc_id", "fp")
-      .orderBy("doc_id")
+    TextOps.fingerprint(t(spark, dir, "documents"), "text")
+      .select("doc_id", "fp").orderBy("doc_id")
 
   // ---- similarity search (embeddings) ---------------------------------
 
-  private val Dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
-
   /** Brute-force cosine top-k vs a query vector (ANN baseline). */
-  def q19CosineTopk(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
-    emb.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .withColumn("cos", round(
-        expr(Dot.format("e", "qe")) /
-          (sqrt(expr(Dot.format("e", "e"))) * sqrt(expr(Dot.format("qe", "qe")))), 6))
-      .select("vec_id", "cos")
-      .orderBy(desc("cos"), col("vec_id"))
-      .limit(10)
-  }
+  def q19CosineTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10)
 
   /** Random-hyperplane LSH bucketing (integer plane weights → exact parity):
     * 8-bit signature per vector + bucket population. */
   def q20LshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val planeDot = (p: Int) =>
-      expr(s"aggregate(zip_with(e, sequence(0, 63), " +
-        s"(x, d) -> x * cast(($p * 1000003 + d * 7919) % 2001 - 1000 as double)), " +
-        "cast(0 as double), (acc, v) -> acc + v)")
-    val sig = (0 until 8).map(p =>
-      when(planeDot(p) > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
-    val withSig = emb.select(col("vec_id"), sig.as("sig"))
+    val withSig = Similarity.lshSignature(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", planes = 8, dims = 64).drop("e")
     val buckets = withSig.groupBy("sig").agg(count(lit(1)).as("bucket_n"))
     withSig.join(buckets, Seq("sig"))
       .select("vec_id", "sig", "bucket_n")
@@ -288,19 +189,9 @@ object ContractQueries {
   }
 
   /** Embedding-cosine near-duplicate pairs within a bounded id range. */
-  def q21NearDupCosine(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val l = emb.select(col("vec_id").as("v1"), col("e").as("e1"))
-    val r = emb.select(col("vec_id").as("v2"), col("e").as("e2"))
-    l.crossJoin(r).filter(col("v1") < col("v2"))
-      .withColumn("cos", round(
-        expr(Dot.format("e1", "e2")) /
-          (sqrt(expr(Dot.format("e1", "e1"))) * sqrt(expr(Dot.format("e2", "e2")))), 6))
-      .filter(col("cos") >= 0.35)
-      .select("v1", "v2", "cos")
-      .orderBy("v1", "v2")
-  }
+  def q21NearDupCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(spark, dir, "embeddings").filter(col("vec_id") < 200),
+      "vec_id", "embedding", threshold = 0.35).orderBy("v1", "v2")
 
   // ---- URL expressions over constructed columns -----------------------
 
