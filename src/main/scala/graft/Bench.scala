@@ -34,14 +34,25 @@ object Bench {
         val n = SiteGraph.pagesOnHost(h, params)
         SiteGraph.pageUrl(h, (id % budget) % n)
       }.toDF("url")
+    // crawl state on tmpfs: on a real cluster the frontier/visited deltas
+    // live in distributed storage whose bandwidth grows with the node
+    // count; a single local disk would serialize all parallelism levels
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-bench-").toString
     val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
       perHostBudget = budget, saltBuckets = 16, bloomEnabled = true,
       bloomExpectedItems = bloomExpected, maxRounds = maxRounds,
-      compactEvery = 1000000) // no compaction inside the timed window
+      compactEvery = 1000000, checkpointDir = Some(ckpt)) // no compaction inside the timed window
     val t0 = System.nanoTime()
     val out = new FrontierCrawler(spark, pages, cfg).crawlSeeds(seeds)
     val secs = (System.nanoTime() - t0) / 1e9
     if (cachePages) pages.unpersist()
+    // free the tmpfs state
+    try {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    } catch { case _: Exception => () }
     (secs, out.stats.scheduledTotal + out.stats.fetchedTotal)
   }
 

@@ -27,6 +27,18 @@ final case class CrawlOutcome(
     import found.sparkSession.implicits._
     found.select("url").orderBy("url").as[String].collect().toSeq
   }
+
+  /** G2 (SURVEY.md §2.6): redirect-chain lineage — one row per hop of every
+    * redirecting URL, exploded from the persisted fetch closure. */
+  def redirectChains: DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = s"$checkpointDir/fetchclosure"
+    val ss = found.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      ss.read.parquet(p).filter(size(col("chain")) > 1)
+        .select(col("url"), posexplode(col("chain")).as(Seq("hop", "chainUrl")))
+    else ss.emptyDataFrame
+  }
 }
 
 /** Redirect-walk state — one row per in-flight batch URL. The walk re-creates
@@ -241,7 +253,9 @@ final class FrontierCrawler(
     def timed[T](name: String)(body: => T): T = {
       val t = System.nanoTime()
       val r = body
-      phaseTimes(name) = phaseTimes.getOrElse(name, 0L) + (System.nanoTime() - t) / 1000000
+      phaseTimes.synchronized {
+        phaseTimes(name) = phaseTimes.getOrElse(name, 0L) + (System.nanoTime() - t) / 1000000
+      }
       r
     }
     while (!done && round < cfg.maxRounds) {
@@ -363,12 +377,21 @@ final class FrontierCrawler(
             val (errCnt, redirCnt, retryCnt) =
               (errAny.asInstanceOf[Long], redirAny.asInstanceOf[Long], retryAny.asInstanceOf[Long])
 
-            // S-sinks: lineage + state deltas
-            timed("t_wvis") { batch.select($"url").dropDuplicates("url").withColumn("urlHash", xxhash64($"url"))
-              .write.mode("overwrite").parquet(store.visitedPath(round)) }
-            timed("t_wsides") { f.filter($"errUrl".isNotNull).select($"errUrl".as("url"), lit("error").as("kind"))
-              .unionByName(f.filter($"redirected").select($"origUrl".as("url"), lit("redirect").as("kind")))
-              .write.mode("overwrite").parquet(store.sidesPath(round)) }
+            // S-sinks: lineage + state deltas. The two delta writes are
+            // independent of the new-links pipeline below — submit them as
+            // concurrent Spark jobs so their latency overlaps the link work
+            // (Spark's scheduler handles concurrent actions; the bloom
+            // update below awaits the visited write it reads).
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val wVis = Future { timed("t_wvis") {
+              batch.select($"url").dropDuplicates("url").withColumn("urlHash", xxhash64($"url"))
+                .write.mode("overwrite").parquet(store.visitedPath(round)) } }
+            val wSides = Future { timed("t_wsides") {
+              f.filter($"errUrl".isNotNull).select($"errUrl".as("url"), lit("error").as("kind"))
+                .unionByName(f.filter($"redirected").select($"origUrl".as("url"), lit("redirect").as("kind")))
+                .write.mode("overwrite").parquet(store.sidesPath(round)) } }
 
             // G1 + C1/C2/C3 + F1 + F4/U3: link explosion and admission
             val okRows = f.filter($"phase" === Hop.Done && !$"dropped" && $"status" < 400 &&
@@ -413,6 +436,7 @@ final class FrontierCrawler(
 
             val Row(nlCntAny, nlMinAny, nlMaxAny) = timed("t_nlagg") {
               newEntries.agg(count(lit(1)), min($"discoveryIdx"), max($"discoveryIdx")).head() }
+            Await.result(Future.sequence(Seq(wVis, wSides)), Duration.Inf)
             val nlCnt = nlCntAny.asInstanceOf[Long]
             val seg = round + 1
             if (nlCnt > 0) timed("t_wseg") {

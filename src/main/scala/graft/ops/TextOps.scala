@@ -55,10 +55,9 @@ object TextOps {
         sum(nCharsCol).as("chars"))
 
   /** Winnowing-style fingerprint: minimum polynomial hash over character
-    * 8-grams (integer math only — portable across engines). */
+    * 8-grams (integer math only — portable across engines). Computed by a
+    * codegen'd native expression ([[graft.functions.TextFingerprint]]);
+    * the equivalent SQL HOF formulation runs ~100× slower interpreted. */
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("fp", expr(
-      s"""array_min(transform(sequence(1, greatest(length($textCol) - 7, 1)),
-         |  i -> aggregate(sequence(0, 7), 0L,
-         |        (acc, k) -> acc * 31L + ascii(substr($textCol, i + k, 1)))))""".stripMargin))
+    df.withColumn("fp", graft.functions.TextFunctions.text_fingerprint(col(textCol)))
 }
