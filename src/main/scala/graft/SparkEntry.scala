@@ -53,7 +53,8 @@ object SparkEntry {
     "q19_cosine_topk" -> ContractQueries.q19CosineTopk _,
     "q20_lsh_buckets" -> ContractQueries.q20LshBuckets _,
     "q21_near_dup_cosine" -> ContractQueries.q21NearDupCosine _,
-    "q22_url_normalize" -> ContractQueries.q22UrlNormalize _)
+    "q22_url_normalize" -> ContractQueries.q22UrlNormalize _,
+    "q23_brand_revenue" -> ContractQueries.q23BrandRevenue _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -146,6 +147,12 @@ object SparkEntry {
          |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    "q23_brand_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q12_minhash_pairs" -> {
       val ab = Seq((370248451L, 55229L), (414606793L, 94727L),
         (173961109L, 13873L), (873191981L, 71339L))
@@ -153,7 +160,7 @@ object SparkEntry {
         s"min(((h % $P) * $a + $b) % $P) AS m$i" }.mkString(", ")
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
+         |  FROM documents WHERE doc_id < 1000),
          |hs AS (SELECT doc_id, $H AS h FROM toks),
          |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
          |bands AS (

@@ -133,9 +133,13 @@ object ContractQueries {
   def q11MinhashSig(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(t(spark, dir, "documents"), "doc_id", "text").orderBy("doc_id")
 
-  /** LSH candidate pairs: documents sharing a MinHash band bucket. */
+  /** LSH candidate pairs: documents sharing a MinHash band bucket. Bounded
+    * to doc_id < 1000: this synthetic corpus draws from a ~31-token
+    * vocabulary, so bucket collisions are near-quadratic by construction —
+    * the bound keeps the demo pair set O(10^5) at every scale factor. */
   def q12MinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatePairs(t(spark, dir, "documents"), "doc_id", "text")
+    Dedup.minhashCandidatePairs(t(spark, dir, "documents").filter(col("doc_id") < 1000),
+      "doc_id", "text")
       .orderBy("d1", "d2")
 
   /** 16-bit SimHash per document over its distinct-token hash bits. */
@@ -192,6 +196,16 @@ object ContractQueries {
   def q21NearDupCosine(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(t(spark, dir, "embeddings").filter(col("vec_id") < 200),
       "vec_id", "embedding", threshold = 0.35).orderBy("v1", "v2")
+
+  /** Dimension-join rollup over the one remaining unused table: revenue by
+    * part brand (scan-heavy fact side, broadcast dim). */
+  def q23BrandRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("p_brand")
 
   // ---- URL expressions over constructed columns -----------------------
 
