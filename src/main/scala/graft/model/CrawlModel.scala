@@ -47,6 +47,9 @@ final case class CrawlConfig(
     bloomExpectedItems: Long = 4L * 1000 * 1000,
     bloomFpp: Double = 0.01,
     bloomUpdateEvery: Int = 4,
+    // bucket the redirect-resolved pages closure by url (0 = off): the big
+    // side of the per-round fetch join then never shuffles
+    closureBuckets: Int = 0,
     maxRounds: Int = Int.MaxValue,
     compactEvery: Int = 8,
     checkpointDir: Option[String] = None)

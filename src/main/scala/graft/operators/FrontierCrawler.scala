@@ -214,14 +214,36 @@ final class FrontierCrawler(
       closureHops = hops
       // loop-bound exhaustion ⇒ RedirectLoopError (`redirect_handler.py:156`)
       val walked = cur.map(h => if (h.phase == Hop.Walking) h.copy(phase = Hop.LoopErr) else h)
-      direct.union(walked).toDF()
+      val resolved = direct.union(walked).toDF()
         .select($"origUrl".as("url"), $"currentUrl", $"chain", $"phase",
           $"status", $"links", $"retryAfter")
-        .write.mode("overwrite").parquet(path)
+      if (cfg.closureBuckets > 0) {
+        // bucket by the join key: at 10^10 pages the closure is the BIG side
+        // of every round's fetch join — bucketing means only the batch side
+        // ever shuffles (SCALE.md §2.3)
+        resolved.write.mode("overwrite")
+          .bucketBy(cfg.closureBuckets, "url").sortBy("url")
+          .option("path", path).format("parquet")
+          .saveAsTable(closureTableName)
+      } else resolved.write.mode("overwrite").parquet(path)
       cur.unpersist()
     }
-    spark.read.parquet(path)
+    if (cfg.closureBuckets > 0) {
+      // a resumed session has the files but not the catalog entry
+      if (!spark.catalog.tableExists(closureTableName))
+        spark.sql(
+          s"""CREATE TABLE $closureTableName (
+             |  url STRING, currentUrl STRING, chain ARRAY<STRING>, phase INT,
+             |  status INT, links ARRAY<STRING>, retryAfter INT)
+             |USING parquet OPTIONS (path '$path')
+             |CLUSTERED BY (url) SORTED BY (url) INTO ${cfg.closureBuckets} BUCKETS
+             |""".stripMargin)
+      spark.table(closureTableName)
+    } else spark.read.parquet(path)
   }
+
+  private lazy val closureTableName =
+    s"graft_closure_${Integer.toHexString(ckptDir.hashCode).replace("-", "n")}"
 
   // ----------------------------------------------------------------------
 
