@@ -42,7 +42,8 @@ object Bench {
     val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
       perHostBudget = budget, saltBuckets = 16, bloomEnabled = true,
       bloomExpectedItems = bloomExpected, maxRounds = maxRounds,
-      compactEvery = 1000000, checkpointDir = Some(ckpt)) // no compaction inside the timed window
+      compactEvery = 1000000, checkpointDir = Some(ckpt), // no compaction inside the timed window
+      closureBuckets = 32) // big join side never shuffles
     val t0 = System.nanoTime()
     val out = new FrontierCrawler(spark, pages, cfg).crawlSeeds(seeds)
     val secs = (System.nanoTime() - t0) / 1e9

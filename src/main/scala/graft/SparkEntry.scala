@@ -54,7 +54,8 @@ object SparkEntry {
     "q20_lsh_buckets" -> ContractQueries.q20LshBuckets _,
     "q21_near_dup_cosine" -> ContractQueries.q21NearDupCosine _,
     "q22_url_normalize" -> ContractQueries.q22UrlNormalize _,
-    "q23_brand_revenue" -> ContractQueries.q23BrandRevenue _)
+    "q23_brand_revenue" -> ContractQueries.q23BrandRevenue _,
+    "q24_bpe_tokens" -> ContractQueries.q24BpeTokens _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -152,6 +153,13 @@ object SparkEntry {
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q24_bpe_tokens" ->
+      """SELECT lang,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')))::BIGINT AS bpe_tokens,
+        |  count(*) AS docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q12_minhash_pairs" -> {
       val ab = Seq((370248451L, 55229L), (414606793L, 94727L),

@@ -46,6 +46,15 @@ object TextOps {
   def tokenCount(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", size(toks(textCol)).cast("long"))
 
+  /** BPE-ish subword-budget estimator: counts maximal runs of letters,
+    * digits, and other-symbol spans (the word-level pre-split every BPE
+    * tokenizer applies before merges) — a closer proxy for LLM token cost
+    * than whitespace counting. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+  def bpeTokenCount(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_bpe_tokens",
+      size(expr(s"regexp_extract_all($textCol, '$BpePattern', 0)")).cast("long"))
+
   /** Corpus token totals grouped by the given dimensions. */
   def tokenRollup(df: DataFrame, textCol: String, nCharsCol: String,
       dims: String*): DataFrame =

@@ -197,6 +197,15 @@ object ContractQueries {
     Similarity.nearDupPairs(t(spark, dir, "embeddings").filter(col("vec_id") < 200),
       "vec_id", "embedding", threshold = 0.35).orderBy("v1", "v2")
 
+  /** BPE-ish token budgeting: whitespace vs word-level-pre-split counts
+    * per doc + corpus totals by language. */
+  def q24BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTokenCount(TextOps.tokenCount(t(spark, dir, "documents"), "text"), "text")
+      .groupBy("lang")
+      .agg(sum("n_tokens").as("ws_tokens"), sum("n_bpe_tokens").as("bpe_tokens"),
+        count(lit(1)).as("docs"))
+      .orderBy("lang")
+
   /** Dimension-join rollup over the one remaining unused table: revenue by
     * part brand (scan-heavy fact side, broadcast dim). */
   def q23BrandRevenue(spark: SparkSession, dir: String): DataFrame =
