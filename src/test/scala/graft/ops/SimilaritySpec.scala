@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.functions.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN operators over the driver testdata embeddings: the IVF scale path
+  * must recall most of the exact brute-force top-k while scanning only the
+  * probed posting lists; LSH buckets must agree with the exact cosine on
+  * verification. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ivfTopK: probed-list ANN recalls most of the exact top-k") {
+    val k = 10
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", queryId = 3L, k)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", queryId = 3L, k,
+      nLists = 16, nProbe = 6)
+    val got = approx.select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(got).size.toDouble / k
+    assert(recall >= 0.5, s"IVF recall too low: $recall (got=$got exact=$exact)")
+    // probed less than the whole corpus: every result from ≤ nProbe lists
+    assert(approx.select("list").distinct().count() <= 6)
+  }
+
+  test("lshNearDupPairs agrees with exact pairs above the threshold (verified subset)") {
+    val bounded = emb.filter($"vec_id" < 120)
+    val lsh = Similarity.lshNearDupPairs(bounded, "vec_id", "embedding",
+      planes = 4, dims = 64, threshold = 0.3)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val exact = Similarity.nearDupPairs(bounded, "vec_id", "embedding", threshold = 0.3)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    // LSH candidates are a subset of exact pairs (each candidate re-verified
+    // by exact cosine) and with 4 planes catch a reasonable share
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.2,
+        s"LSH found ${lsh.size} of ${exact.size} pairs")
+  }
+}
