@@ -86,6 +86,21 @@ class PoliteSchedulerSpec extends AnyFunSuite {
     log.unpersist()
   }
 
+  test("frontier compaction: periodic visited-pruning preserves results") {
+    val p = SiteGraph.GraphParams(nHosts = 3, pagesPerHost = 25, linksPerPage = 4,
+      redirectFrac = 0.05, errorFrac = 0.05, crossHostFrac = 0.25, seed = 41L)
+    val pages = SiteGraph.localPages(p)
+    val seeds = (0 until 3).flatMap(h =>
+      pages.find(r => r.status == 200 && r.url.startsWith(s"http://site$h.com")).map(_.url))
+    def run(every: Int) = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(fifoParity = false, sameDomainOnly = false, perHostBudget = 4,
+        bloomEnabled = false, compactEvery = every)).crawlSeeds(seeds.toDF("url"))
+    val compacted = run(2)
+    val plain = run(1000000)
+    assert(compacted.sortedFound == plain.sortedFound)
+    assert(compacted.stats == plain.stats)
+  }
+
   test("Retry-After: throttled host backs off and the crawl resumes it later") {
     def pg(url: String, links: Seq[String]): PageRow =
       PageRow(url, 200, None, links, None, Some("text/html"), None, None)
