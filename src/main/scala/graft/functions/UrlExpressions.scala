@@ -101,15 +101,14 @@ case class UrlSecurityValid(child: Expression)
 
 /** 1→N href generator over a raw-HTML column (G1 in SURVEY.md §2.6). */
 case class ExtractHrefs(child: Expression)
-    extends UnaryExpression with StringInputCheck
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with StringInputCheck {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "extract_hrefs"
-  override protected def nullSafeEval(input: Any): Any = {
-    val hrefs = UrlKernels.extractHrefs(input.asInstanceOf[UTF8String].toString)
-    new GenericArrayData(hrefs.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKernels.extractHrefsArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.extractHrefsArray($c)")
   override protected def withNewChildInternal(newChild: Expression): ExtractHrefs =
     copy(child = newChild)
 }

@@ -48,6 +48,14 @@ object UrlKernels {
   private val HrefRe = java.util.regex.Pattern.compile(
     "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
 
+  /** Codegen entry: href extraction returning Catalyst array data directly
+    * (keeps [[graft.functions.ExtractHrefs]] inside WholeStageCodegen). */
+  def extractHrefsArray(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hrefs = extractHrefs(html.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      hrefs.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
   /** Document-order href extraction from an HTML payload — the regex subset
     * of the reference's BeautifulSoup `find_all("a", href=True)` projection
     * (`/root/reference/src/web_crawler.py:163-167`). Used when pages carry
