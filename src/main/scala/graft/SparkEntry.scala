@@ -101,7 +101,7 @@ object SparkEntry {
 
     "q7_counters" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS n_neg,
+        |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
         |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -122,7 +122,7 @@ object SparkEntry {
         |           OR date_diff('second', prev_ts, ts) > 3600 THEN 1 ELSE 0 END AS new_session
         |  FROM g)
         |SELECT user_id,
-        |  max(session_id) AS n_sessions, count(*) AS n_events
+        |  max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM (
         |  SELECT user_id,
         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -239,7 +239,7 @@ object SparkEntry {
     "q17_token_count" ->
       """SELECT lang, source,
         |  sum(len(string_split(text, ' ')))::BIGINT AS tokens,
-        |  count(*) AS docs, sum(n_chars) AS chars
+        |  count(*) AS docs, sum(n_chars)::BIGINT AS chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "q18_fingerprint" ->
