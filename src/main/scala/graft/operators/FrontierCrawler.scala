@@ -301,7 +301,10 @@ final class FrontierCrawler(
             case (None, _) => frontier
             case (Some(v), None) => frontier.join(v.select("url"), Seq("url"), "left_anti")
             case (Some(v), Some(bc)) =>
-              val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+              // native codegen'd probe — keeps the eligibility filter fused
+              // (a UDF here would break WholeStageCodegen on the hot path)
+              val mightContain = (h: org.apache.spark.sql.Column) =>
+                graft.functions.BloomFunctions.bloom_might_contain(h, bc)
               // rows the bloom has never seen still need checking against the
               // visited deltas the filter has not absorbed yet (lazy merge)
               val recentRounds = m.visitedRounds.filter(_ > bloomRound)
