@@ -56,4 +56,92 @@ object BloomFunctions {
   /** True iff `key` (BIGINT) might be in the broadcast filter. */
   def bloom_might_contain(key: Column, bloomBc: Broadcast[BloomFilter]): Column =
     CB.column(BloomMightContain(CB.expression(key), bloomBc))
+
+  /** True iff `key` might be in the partitioned (per-bucket) filter store. */
+  def bloom_bucket_might_contain(key: Column, handle: BloomBucketHandle): Column =
+    CB.column(BloomBucketMightContain(CB.expression(key), handle))
+}
+
+/** Partitioned Bloom-filter snapshot store (SCALE.md §2.1): at 10^10 URLs the
+  * seen-filter is ~12 GB and cannot be one broadcast blob, so it lives as
+  * `nBuckets` independent filters keyed by `pmod(urlHash, nBuckets)`, built
+  * distributively (one task per bucket) and loaded lazily by the tasks that
+  * probe that bucket. Layout: `<dir>/bloombuckets/round=K/bucket=B.bin`.
+  *
+  * A missing bucket file means no URL in that bucket was ever visited —
+  * probes return false via a shared empty filter.
+  */
+object BloomBucketStore {
+  def path(dir: String, round: Int, bucket: Int): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "bloombuckets", s"round=$round", s"bucket=$bucket.bin")
+
+  /** Empty filter (all bits zero): `mightContainLong` is always false. */
+  private val Empty: BloomFilter = BloomFilter.create(1)
+
+  // JVM-wide cache so concurrent tasks on one executor share each loaded
+  // bucket; keyed by (dir, bucket), replaced when a newer snapshot round
+  // is requested (older rounds are never probed again).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Int, BloomFilter)]()
+
+  def load(dir: String, round: Int, bucket: Int): BloomFilter = {
+    val key = (dir, bucket)
+    val cur = cache.get(key)
+    if (cur != null && cur._1 == round) return cur._2
+    val pp = path(dir, round, bucket)
+    val f =
+      if (java.nio.file.Files.exists(pp)) {
+        val in = new java.io.BufferedInputStream(new java.io.FileInputStream(pp.toFile))
+        try BloomFilter.readFrom(in) finally in.close()
+      } else Empty
+    cache.put(key, (round, f))
+    f
+  }
+}
+
+/** Task-side probe handle for one snapshot round of the bucket store. Ships
+  * as a tiny reference object in the plan (dir + round + bucket count); each
+  * task materializes only the buckets its rows hash into. Per-row cost after
+  * warm-up is an array read + one `mightContainLong`.
+  */
+final class BloomBucketHandle(val dir: String, val round: Int, val nBuckets: Int)
+    extends Serializable {
+  @transient private lazy val local =
+    new java.util.concurrent.atomic.AtomicReferenceArray[BloomFilter](nBuckets)
+  def probe(h: Long): Boolean = {
+    val b = java.lang.Math.floorMod(h, nBuckets.toLong).toInt
+    var f = local.get(b)
+    if (f == null) {
+      f = BloomBucketStore.load(dir, round, b)
+      local.set(b, f)
+    }
+    f.mightContainLong(h)
+  }
+}
+
+/** Codegen'd probe against the partitioned filter store — the 10^10-scale
+  * variant of [[BloomMightContain]] (same fusion property, no broadcast).
+  */
+case class BloomBucketMightContain(child: Expression, handle: BloomBucketHandle)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_bucket_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT key, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    handle.probe(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBuckets", handle, classOf[BloomBucketHandle].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomBucketMightContain =
+    copy(child = newChild)
 }

@@ -47,6 +47,10 @@ final case class CrawlConfig(
     bloomExpectedItems: Long = 4L * 1000 * 1000,
     bloomFpp: Double = 0.01,
     bloomUpdateEvery: Int = 4,
+    // > 0: the seen-filter is partitioned into this many urlHash buckets,
+    // built distributively and loaded per task (SCALE.md §2.1 — at 10^10 the
+    // filter is GBs and cannot be one broadcast blob); 0 = single broadcast
+    bloomBuckets: Int = 0,
     // bucket the redirect-resolved pages closure by url (0 = off): the big
     // side of the per-round fetch join then never shuffles
     closureBuckets: Int = 0,

@@ -26,6 +26,12 @@ import scala.jdk.CollectionConverters._
   *    resume reads the highest round with a manifest — partially written
   *    rounds are invisible)
   */
+/** Routes a pre-computed bucket id to that partition (key IS the partition). */
+private[operators] final class IdentityPartitioner(n: Int) extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = n
+  override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+}
+
 object CheckpointStore {
   final case class SegInfo(seg: Int, minIdx: Long, maxIdx: Long, rows: Long)
 
@@ -145,6 +151,44 @@ final class CheckpointStore(spark: SparkSession, val dir: String) {
   def loadBloom(round: Int): BloomFilter = {
     val in = new BufferedInputStream(new FileInputStream(p("bloom", s"round=$round.bin").toFile))
     try BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** Distributed build of the partitioned seen-filter snapshot (SCALE.md
+    * §2.1): `deltas` (urlHash column) is identity-partitioned into `nBuckets`
+    * by `pmod(urlHash, nBuckets)`; each task builds its bucket's delta
+    * filter, merges the previous snapshot's bucket file (same create()
+    * parameters each round, so bit layouts are merge-compatible), and writes
+    * `bloombuckets/round=K/bucket=B.bin` with an atomic rename. The driver
+    * never holds a filter — per-round driver cost is O(#buckets) task
+    * scheduling, not O(rows).
+    */
+  def saveBloomBuckets(round: Int, prevRound: Int, deltas: DataFrame,
+      nBuckets: Int, expectedPerBucket: Long, fpp: Double): Unit = {
+    Files.createDirectories(p("bloombuckets", s"round=$round"))
+    val dirStr = dir
+    deltas.select("urlHash").rdd
+      .map(r => (Math.floorMod(r.getLong(0), nBuckets.toLong).toInt, r.getLong(0)))
+      .partitionBy(new IdentityPartitioner(nBuckets))
+      .mapPartitionsWithIndex { (bucket, it) =>
+        val f = BloomFilter.create(expectedPerBucket, fpp)
+        var n = 0L
+        it.foreach { kv => f.putLong(kv._2); n += 1 }
+        val prevPath = graft.functions.BloomBucketStore.path(dirStr, prevRound, bucket)
+        val hasPrev = prevRound >= 0 && Files.exists(prevPath)
+        if (hasPrev) {
+          val in = new BufferedInputStream(new FileInputStream(prevPath.toFile))
+          try f.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
+        }
+        if (n > 0 || hasPrev) {
+          val outP = graft.functions.BloomBucketStore.path(dirStr, round, bucket)
+          val tmp = outP.resolveSibling(s".bucket=$bucket.tmp")
+          val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
+          try f.writeTo(out) finally out.close()
+          Files.move(tmp, outP,
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        }
+        Iterator.single(n)
+      }.count()
   }
 
   /** Round-local fetch metrics (lineage + fetch metrics per north rule). */

@@ -260,10 +260,13 @@ final class FrontierCrawler(
         if (sc > 0) store.saveManifest(mm) // commit round -1 (seed load)
         mm
     }
+    // bucket mode: the filter never exists as one driver/broadcast object —
+    // snapshots live per urlHash bucket on disk, probed lazily per task
+    val bucketMode = cfg.bloomEnabled && cfg.bloomBuckets > 0
     // seeded from the first round's distributed build — sizing must come
     // from the same code path (stat.bloomFilter) or merges are incompatible
     var bloom: Option[BloomFilter] =
-      if (!cfg.bloomEnabled) None
+      if (!cfg.bloomEnabled || bucketMode) None
       else if (m.round >= 0 && m.hasBloom && m.bloomRound >= 0) Some(store.loadBloom(m.bloomRound))
       else None
     var bloomRound: Int = m.bloomRound
@@ -297,14 +300,19 @@ final class FrontierCrawler(
           // filter has definitely never seen skip the join entirely
           // (SURVEY.md §2.4 J1; the 10^10-scale path).
           val bloomBc = bloom.map(b => spark.sparkContext.broadcast(b))
-          val eligible = (visitedOpt, bloomBc) match {
+          // native codegen'd probes — keep the eligibility filter fused
+          // (a UDF here would break WholeStageCodegen on the hot path)
+          val probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+            if (bucketMode && bloomRound >= 0) {
+              val handle = new graft.functions.BloomBucketHandle(ckptDir, bloomRound, cfg.bloomBuckets)
+              Some(h => graft.functions.BloomFunctions.bloom_bucket_might_contain(h, handle))
+            } else bloomBc.map(bc =>
+              (h: org.apache.spark.sql.Column) =>
+                graft.functions.BloomFunctions.bloom_might_contain(h, bc))
+          val eligible = (visitedOpt, probe) match {
             case (None, _) => frontier
             case (Some(v), None) => frontier.join(v.select("url"), Seq("url"), "left_anti")
-            case (Some(v), Some(bc)) =>
-              // native codegen'd probe — keeps the eligibility filter fused
-              // (a UDF here would break WholeStageCodegen on the hot path)
-              val mightContain = (h: org.apache.spark.sql.Column) =>
-                graft.functions.BloomFunctions.bloom_might_contain(h, bc)
+            case (Some(v), Some(mightContain)) =>
               // rows the bloom has never seen still need checking against the
               // visited deltas the filter has not absorbed yet (lazy merge)
               val recentRounds = m.visitedRounds.filter(_ > bloomRound)
@@ -473,18 +481,26 @@ final class FrontierCrawler(
             // filter absorbs visited deltas every bloomUpdateEvery rounds and
             // the uncovered tail is handled by a small delta anti-join at
             // eligibility time. Snapshot persisted for exact resume.
-            if (cfg.bloomEnabled &&
-                (bloom.isEmpty || round - bloomRound >= cfg.bloomUpdateEvery)) timed("t_bloom") {
+            val bloomStale =
+              (if (bucketMode) bloomRound < 0 else bloom.isEmpty) ||
+                round - bloomRound >= cfg.bloomUpdateEvery
+            if (cfg.bloomEnabled && bloomStale) timed("t_bloom") {
               val deltaRounds = (m.visitedRounds :+ round).filter(_ > bloomRound)
               val deltas = spark.read.parquet(deltaRounds.map(store.visitedPath): _*)
-              val deltaBloom =
-                deltas.stat.bloomFilter("urlHash", cfg.bloomExpectedItems, cfg.bloomFpp)
-              bloom match {
-                case Some(b) => b.mergeInPlace(deltaBloom)
-                case None => bloom = Some(deltaBloom)
+              if (bucketMode) {
+                store.saveBloomBuckets(round, bloomRound, deltas, cfg.bloomBuckets,
+                  math.max(cfg.bloomExpectedItems / cfg.bloomBuckets, 1024L), cfg.bloomFpp)
+                bloomRound = round
+              } else {
+                val deltaBloom =
+                  deltas.stat.bloomFilter("urlHash", cfg.bloomExpectedItems, cfg.bloomFpp)
+                bloom match {
+                  case Some(b) => b.mergeInPlace(deltaBloom)
+                  case None => bloom = Some(deltaBloom)
+                }
+                bloomRound = round
+                store.saveBloom(round, bloom.get)
               }
-              bloomRound = round
-              store.saveBloom(round, bloom.get)
             }
 
             // Retry-After → per-host backoff (F14; polite mode only)
@@ -536,7 +552,8 @@ final class FrontierCrawler(
             m = CheckpointStore.Manifest(round, newNextIdx, newWatermark,
               m.errorCount + errCnt, m.redirectCount + redirCnt,
               m.scheduledTotal + batchCnt, m.fetchedTotal + batchCnt,
-              m.visitedRounds :+ round, liveSegs, bloom.isDefined, bloomRound)
+              m.visitedRounds :+ round, liveSegs,
+              bloom.isDefined || (bucketMode && bloomRound >= 0), bloomRound)
             store.saveManifest(m)
 
             f.unpersist(); newEntries.unpersist()
