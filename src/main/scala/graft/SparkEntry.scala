@@ -55,7 +55,10 @@ object SparkEntry {
     "q21_near_dup_cosine" -> ContractQueries.q21NearDupCosine _,
     "q22_url_normalize" -> ContractQueries.q22UrlNormalize _,
     "q23_brand_revenue" -> ContractQueries.q23BrandRevenue _,
-    "q24_bpe_tokens" -> ContractQueries.q24BpeTokens _)
+    "q24_bpe_tokens" -> ContractQueries.q24BpeTokens _,
+    "q26_jaccard_capped" -> ContractQueries.q26JaccardCapped _,
+    "q27_minhash_capped" -> ContractQueries.q27MinhashCapped _,
+    "q28_hot_tokens" -> ContractQueries.q28HotTokens _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -281,6 +284,52 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.ee, b.ee)
         |    / (sqrt(list_dot_product(a.ee, a.ee)) * sqrt(list_dot_product(b.ee, b.ee))), 6) >= 0.35
         |ORDER BY v1, v2""".stripMargin,
+
+    "q26_jaccard_capped" ->
+      """WITH toks0 AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 40),
+        |keep AS (
+        |  SELECT token FROM toks0 GROUP BY token HAVING count(*) <= 20),
+        |toks AS (SELECT t.doc_id, t.token FROM toks0 t JOIN keep k ON t.token = k.token),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) >= 0.2
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q27_minhash_capped" -> {
+      val ab = Seq((370248451L, 55229L), (414606793L, 94727L),
+        (173961109L, 13873L), (873191981L, 71339L))
+      val mins = ab.zipWithIndex.map { case ((a, b), i) =>
+        s"min(((h % $P) * $a + $b) % $P) AS m$i" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE doc_id < 1000),
+         |hs AS (SELECT doc_id, $H AS h FROM toks),
+         |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, m0 || ':' || m1 AS band FROM sig
+         |  UNION ALL SELECT doc_id, m2 || ':' || m3 AS band FROM sig),
+         |keepband AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= 50),
+         |kept AS (SELECT b.doc_id, b.band FROM bands b JOIN keepband k ON b.band = k.band)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
+         |ORDER BY d1, d2""".stripMargin
+    },
+
+    "q28_hot_tokens" ->
+      """SELECT token, count(*) AS doc_freq FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 40)
+        |GROUP BY token HAVING count(*) > 20 ORDER BY token""".stripMargin,
 
     "q22_url_normalize" ->
       """SELECT doc_id,

@@ -48,19 +48,48 @@ object Dedup {
     withBands
   }
 
-  /** LSH candidate pairs: documents sharing any MinHash band bucket.
-    * The join is per-bucket (shuffle on band), not all-pairs. */
-  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+  /** (id, band) relation: every LSH band bucket each document lands in. */
+  def bandBuckets(df: DataFrame, idCol: String, textCol: String,
       perms: Seq[(Long, Long)] = DefaultPerms, p: Long = DefaultP): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, perms, p)
-    val nBands = perms.length / 2
-    val bands = (0 until nBands).map(b =>
+    (0 until perms.length / 2).map(b =>
       sig.select(col(idCol), col(s"band$b").as("band"))).reduce(_ unionByName _)
+  }
+
+  /** LSH candidate pairs: documents sharing any MinHash band bucket.
+    * The join is per-bucket (shuffle on band), not all-pairs.
+    *
+    * `maxBandPopulation` caps the quadratic-within-bucket blowup: a bucket
+    * with n members emits n(n-1)/2 pairs, so one adversarial bucket (e.g.
+    * boilerplate that collapses many documents to one signature) can emit
+    * more pairs than the rest of the corpus combined at 100 TB. Buckets
+    * over the cap are dropped whole; audit them via [[hotBands]].
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      perms: Seq[(Long, Long)] = DefaultPerms, p: Long = DefaultP,
+      maxBandPopulation: Long = Long.MaxValue): DataFrame = {
+    val bands0 = bandBuckets(df, idCol, textCol, perms, p)
+    val bands =
+      if (maxBandPopulation == Long.MaxValue) bands0
+      else {
+        val keep = bands0.groupBy("band").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBandPopulation).select("band")
+        bands0.join(keep, Seq("band")) // AQE broadcasts the small keep side
+      }
     val l = bands.select(col("band"), col(idCol).as("d1"))
     val r = bands.select(col("band"), col(idCol).as("d2"))
     l.join(r, Seq("band")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
   }
+
+  /** Audit relation for [[minhashCandidatePairs]]' cap: the over-populated
+    * band buckets that were dropped, with their populations. */
+  def hotBands(df: DataFrame, idCol: String, textCol: String,
+      maxBandPopulation: Long,
+      perms: Seq[(Long, Long)] = DefaultPerms, p: Long = DefaultP): DataFrame =
+    bandBuckets(df, idCol, textCol, perms, p)
+      .groupBy("band").agg(count(lit(1)).as("population"))
+      .filter(col("population") > maxBandPopulation)
 
   /** SimHash over distinct-token hash bits (default 16 bits). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
@@ -75,10 +104,25 @@ object Dedup {
 
   /** Token-set Jaccard similarity for all pairs sharing ≥1 token; rounded to
     * 6 places. Candidate generation is by token co-occurrence (shuffle on
-    * token) — quadratic only within a token's posting list. */
+    * token) — quadratic only within a token's posting list.
+    *
+    * `maxDf` caps the posting-list blowup: a token appearing in n documents
+    * emits n(n-1)/2 intersection rows, so stopwords dominate the join at
+    * scale. Tokens with document frequency above the cap are removed from
+    * the token universe BEFORE set sizes are computed (standard
+    * stopword-removal semantics — Jaccard is over the reduced universe);
+    * audit the dropped tokens via [[hotTokens]].
+    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
+      threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    val toks0 = df.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
+    val toks =
+      if (maxDf == Long.MaxValue) toks0
+      else {
+        val keep = toks0.groupBy("token").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("token")
+        toks0.join(keep, Seq("token")) // AQE broadcasts the small keep side
+      }
     val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val l = toks.select(col("token"), col(idCol).as("d1"))
     val r = toks.select(col("token"), col(idCol).as("d2"))
@@ -92,4 +136,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
   }
+
+  /** Audit relation for [[jaccardPairs]]' cap: the hot (stopword-like)
+    * tokens that were dropped, with their document frequencies. */
+  def hotTokens(df: DataFrame, idCol: String, textCol: String, maxDf: Long): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > maxDf)
 }

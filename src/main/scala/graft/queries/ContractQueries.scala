@@ -187,10 +187,31 @@ object ContractQueries {
     val withSig = Similarity.lshSignature(t(spark, dir, "embeddings"),
       "vec_id", "embedding", planes = 8, dims = 64).drop("e")
     val buckets = withSig.groupBy("sig").agg(count(lit(1)).as("bucket_n"))
-    withSig.join(buckets, Seq("sig"))
+    // ≤ 2^planes bucket rows — broadcast so the vector side never shuffles
+    withSig.join(broadcast(buckets), Seq("sig"))
       .select("vec_id", "sig", "bucket_n")
       .orderBy("vec_id")
   }
+
+  /** q14's pair generator with the document-frequency skew cap: tokens in
+    * more than maxDf documents (stopword-like hot posting lists, the
+    * quadratic blowup at 100 TB) leave the token universe before sizes and
+    * pairs are computed. */
+  def q26JaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(spark, dir, "documents").filter(col("doc_id") < 40),
+      "doc_id", "text", threshold = 0.2, maxDf = 20L).orderBy("d1", "d2")
+
+  /** q12's pair generator with the band-population skew cap: buckets holding
+    * more than maxBandPopulation documents (adversarial boilerplate
+    * signatures) are dropped whole before the pair join. */
+  def q27MinhashCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(t(spark, dir, "documents").filter(col("doc_id") < 1000),
+      "doc_id", "text", maxBandPopulation = 50L).orderBy("d1", "d2")
+
+  /** Audit relation of q26's cap: the dropped hot tokens + frequencies. */
+  def q28HotTokens(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hotTokens(t(spark, dir, "documents").filter(col("doc_id") < 40),
+      "doc_id", "text", maxDf = 20L).orderBy("token")
 
   /** Embedding-cosine near-duplicate pairs within a bounded id range. */
   def q21NearDupCosine(spark: SparkSession, dir: String): DataFrame =

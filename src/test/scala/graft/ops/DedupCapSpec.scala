@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.functions.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.math.BigDecimal.RoundingMode
+
+/** Skew caps for the pair generators: a hot token (stopword) or hot LSH band
+  * emits O(n²) pairs within its posting list/bucket — the caps bound that
+  * blowup at 100 TB. Capped results are re-derived independently in Scala
+  * set math on the collected corpus (tiny bounded slices).
+  */
+class DedupCapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docSets(maxId: Long): Map[Long, Set[String]] =
+    spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < maxId)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+
+  test("jaccardPairs maxDf: equals set-math recompute on the reduced token universe") {
+    val maxDf = 20L
+    val sets = docSets(40)
+    val dfreq = sets.values.flatten.groupBy(identity).map { case (t, ts) => t -> ts.size }
+    val keep = dfreq.collect { case (t, n) if n <= maxDf => t }.toSet
+    val reduced = sets.view.mapValues(_.intersect(keep)).toMap
+    val expected = (for {
+      (d1, s1) <- reduced; (d2, s2) <- reduced if d1 < d2
+      inter = s1.intersect(s2).size if inter > 0
+      j = BigDecimal(inter.toDouble / (s1.size + s2.size - inter))
+        .setScale(6, RoundingMode.HALF_UP).toDouble if j >= 0.2
+    } yield (d1, d2, j)).toSet
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 40)
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.2, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+
+    // the audit relation is exactly the complement of the kept universe
+    val dropped = Dedup.hotTokens(docs, "doc_id", "text", maxDf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dropped.keySet == dfreq.collect { case (t, n) if n > maxDf => t }.toSet)
+    dropped.foreach { case (t, n) => assert(n == dfreq(t).toLong) }
+  }
+
+  test("minhash band cap: pairs equal recompute from capped buckets; capped ⊆ uncapped") {
+    val cap = 5L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bands = Dedup.bandBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val pop = bands.groupBy(_._2).view.mapValues(_.size).toMap
+    val keptBands = bands.filter(b => pop(b._2) <= cap)
+    val expected = keptBands.groupBy(_._2).values.flatMap { members =>
+      val ids = members.map(_._1).distinct.toSeq
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+
+    val got = Dedup.minhashCandidatePairs(docs, "doc_id", "text", maxBandPopulation = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+
+    val uncapped = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(uncapped))
+    assert(got.nonEmpty, "cap dropped every bucket — pick a larger cap for the fixture")
+    // the audit relation lists exactly the dropped buckets
+    val hot = Dedup.hotBands(docs, "doc_id", "text", cap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hot.keySet == pop.collect { case (b, n) if n > cap => b }.toSet)
+  }
+}
