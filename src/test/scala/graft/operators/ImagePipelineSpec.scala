@@ -76,6 +76,34 @@ class ImagePipelineSpec extends AnyFunSuite {
     assert(t.read().select("phash").distinct().count() == t.read().count())
   }
 
+  test("icelite phash partitioning: merge ≡ unpartitioned; only touched partitions read") {
+    val plain = new IceLite(spark, Files.createTempDirectory("icelite-plain-").toString)
+    val parted = new IceLite(spark, Files.createTempDirectory("icelite-part-").toString,
+      partition = Some(IceLite.phashPartition()))
+    val (a, b) = images.splitAt(25)
+    assert(parted.mergeInsert(a.toDF(), "phash") == plain.mergeInsert(a.toDF(), "phash"))
+    assert(parted.mergeInsert(b.toDF(), "phash") == plain.mergeInsert(b.toDF(), "phash"))
+    // identical table content (modulo row order), partition column not exposed
+    assert(parted.read().columns.sorted.toSeq == plain.read().columns.sorted.toSeq)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("phash", "image_id", "caption").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(key(parted.read()) == key(plain.read()))
+
+    // pruning: a merge touching a strict subset of partition values reads
+    // only those partitions' directories
+    val allParts = images.map(i => i.phash >>> 56).distinct.map(_.toString)
+    assert(allParts.size > 1, "fixture spans one partition — weak test")
+    val touched = Seq(allParts.head)
+    val prunedDirs = parted.partitionDirs(touched)
+    val allDirs = parted.partitionDirs(allParts)
+    assert(prunedDirs.nonEmpty && prunedDirs.size < allDirs.size)
+    assert(prunedDirs.forall(_.contains(s"__p=${allParts.head}")))
+    // and the pruned read-set contains files only under those directories
+    val files = spark.read.parquet(prunedDirs: _*).inputFiles
+    assert(files.nonEmpty && files.forall(f => prunedDirs.exists(f.contains)))
+  }
+
   test("crawl → writeback: visited pages' payloads land deduped; captions round-trip exactly") {
     val pages = SiteGraph.localPages(SiteGraph.GraphParams(nHosts = 1, pagesPerHost = 40,
       linksPerPage = 4, redirectFrac = 0.05, errorFrac = 0.05, seed = 3L))
@@ -87,7 +115,8 @@ class ImagePipelineSpec extends AnyFunSuite {
     val seed = pages.find(_.status == 200).get.url
     val out = new FrontierCrawler(spark, pages.toDS(), CrawlConfig(maxConcurrent = 8)).crawl(seed)
 
-    val t = new IceLite(spark, Files.createTempDirectory("icelite-wb-").toString)
+    val t = new IceLite(spark, Files.createTempDirectory("icelite-wb-").toString,
+      partition = Some(IceLite.phashPartition()))
     val inserted = ImageWriteback.ingest(out, pages.toDS(), imgs.toDS(), t)
 
     val visited = out.sortedFound.toSet
