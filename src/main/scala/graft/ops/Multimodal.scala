@@ -151,6 +151,12 @@ object Multimodal {
     }
   }
 
+  /** Deterministic image MediaRow for id (the q25 corpus binding). */
+  def mediaRowFor(id: Long): MediaRow = {
+    val im = graft.sources.ImageGen.imageFor(id, seed = 42L, dupEvery = 8)
+    MediaRow(id.toString, "image", im.bytes, Map("fmt" -> im.fmt))
+  }
+
   /** Sample `n` frames per video row (1→N expansion); stub decode. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

@@ -123,7 +123,7 @@ object ContractQueries {
   // tables — the library surface is Dedup/TextOps/Similarity; these named
   // queries pin each operator to its DuckDB oracle.
 
-  import graft.ops.{Dedup, Similarity, TextOps}
+  import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
   /** Exact dedup: group documents by content hash, keep min doc_id. */
   def q10DedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -217,6 +217,45 @@ object ContractQueries {
   def q21NearDupCosine(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(t(spark, dir, "embeddings").filter(col("vec_id") < 200),
       "vec_id", "embedding", threshold = 0.35).orderBy("v1", "v2")
+
+  /** q25: image-payload roundtrip invariants over a deterministic corpus
+    * keyed by doc_id. The REAL image path runs in Spark — imageio decode,
+    * PSNR against the losslessly re-encoded source pixels, phash, and the
+    * 64-dim `Multimodal.extractFeatures` embedding — while the oracle states
+    * each invariant's expected value in closed form: the planted duplicate
+    * structure (every 8th image repeats content 7 → equal phash → dup_of
+    * collapses to 7), decoded dimensions matching metadata, the input_hint
+    * PSNR ≥ 40 dB bound (exact for lossless formats), and the feature
+    * shape. A broken decoder/phash/psnr/feature stage flips a boolean or
+    * the dup grouping and fails the hash gate. */
+  def q25ImageRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    import graft.sources.ImageGen
+    val ids = t(spark, dir, "documents")
+      .filter(col("doc_id") < 24).select(col("doc_id")).as[Long]
+    val rows = ids.mapPartitions { it =>
+      it.map { id =>
+        val im = ImageGen.imageFor(id, seed = 42L, dupEvery = 8)
+        val img = ImageKernels.decode(im.bytes)
+        val wOk = img.getWidth == im.w && img.getHeight == im.h
+        val ck = im.caption.split("#").last.toLong
+        val ref = ImageKernels.encode(ImageGen.render(ck, 42L, im.w, im.h), "png")
+        val p = ImageKernels.psnr(im.bytes, ref)
+        val psnrOk = if (im.fmt == "jpg") p >= 40.0 else p.isPosInfinity
+        (id, im.phash, wOk, psnrOk)
+      }
+    }.toDF("doc_id", "phash", "w_ok", "psnr_ok")
+    val media = ids.map(id => Multimodal.mediaRowFor(id))
+    val feats = Multimodal.extractFeatures(media)
+      .map(f => (f.media_id.toLong, f.feature.length, f.feature.exists(_ != 0f)))
+      .toDF("doc_id", "feat_dim", "feat_nonzero")
+    rows
+      .withColumn("dup_of", min("doc_id").over(Window.partitionBy("phash")))
+      .join(feats, Seq("doc_id"))
+      .select("doc_id", "dup_of", "w_ok", "psnr_ok", "feat_dim", "feat_nonzero")
+      .orderBy("doc_id")
+  }
 
   /** BPE-ish token budgeting: whitespace vs word-level-pre-split counts
     * per doc + corpus totals by language. */
