@@ -3,14 +3,14 @@ package graft
 import graft.model.{CrawlConfig, PageRow}
 import graft.operators.{CrawlReport, FrontierCrawler}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 import java.time.LocalDateTime
 
 /** CLI crawl entry (S1 in SURVEY.md §2.1) — the `bin/web-crawler` contract
-  * (`/root/reference/bin/web-crawler:18-43`) as a spark-submit main:
-  *
-  *   spark-submit --class graft.CrawlCli <jar> <base-url> --pages <parquet>
-  *     [--delay 0.1] [--max-redirects 10] [--max-concurrent 10]
-  *     [--runs-dir crawling_runs] [--checkpoint-dir <dir>] [--polite]
+  * (`/root/reference/bin/web-crawler:18-43`) as a spark-submit main, with
+  * argparse-parity UX: `--help` prints usage + option help + examples and
+  * exits 0; unknown or malformed flags print usage to stderr and exit 2;
+  * runtime crawl errors print `Error: …` and exit 1.
   *
   * `--pages` points at a parquet relation with the [[graft.model.PageRow]]
   * schema (the synthetic web; a live HTTP fetcher would replace that scan).
@@ -19,20 +19,83 @@ import java.time.LocalDateTime
   */
 object CrawlCli {
 
-  def main(args: Array[String]): Unit = {
-    if (args.isEmpty) {
-      System.err.println("usage: CrawlCli <base-url> --pages <parquet> " +
-        "[--delay D] [--max-redirects N] [--max-concurrent N] " +
-        "[--runs-dir DIR] [--checkpoint-dir DIR] [--polite]")
-      sys.exit(2)
+  private val Usage =
+    """usage: CrawlCli <base-url> --pages <parquet>
+      |                [--delay D] [--max-redirects N] [--max-concurrent N]
+      |                [--timeout SECONDS] [--runs-dir DIR]
+      |                [--checkpoint-dir DIR] [--polite] [-h | --help]""".stripMargin
+
+  private val Help = Usage +
+    """
+      |
+      |Recursively crawl a website and extract all URLs within the same domain.
+      |
+      |positional arguments:
+      |  base-url              The base URL to start crawling from
+      |
+      |options:
+      |  --pages PARQUET       Pages relation (PageRow schema) — required
+      |  --delay D             Delay between requests in seconds (default: 0.1)
+      |  --max-redirects N     Maximum redirects to follow per URL (default: 10)
+      |  --max-concurrent N    Maximum concurrent requests (default: 10)
+      |  --timeout SECONDS     Total per-fetch timeout (default: 10)
+      |  --runs-dir DIR        Report folder root (default: crawling_runs)
+      |  --checkpoint-dir DIR  Resume-state directory (default: temp)
+      |  --polite              Scale scheduler: per-host politeness, multi-domain
+      |  -h, --help            Show this help message and exit
+      |
+      |Examples:
+      |  CrawlCli https://example.com --pages web.parquet
+      |  CrawlCli https://example.com --pages web.parquet --delay 0.5
+      |  CrawlCli https://example.com --pages web.parquet --max-redirects 5
+      |  CrawlCli https://example.com --pages web.parquet --max-concurrent 20""".stripMargin
+
+  /** Bad usage (argparse exit code 2). */
+  private[graft] final case class CliUsageError(msg: String) extends Exception(msg)
+  /** `-h`/`--help` (argparse exit code 0). */
+  private[graft] final class HelpRequested extends Exception
+
+  private def die(msg: String): Nothing = throw CliUsageError(msg)
+
+  /** argparse-style parse: (positional base-url, value options, flags).
+    * Throws [[CliUsageError]] / [[HelpRequested]] — `main` maps them to the
+    * reference CLI's exit codes. */
+  private[graft] def parseArgs(args: Array[String]): (String, Map[String, String], Set[String]) = {
+    val valueFlags = Set("--pages", "--delay", "--max-redirects", "--max-concurrent",
+      "--timeout", "--runs-dir", "--checkpoint-dir")
+    var positional = List.empty[String]
+    var opts = Map.empty[String, String]
+    var flags = Set.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-h" | "--help" => throw new HelpRequested
+        case "--polite" => flags += "--polite"; i += 1
+        case f if valueFlags(f) =>
+          if (i + 1 >= args.length) die(s"option $f requires a value")
+          opts += f -> args(i + 1); i += 2
+        case f if f.startsWith("-") => die(s"unrecognized argument: $f")
+        case pos => positional ::= pos; i += 1
+      }
     }
-    val baseUrl = args(0)
-    val opts = args.drop(1).sliding(2, 2).collect {
-      case Array(k, v) => k -> v
-    }.toMap
-    val flags = args.drop(1).filter(_ == "--polite").toSet
-    val pagesPath = opts.getOrElse("--pages",
-      { System.err.println("--pages <parquet> is required"); sys.exit(2); "" })
+    positional match {
+      case Nil => die("the following arguments are required: base-url")
+      case one :: Nil =>
+        if (!opts.contains("--pages")) die("--pages <parquet> is required")
+        (one, opts, flags)
+      case more => die(s"unexpected extra arguments: ${more.reverse.tail.mkString(" ")}")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (baseUrl, opts, flags) =
+      try parseArgs(args)
+      catch {
+        case _: HelpRequested => println(Help); sys.exit(0)
+        case CliUsageError(msg) =>
+          System.err.println(msg); System.err.println(Usage); sys.exit(2)
+      }
+    val pagesPath = opts("--pages")
 
     val spark = SparkSession.builder()
       .appName("graft-crawl")
@@ -41,26 +104,36 @@ object CrawlCli {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val cfg = CrawlConfig(
-      delay = opts.get("--delay").map(_.toDouble).getOrElse(0.1),
-      maxRedirects = opts.get("--max-redirects").map(_.toInt).getOrElse(10),
-      maxConcurrent = opts.get("--max-concurrent").map(_.toInt).getOrElse(10),
-      fifoParity = !flags.contains("--polite"),
-      sameDomainOnly = !flags.contains("--polite"),
-      checkpointDir = opts.get("--checkpoint-dir"))
-    val pages = spark.read.parquet(pagesPath).as[PageRow]
+    try {
+      val cfg = CrawlConfig(
+        delay = opts.get("--delay").map(_.toDouble).getOrElse(0.1),
+        maxRedirects = opts.get("--max-redirects").map(_.toInt).getOrElse(10),
+        maxConcurrent = opts.get("--max-concurrent").map(_.toInt).getOrElse(10),
+        timeout = opts.get("--timeout").map(_.toInt).getOrElse(10),
+        fifoParity = !flags.contains("--polite"),
+        sameDomainOnly = !flags.contains("--polite"),
+        checkpointDir = opts.get("--checkpoint-dir"))
+      val raw = spark.read.parquet(pagesPath)
+      val pages = (if (raw.columns.contains("latencyMs")) raw
+        else raw.withColumn("latencyMs", lit(null).cast("int"))).as[PageRow]
 
-    val start = LocalDateTime.now()
-    val crawler = new FrontierCrawler(spark, pages, cfg)
-    val out =
-      if (cfg.fifoParity) crawler.crawl(baseUrl)
-      else crawler.crawlSeeds(Seq(baseUrl).toDF("url"))
-    val end = LocalDateTime.now()
+      val start = LocalDateTime.now()
+      val crawler = new FrontierCrawler(spark, pages, cfg)
+      val out =
+        if (cfg.fifoParity) crawler.crawl(baseUrl)
+        else crawler.crawlSeeds(Seq(baseUrl).toDF("url"))
+      val end = LocalDateTime.now()
 
-    out.sortedFound.foreach(println) // stdout contract (S4)
-    val reportDir = CrawlReport.write(out, baseUrl, start, end,
-      opts.getOrElse("--runs-dir", "crawling_runs"))
-    System.err.println(s"report: $reportDir  stats: ${out.stats}")
-    spark.stop()
+      out.sortedFound.foreach(println) // stdout contract (S4)
+      val reportDir = CrawlReport.write(out, baseUrl, start, end,
+        opts.getOrElse("--runs-dir", "crawling_runs"))
+      System.err.println(s"report: $reportDir  stats: ${out.stats}")
+      spark.stop()
+    } catch {
+      case e: Exception => // `bin/web-crawler:40-42`
+        System.err.println(s"Error: ${e.getMessage}")
+        spark.stop()
+        sys.exit(1)
+    }
   }
 }

@@ -24,7 +24,11 @@ final case class PageRow(
     html: Option[String],
     contentType: Option[String],
     retryAfter: Option[Int],
-    imageId: Option[String])
+    imageId: Option[String],
+    // synthetic response latency: a GET slower than CrawlConfig.timeout
+    // behaves exactly like a network error (the reference's aiohttp
+    // ClientTimeout(total=timeout) path, src/web_crawler.py:27,126-130)
+    latencyMs: Option[Int] = None)
 
 /** Crawl configuration — reference defaults (`src/web_crawler.py:20-30`) plus
   * the scheduler/scale knobs of the north rule (BASELINE.json `north_star`).

@@ -117,6 +117,17 @@ final class FrontierCrawler(
 
   private val ContentTypes = Seq("text/html", "text/plain", "application/xhtml+xml")
 
+  /** The fetch-boundary view of the web: a page whose synthetic latency
+    * exceeds the total fetch timeout is indistinguishable from a network
+    * error — exactly the reference's `ClientTimeout(total=timeout)` path
+    * (`src/web_crawler.py:27`, `:126-130`), where a timed-out GET yields
+    * `response_data is None`. A live HTTP fetcher replacing this scan
+    * consumes `cfg.timeout` at the same boundary. */
+  private val fetchPages: Dataset[PageRow] = {
+    val tMs = cfg.timeout * 1000
+    pages.filter(p => !p.latencyMs.exists(_ > tMs))
+  }
+
   /** Seed pre-flight — the reference's 5-stage `verify`
     * (`/root/reference/src/utils/url_verifier.py:289-327`): pure stages
     * (syntactic/semantic/security) via [[UrlValidator]]; effectful stages
@@ -128,15 +139,26 @@ final class FrontierCrawler(
     if (!UrlValidator.syntacticOk(url)) fail("syntactic checks failed")
     if (!UrlValidator.semanticOkPure(url)) fail("semantic checks failed")
     if (!UrlValidator.securityOk(url)) fail("security checks failed")
-    val hit = pages.filter(col("url") === lit(url)).take(1).headOption
+    val hit = fetchPages.filter(col("url") === lit(url)).take(1).headOption
     hit match {
       case None => fail("semantic checks failed (unresolvable)")
       case Some(p) =>
         if (p.status < 200 || p.status >= 400) fail(s"protocol checks failed (HTTP ${p.status})")
         if (!p.contentType.exists(ct => ContentTypes.exists(ct.startsWith))) fail("protocol checks failed (content type)")
         if (p.retryAfter.isDefined) fail("operational checks failed (Retry-After)")
+        // operational-stage robots probe: fetched and recorded but — exactly
+        // like the reference (`url_verifier.py:200-211`) — never gates the
+        // verdict; exposed via [[seedRobotsProbe]] for stage-trace parity
+        val parts = PyUrl.urlparse(url)
+        val robotsUrl = s"${parts.scheme}://${parts.netloc}/robots.txt"
+        lastRobotsProbe =
+          Some(robotsUrl -> fetchPages.filter(col("url") === lit(robotsUrl)).take(1).nonEmpty)
     }
   }
+
+  @volatile private var lastRobotsProbe: Option[(String, Boolean)] = None
+  /** (robots.txt URL, reachable) recorded by the last [[verifySeed]]. */
+  def seedRobotsProbe: Option[(String, Boolean)] = lastRobotsProbe
 
   /** Flagship entry: single-seed crawl with reference semantics
     * (`src/web_crawler.py:190-332`). */
@@ -191,10 +213,10 @@ final class FrontierCrawler(
     if (!Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
       val maxRedirects = cfg.maxRedirects
       val redirectStatuses = Set(301, 302, 303, 307, 308)
-      val direct = pages
+      val direct = fetchPages
         .filter(p => !redirectStatuses.contains(p.status) || p.location.forall(_.isEmpty))
         .map(p => Hop(p.url, 0L, 0, p.url, Seq(p.url), Hop.Done, p.status, p.links, p.retryAfter))
-      var cur = pages
+      var cur = fetchPages
         .filter(p => redirectStatuses.contains(p.status) && p.location.exists(_.nonEmpty))
         .map(p => Hop(p.url, 0L, 0, p.url, Seq(p.url), Hop.Walking, -1, Nil, None))
         .persist()
@@ -203,7 +225,7 @@ final class FrontierCrawler(
       while (active > 0 && hops < maxRedirects) {
         val walking = cur.filter(_.phase == Hop.Walking)
         val stepped = walking
-          .joinWith(pages, walking("currentUrl") === pages("url"), "left_outer")
+          .joinWith(fetchPages, walking("currentUrl") === fetchPages("url"), "left_outer")
           .map { case (h, pg) => Hop.transition(h, Option(pg), maxRedirects) }
         val next = stepped.union(cur.filter(_.phase != Hop.Walking)).persist()
         active = next.filter(_.phase == Hop.Walking).count()
