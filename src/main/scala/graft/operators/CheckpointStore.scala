@@ -49,13 +49,38 @@ object CheckpointStore {
       bloomRound: Int = -1)
 }
 
-final class CheckpointStore(spark: SparkSession, val dir: String) {
+final class CheckpointStore(spark: SparkSession, val dir: String,
+    // polite mode schedules each URL at most once per round, so the round's
+    // visit-log delta IS the visited delta — the store then serves visited
+    // reads straight from the visit-log files (one write per round instead
+    // of two); FIFO parity keeps the separate deduplicated visited write
+    // because its batches may legally contain duplicate URLs
+    val visitedFromLog: Boolean = false) {
   import CheckpointStore._
+  import org.apache.spark.sql.types._
 
   private def p(parts: String*): Path = Paths.get(dir, parts: _*)
   Files.createDirectories(p("manifest"))
 
-  def visitedPath(round: Int): String = p("visited", s"round=$round").toString
+  // Explicit layout schemas: every state read skips driver-side parquet
+  // footer inference — at one crawl round per few seconds, the per-read
+  // schema job is a measurable serial cost that does not scale with cores.
+  private val frontierSchema = StructType(Seq(
+    StructField("url", StringType), StructField("urlHash", LongType),
+    StructField("host", StringType), StructField("depth", IntegerType),
+    StructField("priority", IntegerType), StructField("discoveryIdx", LongType),
+    StructField("nextFetchTime", LongType)))
+  private val visitLogSchema = StructType(Seq(
+    StructField("round", IntegerType), StructField("batchIdx", LongType),
+    StructField("url", StringType), StructField("urlHash", LongType),
+    StructField("depth", IntegerType), StructField("discoveryIdx", LongType)))
+  private val visitedSchema = StructType(Seq(
+    StructField("url", StringType), StructField("urlHash", LongType)))
+  private val sidesSchema = StructType(Seq(
+    StructField("url", StringType), StructField("kind", StringType)))
+
+  def visitedPath(round: Int): String =
+    if (visitedFromLog) visitLogPath(round) else p("visited", s"round=$round").toString
   def segPath(seg: Int): String = p("frontier", s"seg=$seg").toString
   def sidesPath(round: Int): String = p("sides", s"round=$round").toString
   def visitLogPath(round: Int): String = p("visitlog", s"round=$round").toString
@@ -114,10 +139,23 @@ final class CheckpointStore(spark: SparkSession, val dir: String) {
       props.getProperty("bloomRound", "-1").toInt)
   }
 
-  /** The visited set: union of disjoint per-round deltas (no distinct). */
+  /** The visited set: union of disjoint per-round deltas (no distinct).
+    * Projected to (url, urlHash) — the visit-log-backed layout carries
+    * extra lineage columns that visited readers must not see. */
   def readVisited(visitedRounds: Seq[Int]): Option[DataFrame] =
     if (visitedRounds.isEmpty) None
-    else Some(spark.read.parquet(visitedRounds.map(visitedPath): _*))
+    else Some(spark.read
+      .schema(if (visitedFromLog) visitLogSchema else visitedSchema)
+      .parquet(visitedRounds.map(visitedPath): _*)
+      .select("url", "urlHash"))
+
+  /** One round's scheduled batch (the visit-log delta), schema pinned. */
+  def readBatch(round: Int): DataFrame =
+    spark.read.schema(visitLogSchema).parquet(visitLogPath(round))
+
+  /** Raw frontier segments (no watermark filter), schema pinned. */
+  def readSegsRaw(segs: Seq[Int]): DataFrame =
+    spark.read.schema(frontierSchema).parquet(segs.map(segPath): _*)
 
   /** Live frontier: segment files pruned by the queue-offset watermark
     * (a fully consumed segment is never opened), residual consumed rows in
@@ -125,18 +163,19 @@ final class CheckpointStore(spark: SparkSession, val dir: String) {
   def readFrontier(liveSegs: Seq[SegInfo], watermark: Long): Option[DataFrame] = {
     val live = liveSegs.filter(_.maxIdx > watermark)
     if (live.isEmpty) None
-    else Some(spark.read.parquet(live.map(s => segPath(s.seg)): _*)
+    else Some(readSegsRaw(live.map(_.seg))
       .filter(org.apache.spark.sql.functions.col("discoveryIdx") > watermark))
   }
 
   def readSides(rounds: Seq[Int]): Option[DataFrame] = {
     val existing = rounds.map(sidesPath).filter(pp => Files.exists(Paths.get(pp)))
-    if (existing.isEmpty) None else Some(spark.read.parquet(existing: _*))
+    if (existing.isEmpty) None else Some(spark.read.schema(sidesSchema).parquet(existing: _*))
   }
 
   def readVisitLog(rounds: Seq[Int]): Option[DataFrame] = {
     val existing = rounds.map(visitLogPath).filter(pp => Files.exists(Paths.get(pp)))
-    if (existing.isEmpty) None else Some(spark.read.parquet(existing: _*))
+    if (existing.isEmpty) None
+    else Some(spark.read.schema(visitLogSchema).parquet(existing: _*))
   }
 
   def saveBloom(round: Int, bloom: BloomFilter): Unit = {

@@ -58,11 +58,15 @@ final case class Hop(
     links: Seq[String],
     retryAfter: Option[Int])
 
+/** One redirect-subgraph node: the only page fields a chain hop can use. */
+private[operators] final case class RPage(url: String, location: String)
+
 object Hop {
   final val Walking = 0
   final val Done = 1
   final val NetworkErr = 2 // GET failed → `response_data is None` path
   final val LoopErr = 3    // RedirectLoopError
+  final val NeedsFinal = 4 // left the redirect subgraph → one terminal GET
 
   private val RedirectStatuses = Set(301, 302, 303, 307, 308)
 
@@ -113,7 +117,7 @@ final class FrontierCrawler(
 
   private val ckptDir =
     cfg.checkpointDir.getOrElse(Files.createTempDirectory("graft-crawl-").toString)
-  private val store = new CheckpointStore(spark, ckptDir)
+  private val store = new CheckpointStore(spark, ckptDir, visitedFromLog = !cfg.fifoParity)
 
   private val ContentTypes = Seq("text/html", "text/plain", "application/xhtml+xml")
 
@@ -216,26 +220,53 @@ final class FrontierCrawler(
       val direct = fetchPages
         .filter(p => !redirectStatuses.contains(p.status) || p.location.forall(_.isEmpty))
         .map(p => Hop(p.url, 0L, 0, p.url, Seq(p.url), Hop.Done, p.status, p.links, p.retryAfter))
-      var cur = fetchPages
+      // Intermediate hops can only land on redirect pages, so the walk runs
+      // entirely inside the (tiny) redirect subgraph — maxRedirects chained
+      // BROADCAST joins against the ~redirectFrac-sized relation (one
+      // broadcast, reused across hops; all hops fuse into one narrow stage)
+      // instead of re-shuffling the whole pages relation once per hop. At
+      // 10^10 the subgraph outgrows a broadcast and becomes a bucketed
+      // relation — the join structure is unchanged.
+      val rpages = fetchPages
         .filter(p => redirectStatuses.contains(p.status) && p.location.exists(_.nonEmpty))
+        .map(p => RPage(p.url, p.location.get))
+      var cur: Dataset[Hop] = rpages
         .map(p => Hop(p.url, 0L, 0, p.url, Seq(p.url), Hop.Walking, -1, Nil, None))
-        .persist()
-      var active = cur.count()
       var hops = 0
-      while (active > 0 && hops < maxRedirects) {
-        val walking = cur.filter(_.phase == Hop.Walking)
-        val stepped = walking
-          .joinWith(fetchPages, walking("currentUrl") === fetchPages("url"), "left_outer")
-          .map { case (h, pg) => Hop.transition(h, Option(pg), maxRedirects) }
-        val next = stepped.union(cur.filter(_.phase != Hop.Walking)).persist()
-        active = next.filter(_.phase == Hop.Walking).count()
-        cur.unpersist()
-        cur = next
+      while (hops < maxRedirects) {
+        val c = cur
+        cur = c.joinWith(broadcast(rpages), c("currentUrl") === rpages("url"), "left_outer")
+          .map { case (h, rp) =>
+            if (h.phase != Hop.Walking) h
+            else Option(rp) match {
+              case Some(r) => // one redirect GET (`redirect_handler.py:119-120`)
+                val target = PyUrl.urljoin(h.currentUrl, r.location)
+                if (RedirectLoop.detect(h.chain, target, maxRedirects).isLoop)
+                  h.copy(phase = Hop.LoopErr)
+                else h.copy(chain = h.chain :+ target, currentUrl = target)
+              case None => h.copy(phase = Hop.NeedsFinal)
+            }
+          }
         hops += 1
       }
       closureHops = hops
-      // loop-bound exhaustion ⇒ RedirectLoopError (`redirect_handler.py:156`)
-      val walked = cur.map(h => if (h.phase == Hop.Walking) h.copy(phase = Hop.LoopErr) else h)
+      // loop-bound exhaustion ⇒ RedirectLoopError (`redirect_handler.py:156`);
+      // NeedsFinal rows take their terminal GET as a semi-extract + broadcast
+      // join — the full relation is scanned once and never shuffled
+      val exhausted = cur
+        .map(h => if (h.phase == Hop.Walking) h.copy(phase = Hop.LoopErr) else h)
+        .persist()
+      val finalKeys = exhausted.filter(_.phase == Hop.NeedsFinal)
+        .map(_.currentUrl).distinct().toDF("__curl")
+      val targets = fetchPages
+        .join(broadcast(finalKeys), $"url" === $"__curl", "left_semi").as[PageRow]
+      val walked = exhausted
+        .joinWith(broadcast(targets), exhausted("currentUrl") === targets("url"), "left_outer")
+        .map { case (h, pg) =>
+          if (h.phase == Hop.NeedsFinal)
+            Hop.transition(h.copy(phase = Hop.Walking), Option(pg), maxRedirects)
+          else h
+        }
       val resolved = direct.union(walked).toDF()
         .select($"origUrl".as("url"), $"currentUrl", $"chain", $"phase",
           $"status", $"links", $"retryAfter")
@@ -248,7 +279,7 @@ final class FrontierCrawler(
           .option("path", path).format("parquet")
           .saveAsTable(closureTableName)
       } else resolved.write.mode("overwrite").parquet(path)
-      cur.unpersist()
+      exhausted.unpersist()
     }
     if (cfg.closureBuckets > 0) {
       // a resumed session has the files but not the catalog entry
@@ -269,13 +300,35 @@ final class FrontierCrawler(
 
   // ----------------------------------------------------------------------
 
+  /** Bloom-prefiltered anti-join `df ∖ visited` (J1): rows the seen-filter
+    * has definitely never seen skip the join entirely; they only re-check
+    * the (small) visited deltas the lazily-merged filter has not absorbed
+    * yet. `df` must carry `url` and `urlHash`. */
+  private def bloomSplitAntiJoin(df: DataFrame, visited: DataFrame,
+      mightContain: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      recentRounds: Seq[Int]): DataFrame = {
+    val defNew0 = df.filter(!mightContain($"urlHash"))
+    val defNew =
+      if (recentRounds.isEmpty) defNew0
+      else defNew0.join(
+        store.readVisited(recentRounds).get.select("url"),
+        Seq("url"), "left_anti")
+    defNew.unionByName(
+      df.filter(mightContain($"urlHash"))
+        .join(visited.select("url"), Seq("url"), "left_anti"))
+  }
+
   private def run(seedDf: DataFrame, seedCount: Long, baseDomain: Option[String]): CrawlOutcome = {
     val t0 = System.nanoTime()
     var m: CheckpointStore.Manifest = store.latestManifest() match {
       case Some(mm) => mm
       case None =>
-        val sc = if (seedCount >= 0) seedCount else seedDf.count()
+        // write first, count from the written files — the seed relation
+        // (normalize + validate + dedup over a possibly-10^10 list) is
+        // evaluated once, not once for the count and again for the write
         seedDf.write.mode("overwrite").parquet(store.segPath(0))
+        val sc = if (seedCount >= 0) seedCount
+          else store.readSegsRaw(Seq(0)).count()
         val nextIdx = if (cfg.fifoParity) sc else IdxSpan
         val mm = CheckpointStore.Manifest(-1, nextIdx, -1L, 0L, 0L, 0L, 0L, Nil,
           Seq(CheckpointStore.SegInfo(0, 0L, nextIdx - 1, sc)), cfg.bloomEnabled, -1)
@@ -299,7 +352,10 @@ final class FrontierCrawler(
     val phaseTimes = scala.collection.mutable.LinkedHashMap[String, Long]()
     def timed[T](name: String)(body: => T): T = {
       val t = System.nanoTime()
-      val r = body
+      // job-group tag (thread-local) so listeners/UI can attribute each
+      // round phase's jobs; also how the phase-vs-driver gap is profiled
+      spark.sparkContext.setJobGroup(name, name)
+      val r = try body finally spark.sparkContext.clearJobGroup()
       phaseTimes.synchronized {
         phaseTimes(name) = phaseTimes.getOrElse(name, 0L) + (System.nanoTime() - t) / 1000000
       }
@@ -335,18 +391,8 @@ final class FrontierCrawler(
             case (None, _) => frontier
             case (Some(v), None) => frontier.join(v.select("url"), Seq("url"), "left_anti")
             case (Some(v), Some(mightContain)) =>
-              // rows the bloom has never seen still need checking against the
-              // visited deltas the filter has not absorbed yet (lazy merge)
-              val recentRounds = m.visitedRounds.filter(_ > bloomRound)
-              val defNew0 = frontier.filter(!mightContain($"urlHash"))
-              val defNew =
-                if (recentRounds.isEmpty) defNew0
-                else defNew0.join(
-                  spark.read.parquet(recentRounds.map(store.visitedPath): _*).select("url"),
-                  Seq("url"), "left_anti")
-              defNew.unionByName(
-                frontier.filter(mightContain($"urlHash"))
-                  .join(v.select("url"), Seq("url"), "left_anti"))
+              bloomSplitAntiJoin(frontier, v, mightContain,
+                m.visitedRounds.filter(_ > bloomRound))
           }
 
           // O1: batch selection.
@@ -360,14 +406,20 @@ final class FrontierCrawler(
           // materialize the batch through its lineage sink (one write) and
           // re-read it: downstream plans then reference a flat parquet scan
           // instead of re-analyzing the whole scheduler tree per action
+          // urlHash rides along so the polite store can serve visited reads
+          // straight from this one write (visitedFromLog)
           timed("t_batch") {
-            batch0.select(lit(round).as("round"), $"batchIdx", $"url", $"depth", $"discoveryIdx")
+            batch0.select(lit(round).as("round"), $"batchIdx", $"url", $"urlHash",
+                $"depth", $"discoveryIdx")
               .write.mode("overwrite").parquet(store.visitLogPath(round))
           }
-          val batch = spark.read.parquet(store.visitLogPath(round))
-          val Row(batchCntAny, maxIdxAny) =
-            batch.agg(count(lit(1)), max($"discoveryIdx")).head()
-          val batchCnt = batchCntAny.asInstanceOf[Long]
+          val batch = store.readBatch(round)
+          // polite mode never moves the watermark — only FIFO needs maxIdx
+          val (batchCnt, maxIdxAny) =
+            if (cfg.fifoParity) {
+              val Row(c, mx) = batch.agg(count(lit(1)), max($"discoveryIdx")).head()
+              (c.asInstanceOf[Long], mx)
+            } else (batch.count(), null)
 
           if (batchCnt == 0L) {
             // polite mode: an empty batch while hosts sit under Retry-After
@@ -381,7 +433,7 @@ final class FrontierCrawler(
             } else done = true
           }
           else {
-            val maxBatchIdx = maxIdxAny.asInstanceOf[Long]
+            val maxBatchIdx = if (cfg.fifoParity) maxIdxAny.asInstanceOf[Long] else -1L
 
             // J2 + J5: fetch = one equi-join against the precomputed
             // redirect-resolved pages relation; a miss is a network error
@@ -408,9 +460,15 @@ final class FrontierCrawler(
               })
             val flagged = visitedOpt match {
               case Some(v) => // F5: redirect landing already visited (`:117-119`)
-                withFlags.join(v.select($"url".as("__vu")),
-                    $"currentUrl" === $"__vu" && $"moved" && !$"external", "left_outer")
+                // only moved, non-external rows (≈ redirectFrac of the batch)
+                // can trip F5 — join that slice, pass the rest through
+                val movedRows = withFlags.filter($"moved" && !$"external")
+                val rest = withFlags.filter(!($"moved" && !$"external"))
+                  .withColumn("finalVisited", lit(false))
+                movedRows.join(v.select($"url".as("__vu")),
+                    $"currentUrl" === $"__vu", "left_outer")
                   .withColumn("finalVisited", $"__vu".isNotNull).drop("__vu")
+                  .unionByName(rest)
               case None => withFlags.withColumn("finalVisited", lit(false))
             }
             val f = flagged
@@ -425,27 +483,26 @@ final class FrontierCrawler(
                   .when(!$"dropped" && $"phase" === Hop.Done && $"status" >= 400, $"urlPrime")) // `:136-140`
               .persist()
 
-            val Row(errAny, redirAny, retryAny) = timed("t_fagg") { f.agg(
-              coalesce(sum(when($"errUrl".isNotNull, 1L)), lit(0L)),
-              coalesce(sum(when($"redirected", 1L)), lit(0L)),
-              coalesce(sum(when($"retryAfter".isNotNull, 1L)), lit(0L))).head() }
-            val (errCnt, redirCnt, retryCnt) =
-              (errAny.asInstanceOf[Long], redirAny.asInstanceOf[Long], retryAny.asInstanceOf[Long])
-
-            // S-sinks: lineage + state deltas. The two delta writes are
-            // independent of the new-links pipeline below — submit them as
-            // concurrent Spark jobs so their latency overlaps the link work
-            // (Spark's scheduler handles concurrent actions; the bloom
-            // update below awaits the visited write it reads).
+            // S-sinks: lineage + state deltas, submitted as concurrent Spark
+            // jobs so their latency overlaps the link work below (the bloom
+            // update awaits the visited write it reads). The error/redirect/
+            // retry counters are NOT a separate full-batch aggregation: the
+            // sides delta already carries one row per counted event, so the
+            // counts are read back from that (tiny) file after the futures
+            // land. Polite mode skips the visited write entirely — the batch
+            // lineage write above doubles as the visited delta.
             import scala.concurrent.{Await, Future}
             import scala.concurrent.duration.Duration
             import scala.concurrent.ExecutionContext.Implicits.global
-            val wVis = Future { timed("t_wvis") {
-              batch.select($"url").dropDuplicates("url").withColumn("urlHash", xxhash64($"url"))
-                .write.mode("overwrite").parquet(store.visitedPath(round)) } }
+            val wVis =
+              if (store.visitedFromLog) Future.successful(())
+              else Future { timed("t_wvis") {
+                batch.select($"url").dropDuplicates("url").withColumn("urlHash", xxhash64($"url"))
+                  .write.mode("overwrite").parquet(store.visitedPath(round)) } }
             val wSides = Future { timed("t_wsides") {
               f.filter($"errUrl".isNotNull).select($"errUrl".as("url"), lit("error").as("kind"))
                 .unionByName(f.filter($"redirected").select($"origUrl".as("url"), lit("redirect").as("kind")))
+                .unionByName(f.filter($"retryAfter".isNotNull).select($"origUrl".as("url"), lit("retry").as("kind")))
                 .write.mode("overwrite").parquet(store.sidesPath(round)) } }
 
             // G1 + C1/C2/C3 + F1 + F4/U3: link explosion and admission
@@ -461,38 +518,64 @@ final class FrontierCrawler(
               case None => // multi-host mode: F8+F15 column predicates instead
                 exploded.filter(url_syntactic_valid($"url") && url_security_valid($"url"))
             }
-            val unseen0 = visitedOpt
-              .fold(domained)(v => domained.join(v.select("url"), Seq("url"), "left_anti"))
-            // merge-loop semantics (`:275-291`): link of batch row i is also
-            // checked against batch rows 0..i marked visited before it
             val batchKeys = batch.select($"url".as("bUrl"), $"batchIdx".as("bIdx"))
-            val unseen =
-              if (cfg.fifoParity)
-                unseen0.join(broadcast(batchKeys),
+            val newEntries = (if (cfg.fifoParity) {
+              // reference merge-loop semantics (`:275-291`): duplicates kept,
+              // link of batch row i checked against batch rows 0..i, FIFO
+              // idx assigned in (parent, position) order
+              val unseen = visitedOpt
+                .fold(domained)(v => domained.join(v.select("url"), Seq("url"), "left_anti"))
+                .join(broadcast(batchKeys),
                   $"url" === $"bUrl" && $"bIdx" <= $"parentIdx", "left_anti")
-              else unseen0.join(batchKeys, $"url" === $"bUrl", "left_anti")
-
-            val newEntries0 =
-              if (cfg.fifoParity)
-                unseen.withColumn("discoveryIdx",
+              unseen.withColumn("discoveryIdx",
                   lit(m.nextIdx) + row_number().over(Window.orderBy($"parentIdx", $"pos")).cast("long") - 1)
-              else // deterministic, window-free idx at scale
-                unseen.withColumn("discoveryIdx",
-                  lit((round.toLong + 1) * IdxSpan) + pmod(xxhash64($"url", $"parentIdx", $"pos"), lit(IdxSpan)))
-            // polite mode admits each URL once per round (set semantics —
-            // unbounded duplicate admission would balloon the frontier);
-            // FIFO parity keeps the reference's duplicates-in-queue quirk
-            val newEntries1 =
-              if (cfg.fifoParity) newEntries0 else newEntries0.dropDuplicates("url")
-            val newEntries = newEntries1.select(
-              $"url", xxhash64($"url").as("urlHash"), url_host($"url").as("host"),
-              ($"depth" + 1).as("depth"), ($"depth" + 1).as("priority"),
-              $"discoveryIdx", lit(0L).as("nextFetchTime")).persist()
+                .select($"url", xxhash64($"url").as("urlHash"), url_host($"url").as("host"),
+                  ($"depth" + 1).as("depth"), ($"depth" + 1).as("priority"),
+                  $"discoveryIdx", lit(0L).as("nextFetchTime"))
+            } else {
+              // polite admission is set-semantics: dedup FIRST so every
+              // downstream join moves one row per URL, not one per link
+              // occurrence (~6× fewer rows); then drop links to this round's
+              // batch; then the same Bloom-split anti-join as eligibility —
+              // definitely-new links (the common case on a growing crawl)
+              // skip the visited join entirely
+              val dedup = domained.dropDuplicates("url")
+                .withColumn("urlHash", xxhash64($"url"))
+              val notBatch = dedup.join(batchKeys, $"url" === $"bUrl", "left_anti")
+              val unseen = (visitedOpt, probe) match {
+                case (None, _) => notBatch
+                case (Some(v), None) => notBatch.join(v.select("url"), Seq("url"), "left_anti")
+                case (Some(v), Some(mc)) =>
+                  bloomSplitAntiJoin(notBatch, v, mc, m.visitedRounds.filter(_ > bloomRound))
+              }
+              // deterministic window-free idx: post-dedup there is one row
+              // per URL, so hash(url) alone is stable across reruns
+              unseen.select($"url", $"urlHash", url_host($"url").as("host"),
+                ($"depth" + 1).as("depth"), ($"depth" + 1).as("priority"),
+                (lit((round.toLong + 1) * IdxSpan) + pmod(xxhash64($"url"), lit(IdxSpan)))
+                  .as("discoveryIdx"),
+                lit(0L).as("nextFetchTime"))
+            }).persist()
 
-            val Row(nlCntAny, nlMinAny, nlMaxAny) = timed("t_nlagg") {
-              newEntries.agg(count(lit(1)), min($"discoveryIdx"), max($"discoveryIdx")).head() }
+            // polite idx bounds are analytic ((round+1)·span … (round+2)·span)
+            // and the watermark never moves, so only FIFO pays for min/max
+            val (nlCnt, nlMin, nlMax) = timed("t_nlagg") {
+              if (cfg.fifoParity) {
+                val Row(c, mn, mx) =
+                  newEntries.agg(count(lit(1)), min($"discoveryIdx"), max($"discoveryIdx")).head()
+                (c.asInstanceOf[Long],
+                  Option(mn).fold(0L)(_.asInstanceOf[Long]),
+                  Option(mx).fold(-1L)(_.asInstanceOf[Long]))
+              } else
+                (newEntries.count(), (round.toLong + 1) * IdxSpan, (round.toLong + 2) * IdxSpan - 1)
+            }
             Await.result(Future.sequence(Seq(wVis, wSides)), Duration.Inf)
-            val nlCnt = nlCntAny.asInstanceOf[Long]
+            val kindCounts = store.readSides(Seq(round)).get
+              .groupBy("kind").count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            val errCnt = kindCounts.getOrElse("error", 0L)
+            val redirCnt = kindCounts.getOrElse("redirect", 0L)
+            val retryCnt = kindCounts.getOrElse("retry", 0L)
             val seg = round + 1
             if (nlCnt > 0) timed("t_wseg") {
               newEntries.write.mode("overwrite").parquet(store.segPath(seg)) }
@@ -508,7 +591,7 @@ final class FrontierCrawler(
                 round - bloomRound >= cfg.bloomUpdateEvery
             if (cfg.bloomEnabled && bloomStale) timed("t_bloom") {
               val deltaRounds = (m.visitedRounds :+ round).filter(_ > bloomRound)
-              val deltas = spark.read.parquet(deltaRounds.map(store.visitedPath): _*)
+              val deltas = store.readVisited(deltaRounds).get
               if (bucketMode) {
                 store.saveBloomBuckets(round, bloomRound, deltas, cfg.bloomBuckets,
                   math.max(cfg.bloomExpectedItems / cfg.bloomBuckets, 1024L), cfg.bloomFpp)
@@ -545,21 +628,20 @@ final class FrontierCrawler(
             val newNextIdx =
               if (cfg.fifoParity) m.nextIdx + nlCnt else (round.toLong + 2) * IdxSpan
             var liveSegs = (m.liveSegs ++
-              (if (nlCnt > 0) Seq(CheckpointStore.SegInfo(seg, nlMinAny.asInstanceOf[Long],
-                nlMaxAny.asInstanceOf[Long], nlCnt)) else Nil))
+              (if (nlCnt > 0) Seq(CheckpointStore.SegInfo(seg, nlMin, nlMax, nlCnt)) else Nil))
               .filter(_.maxIdx > newWatermark)
 
             // polite-mode compaction: drop already-visited rows from the
             // frontier every compactEvery rounds (consumed rows are filtered
             // by the anti-join either way; this bounds storage)
             if (!cfg.fifoParity && round > 0 && round % cfg.compactEvery == 0 && liveSegs.nonEmpty) {
-              val liveDf = spark.read.parquet(liveSegs.map(s => store.segPath(s.seg)): _*)
+              val liveDf = store.readSegsRaw(liveSegs.map(_.seg))
               val compacted = store.readVisited(m.visitedRounds :+ round)
                 .fold(liveDf)(v => liveDf.join(v.select("url"), Seq("url"), "left_anti"))
               val cSeg = 1000000 + round
               compacted.write.mode("overwrite").parquet(store.segPath(cSeg))
               val Row(cCnt, cMin, cMax) =
-                spark.read.parquet(store.segPath(cSeg)).agg(count(lit(1)), min($"discoveryIdx"), max($"discoveryIdx")).head()
+                store.readSegsRaw(Seq(cSeg)).agg(count(lit(1)), min($"discoveryIdx"), max($"discoveryIdx")).head()
               liveSegs =
                 if (cCnt.asInstanceOf[Long] == 0) Nil
                 else Seq(CheckpointStore.SegInfo(cSeg, cMin.asInstanceOf[Long], cMax.asInstanceOf[Long],
