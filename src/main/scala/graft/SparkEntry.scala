@@ -59,7 +59,8 @@ object SparkEntry {
     "q25_image_roundtrip" -> ContractQueries.q25ImageRoundtrip _,
     "q26_jaccard_capped" -> ContractQueries.q26JaccardCapped _,
     "q27_minhash_capped" -> ContractQueries.q27MinhashCapped _,
-    "q28_hot_tokens" -> ContractQueries.q28HotTokens _)
+    "q28_hot_tokens" -> ContractQueries.q28HotTokens _,
+    "q29_simhash_near_dup" -> ContractQueries.q29SimhashNearDup _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -337,6 +338,30 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents WHERE doc_id < 40)
         |GROUP BY token HAVING count(*) > 20 ORDER BY token""".stripMargin,
+
+    "q29_simhash_near_dup" -> {
+      val sums = (0 until 16).map(j =>
+        s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n  ")
+      val sig = (0 until 16).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END").mkString(" + ")
+      val blocks = (0 until 4).map(b =>
+        s"SELECT doc_id, simhash, $b AS blk, (simhash // ${1L << (4 * b)}) % 16 AS bval FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE doc_id < 300),
+         |hs AS (SELECT doc_id, $H AS h FROM toks),
+         |sums AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sig AS simhash FROM sums),
+         |blocks AS ($blocks)
+         |SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+         |  bit_count(xor(l.simhash, r.simhash))::INTEGER AS hamming
+         |FROM blocks l JOIN blocks r
+         |  ON l.blk = r.blk AND l.bval = r.bval AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin
+    },
 
     "q22_url_normalize" ->
       """SELECT doc_id,

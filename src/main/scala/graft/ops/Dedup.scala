@@ -102,6 +102,32 @@ object Dedup {
     withSums.select(col(idCol), sig.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs within a hamming radius, bucketed by
+    * pigeonhole: the signature's bits split into `maxHamming + 1` blocks —
+    * two signatures within the radius must agree EXACTLY on at least one
+    * block — so candidates join on (block index, block value), never
+    * all-pairs, and are verified with an exact popcount. The standard
+    * hamming-LSH construction for near-dup mining at corpus scale.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 16): DataFrame = {
+    val sig = simhash(df, idCol, textCol, bits)
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
+    val blocks = (0 until nBlocks).map { b =>
+      val lo = bounds(b)
+      val w = bounds(b + 1) - lo
+      sig.select(col(idCol), col("simhash"), lit(b).as("blk"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("bval"))
+    }.reduce(_ unionByName _)
+    val l = blocks.select(col("blk"), col("bval"), col(idCol).as("d1"), col("simhash").as("s1"))
+    val r = blocks.select(col("blk"), col("bval"), col(idCol).as("d2"), col("simhash").as("s2"))
+    l.join(r, Seq("blk", "bval")).filter(col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming").distinct()
+  }
+
   /** Token-set Jaccard similarity for all pairs sharing ≥1 token; rounded to
     * 6 places. Candidate generation is by token co-occurrence (shuffle on
     * token) — quadratic only within a token's posting list.

@@ -74,12 +74,21 @@ object Similarity {
     * [[cosineTopK]] rather than oracle-hashed.)
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+      queryId: Long, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      fitSample: Long = 200000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
       .withColumn("features", array_to_vector(col("e")))
-    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(e)
+    // the quantizer only needs a representative sample — at 10^9 vectors
+    // fitting on the full corpus would iterate the whole table 10×; a
+    // deterministic hash-sample of ~fitSample rows trains centroids of the
+    // same quality (standard IVF practice), then assignment is one pass
+    val nRows = e.count()
+    val train =
+      if (nRows <= fitSample) e
+      else e.filter(pmod(xxhash64(col(idCol)), lit(nRows / fitSample)) === 0)
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(train)
     val assigned = model.transform(e).withColumnRenamed("prediction", "list")
 
     // nProbe centroids closest to the query vector (tiny, driver-side)

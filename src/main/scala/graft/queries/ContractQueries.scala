@@ -208,6 +208,12 @@ object ContractQueries {
     Dedup.minhashCandidatePairs(t(spark, dir, "documents").filter(col("doc_id") < 1000),
       "doc_id", "text", maxBandPopulation = 50L).orderBy("d1", "d2")
 
+  /** SimHash near-dup pairs within hamming radius 3, pigeonhole-bucketed
+    * (4 blocks of 4 bits; candidates join on exact block equality). */
+  def q29SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(t(spark, dir, "documents").filter(col("doc_id") < 300),
+      "doc_id", "text", maxHamming = 3).orderBy("d1", "d2")
+
   /** Audit relation of q26's cap: the dropped hot tokens + frequencies. */
   def q28HotTokens(spark: SparkSession, dir: String): DataFrame =
     Dedup.hotTokens(t(spark, dir, "documents").filter(col("doc_id") < 40),

@@ -46,6 +46,21 @@ class DedupCapSpec extends AnyFunSuite {
     dropped.foreach { case (t, n) => assert(n == dfreq(t).toLong) }
   }
 
+  test("simhashNearDup: pigeonhole bucketing finds EXACTLY the ≤r-hamming pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = 3
+    val expected = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= r
+    } yield (d1, d2, h)).toSet
+    val got = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = r)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
   test("minhash band cap: pairs equal recompute from capped buckets; capped ⊆ uncapped") {
     val cap = 5L
     val docs = spark.read.parquet(s"$sf/documents.parquet")
