@@ -110,16 +110,26 @@ object Dedup {
     * hamming-LSH construction for near-dup mining at corpus scale.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bits: Int = 16): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 16,
+      maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
     val sig = simhash(df, idCol, textCol, bits)
     val nBlocks = maxHamming + 1
     val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
-    val blocks = (0 until nBlocks).map { b =>
+    val blocks0 = (0 until nBlocks).map { b =>
       val lo = bounds(b)
       val w = bounds(b + 1) - lo
       sig.select(col(idCol), col("simhash"), lit(b).as("blk"),
         shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("bval"))
     }.reduce(_ unionByName _)
+    // same skew guard as the other pair generators: a block value shared by
+    // n documents emits O(n²) candidates — drop over-populated buckets whole
+    val blocks =
+      if (maxBlockPopulation == Long.MaxValue) blocks0
+      else {
+        val keep = blocks0.groupBy("blk", "bval").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBlockPopulation).select("blk", "bval")
+        blocks0.join(keep, Seq("blk", "bval"))
+      }
     val l = blocks.select(col("blk"), col("bval"), col(idCol).as("d1"), col("simhash").as("s1"))
     val r = blocks.select(col("blk"), col("bval"), col(idCol).as("d2"), col("simhash").as("s2"))
     l.join(r, Seq("blk", "bval")).filter(col("d1") < col("d2"))

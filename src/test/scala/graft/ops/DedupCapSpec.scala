@@ -59,6 +59,11 @@ class DedupCapSpec extends AnyFunSuite {
       .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
     assert(got == expected, s"${got.size} vs ${expected.size}")
     assert(got.nonEmpty)
+    // the block-population skew cap only ever removes pairs
+    val capped = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = r,
+      maxBlockPopulation = 5L)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    assert(capped.subsetOf(got) && capped.size < got.size)
   }
 
   test("minhash band cap: pairs equal recompute from capped buckets; capped ⊆ uncapped") {
