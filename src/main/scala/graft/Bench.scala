@@ -17,7 +17,8 @@ object Bench {
     * skewed graph crawled in polite mode with high per-host budgets. */
   def crawlBench(spark: SparkSession, nHosts: Int, pagesPerHost: Int,
       budget: Int, maxRounds: Int, cachePages: Boolean = true,
-      bloomExpected: Long = 2L * 1000 * 1000): (Double, Long) = {
+      bloomExpected: Long = 2L * 1000 * 1000,
+      bloomBuckets: Int = 0): (Double, Long) = {
     import spark.implicits._
     val params = SiteGraph.GraphParams(nHosts = nHosts, pagesPerHost = pagesPerHost,
       linksPerPage = 6, redirectFrac = 0.03, errorFrac = 0.03, deadLinkFrac = 0.01,
@@ -41,7 +42,8 @@ object Bench {
       java.nio.file.Paths.get("/dev/shm"), "graft-bench-").toString
     val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
       perHostBudget = budget, saltBuckets = 16, bloomEnabled = true,
-      bloomExpectedItems = bloomExpected, maxRounds = maxRounds,
+      bloomExpectedItems = bloomExpected, bloomBuckets = bloomBuckets,
+      maxRounds = maxRounds,
       compactEvery = 1000000, checkpointDir = Some(ckpt), // no compaction inside the timed window
       closureBuckets = 32) // big join side never shuffles
     val t0 = System.nanoTime()
