@@ -50,6 +50,22 @@ object PoliteStream {
       }
   }
 
+  /** Streaming URL-seen dedup (U3/J1 in streaming form): admit each URL the
+    * first time it is discovered; re-discoveries within the watermark
+    * horizon are dropped with bounded keyed state
+    * (`dropDuplicatesWithinWatermark`). The continuous counterpart of the
+    * batch engine's Bloom-prefiltered anti-join — on a real deployment the
+    * horizon is the frontier's re-discovery window and the batch visited
+    * store handles anything older. */
+  def firstSeen(entries: Dataset[StreamEntry],
+      watermarkDelay: String = "10 minutes"): Dataset[StreamEntry] = {
+    import entries.sparkSession.implicits._
+    entries
+      .withWatermark("eventTime", watermarkDelay)
+      .dropDuplicatesWithinWatermark("url")
+      .as[StreamEntry]
+  }
+
   /** Event-time fetch-rate observability: tumbling-window per-host counts
     * with a watermark for state cleanup (S6-style metrics, streaming). */
   def hostRates(entries: Dataset[StreamEntry], windowLen: String,

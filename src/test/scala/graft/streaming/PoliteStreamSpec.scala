@@ -42,6 +42,24 @@ class PoliteStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("firstSeen: streaming URL-seen dedup across micro-batches, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEntry]
+    val out = PoliteStream.firstSeen(in.toDS(), watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("seen")
+      .outputMode("append").start()
+    try {
+      in.addData(entry("u1", "a.com", 1), entry("u1", "a.com", 2), entry("u2", "a.com", 3))
+      q.processAllAvailable()
+      // a later micro-batch re-discovering u1/u2 inside the horizon is dropped
+      in.addData(entry("u1", "a.com", 10), entry("u2", "b.com", 11), entry("u3", "b.com", 12))
+      q.processAllAvailable()
+      val urls = spark.table("seen").as[StreamEntry].collect().map(_.url).sorted.toSeq
+      assert(urls == Seq("u1", "u2", "u3"))
+    } finally q.stop()
+  }
+
   test("windowed host rates with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
