@@ -99,4 +99,30 @@ class CrawlerParitySpec extends AnyFunSuite {
     assert(order(resumed) == order(full))
     assert(resumed.stats == full.stats)
   }
+
+  test("crash tolerance: orphan files from a half-written round are invisible to resume") {
+    val p = SiteGraph.GraphParams(nHosts = 1, pagesPerHost = 40, linksPerPage = 3,
+      redirectFrac = 0.1, errorFrac = 0.1, seed = 11L)
+    val pages = SiteGraph.localPages(p)
+    val seed = firstOkUrl(pages)
+    val full = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(maxConcurrent = 5)).crawl(seed)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-").toString
+    new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(maxConcurrent = 5, maxRounds = 2, checkpointDir = Some(dir))).crawl(seed)
+    // simulate a crash mid-round-2: state deltas partially written (and
+    // corrupt), but no manifest committed for the round — resume must
+    // overwrite them without ever reading them
+    import java.nio.file.{Files => F, Paths}
+    for (sub <- Seq("visitlog/round=2", "sides/round=2", "visited/round=2", "frontier/seg=3")) {
+      val d = Paths.get(dir, sub)
+      F.createDirectories(d)
+      F.write(d.resolve("part-00000-garbage.parquet"), Array[Byte](1, 2, 3))
+    }
+    val resumed = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(maxConcurrent = 5, checkpointDir = Some(dir))).crawl(seed)
+    assert(resumed.sortedFound == full.sortedFound)
+    assert(resumed.stats == full.stats)
+  }
 }
