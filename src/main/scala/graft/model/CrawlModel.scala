@@ -51,6 +51,10 @@ final case class CrawlConfig(
     bloomExpectedItems: Long = 4L * 1000 * 1000,
     bloomFpp: Double = 0.01,
     bloomUpdateEvery: Int = 4,
+    // below this many live frontier rows (known exactly from segment
+    // metadata) the Bloom prefilter is skipped for the round — the plain
+    // anti-join is cheaper than the probe/union machinery at small scale
+    bloomMinFrontierRows: Long = 1L << 16,
     // > 0: the seen-filter is partitioned into this many urlHash buckets,
     // built distributively and loaded per task (SCALE.md §2.1 — at 10^10 the
     // filter is GBs and cannot be one broadcast blob); 0 = single broadcast

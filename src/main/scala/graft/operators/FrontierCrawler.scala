@@ -380,8 +380,13 @@ final class FrontierCrawler(
           val bloomBc = bloom.map(b => spark.sparkContext.broadcast(b))
           // native codegen'd probes — keep the eligibility filter fused
           // (a UDF here would break WholeStageCodegen on the hot path)
+          // tiny frontiers (exact size known from segment metadata) skip the
+          // probe/union machinery — the plain anti-join is cheaper until the
+          // frontier outgrows cfg.bloomMinFrontierRows
+          val frontierRows = m.liveSegs.map(_.rows).sum
           val probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
-            if (bucketMode && bloomRound >= 0) {
+            if (frontierRows < cfg.bloomMinFrontierRows) None
+            else if (bucketMode && bloomRound >= 0) {
               val handle = new graft.functions.BloomBucketHandle(ckptDir, bloomRound, cfg.bloomBuckets)
               Some(h => graft.functions.BloomFunctions.bloom_bucket_might_contain(h, handle))
             } else bloomBc.map(bc =>

@@ -47,6 +47,7 @@ class BloomBucketSpec extends AnyFunSuite {
     def run(buckets: Int, enabled: Boolean) = new FrontierCrawler(spark, pages.toDS(),
       CrawlConfig(fifoParity = false, sameDomainOnly = false, perHostBudget = 3,
         saltBuckets = 4, bloomEnabled = enabled, bloomBuckets = buckets,
+        bloomMinFrontierRows = 0L,
         bloomExpectedItems = 100000L, bloomUpdateEvery = 1))
       .crawlSeeds(seeds.toDF("url"))
     val bucketed = run(8, enabled = true)
@@ -69,6 +70,7 @@ class BloomBucketSpec extends AnyFunSuite {
       pages.find(r => r.status == 200 && r.url.startsWith(s"http://site$h.com")).map(_.url))
     def cfg(dir: Option[String], rounds: Int) = CrawlConfig(fifoParity = false,
       sameDomainOnly = false, perHostBudget = 3, bloomEnabled = true, bloomBuckets = 4,
+      bloomMinFrontierRows = 0L,
       bloomExpectedItems = 100000L, bloomUpdateEvery = 1, maxRounds = rounds,
       checkpointDir = dir)
     val full = new FrontierCrawler(spark, pages.toDS(), cfg(None, Int.MaxValue))

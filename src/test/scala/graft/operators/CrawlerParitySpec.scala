@@ -65,7 +65,7 @@ class CrawlerParitySpec extends AnyFunSuite {
     val pages = SiteGraph.localPages(p)
     val seed = pages.find(p0 => p0.status == 200 && p0.url.contains("site1.")).get.url
     runBoth(pages, seed, CrawlConfig(maxConcurrent = 6,
-      bloomEnabled = true, bloomExpectedItems = 100000L))
+      bloomEnabled = true, bloomExpectedItems = 100000L, bloomMinFrontierRows = 0L))
   }
 
   test("invalid seed raises, like the reference (`src/web_crawler.py:205-206`)") {

@@ -43,6 +43,7 @@ class PoliteSchedulerSpec extends AnyFunSuite {
     val budget = 3
     val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
       perHostBudget = budget, saltBuckets = 4, bloomEnabled = true,
+      bloomMinFrontierRows = 0L, // force the probe path on this small fixture
       bloomExpectedItems = 100000L)
     val out = new FrontierCrawler(spark, pages.toDS(), cfg)
       .crawlSeeds(seeds.toDF("url"))
