@@ -64,7 +64,16 @@ final case class CrawlConfig(
     closureBuckets: Int = 0,
     maxRounds: Int = Int.MaxValue,
     compactEvery: Int = 8,
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None) {
+
+  /** The request headers a live HTTP fetcher sends at the fetch boundary
+    * (`src/web_crawler.py:68-75`). */
+  def requestHeaders: Map[String, String] = Map(
+    "User-Agent" -> userAgent,
+    "Accept" -> "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+    "Accept-Encoding" -> "gzip, deflate",
+    "Accept-Language" -> "en-US,en;q=0.5")
+}
 
 /** Frontier entry — the typed Dataset row of the URL frontier.
   *

@@ -56,6 +56,20 @@ class FacadeSpec extends AnyFunSuite {
     assert(e10.isEmpty)
   }
 
+  test("config defaults and request headers match the reference") {
+    val c = CrawlConfig() // reference test_default_config / test_get_headers
+    assert(c.delay == 0.1 && c.maxRedirects == 10 && c.maxConcurrent == 10 && c.timeout == 10)
+    assert(c.userAgent.contains("MyCrawler/1.0"))
+    val h = c.requestHeaders
+    assert(h("User-Agent") == c.userAgent)
+    assert(h("Accept") == "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8")
+    assert(h("Accept-Encoding") == "gzip, deflate")
+    assert(h("Accept-Language") == "en-US,en;q=0.5")
+    val custom = CrawlConfig(delay = 0.5, maxRedirects = 5, maxConcurrent = 20,
+      timeout = 30, userAgent = "CustomBot/1.0")
+    assert(custom.requestHeaders("User-Agent") == "CustomBot/1.0")
+  }
+
   test("CLI parse: argparse-parity errors, help, flags") {
     import CrawlCli.{parseArgs, CliUsageError, HelpRequested}
     val ok = parseArgs(Array("http://a.com", "--pages", "p.parquet",
