@@ -119,6 +119,9 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // untimed micro-crawl: compiles/JITs the round plans once so the timed
+    // crawl measures steady-state rounds, not first-plan codegen
+    crawlBench(spark, nHosts = 4, pagesPerHost = 40, budget = 8, maxRounds = 2)
     val (crawlSecs, crawlWork) = crawlBench(spark, nHosts = 48,
       pagesPerHost = 1500, budget = 256, maxRounds = 6)
     val urlsPerSec = crawlWork / crawlSecs
