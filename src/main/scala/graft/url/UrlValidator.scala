@@ -60,7 +60,15 @@ object UrlValidator {
     }
   }
 
-  def isIpv6(s: String): Boolean = {
+  def isIpv6(s0: String): Boolean = {
+    // CPython ipaddress (3.9+) accepts a scoped address `addr%zone`: the
+    // zone id must be non-empty and contain no further '%'
+    val pct = s0.indexOf('%')
+    val s = if (pct < 0) s0 else {
+      val zone = s0.substring(pct + 1)
+      if (zone.isEmpty || zone.contains('%')) return false
+      s0.substring(0, pct)
+    }
     if (!s.contains(":")) return false
     val dbl = s.indexOf("::")
     if (dbl >= 0 && s.indexOf("::", dbl + 1) >= 0) return false // one '::' max

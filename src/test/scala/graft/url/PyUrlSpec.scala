@@ -109,6 +109,11 @@ class PyUrlSpec extends AnyFunSuite {
       .foreach(ip => assert(UrlValidator.isValidIp(ip), ip))
     Seq("256.1.1.1", "1.2.3", "1.2.3.4.5", "a.b.c.d", "01.2.3.4", "")
       .foreach(ip => assert(!UrlValidator.isValidIp(ip), ip))
+    // scoped IPv6 (CPython ipaddress 3.9+ zone-id rules)
+    Seq("fe80::1%lo0", "::1%eth0", "fe80::1%0")
+      .foreach(ip => assert(UrlValidator.isValidIp(ip), ip))
+    Seq("fe80::1%", "fe80::1%e%x", "%lo0", "1.2.3.4%lo0")
+      .foreach(ip => assert(!UrlValidator.isValidIp(ip), ip))
 
     // reserved TLDs / private IPs (pure semantic stage)
     Seq("http://foo.invalid/x", "http://site.example", "http://x.test", "http://h.localhost",
