@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.TestSpark
+import graft.model.CrawlConfig
+import graft.operators.{FrontierCrawler, ImageWriteback}
+import graft.ops.{MediaRow, Multimodal, Similarity}
+import graft.sources.{IceLite, ImageGen, SiteGraph}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The whole engine as one training-data pipeline: crawl a synthetic site,
+  * MERGE the visited pages' image payloads into the phash-partitioned
+  * snapshot table, extract 64-dim features from the stored bytes through
+  * the multimodal batch operators, and find near-duplicate images with the
+  * embedding-similarity operators — planted pixel-duplicates must surface
+  * as cosine≈1 pairs, unrelated images must not.
+  */
+class PipelineIntegrationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("crawl → snapshot-table MERGE → features → near-dup detection") {
+    // 1. a synthetic site whose 200-pages carry image payload pointers
+    val pages = SiteGraph.localPages(SiteGraph.GraphParams(
+      nHosts = 1, pagesPerHost = 60, linksPerPage = 4,
+      redirectFrac = 0.05, errorFrac = 0.05, seed = 23L))
+    val ids = pages.flatMap(_.imageId)
+    // payload table: every 6th image repeats the content of image 5 (same
+    // pixels ⇒ same phash ⇒ MERGE dedup collapses them)
+    val imgs = ids.zipWithIndex.map { case (id, i) =>
+      ImageGen.imageFor(i.toLong, seed = 9L, dupEvery = 6).copy(image_id = id)
+    }
+    val seed = pages.find(_.status == 200).get.url
+
+    // 2. crawl + writeback with MERGE-on-phash into a partitioned table
+    val out = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(maxConcurrent = 10)).crawl(seed)
+    val table = new IceLite(spark, Files.createTempDirectory("pipeline-").toString,
+      partition = Some(IceLite.phashPartition()))
+    val inserted = ImageWriteback.ingest(out, pages.toDS(), imgs.toDS(), table)
+    assert(inserted > 0)
+    // table is keyed by phash — planted duplicates collapsed
+    val stored = table.read().cache()
+    assert(stored.select("phash").distinct().count() == stored.count())
+
+    // 3. features from the STORED bytes (decode runs on what the table holds)
+    val media = stored.select("image_id", "bytes").as[(String, Array[Byte])]
+      .map { case (id, bytes) => MediaRow(id, "image", bytes, Map.empty) }
+    val feats = Multimodal.extractFeatures(media)
+      .map(f => (f.media_id, f.feature.map(_.toDouble)))
+      .toDF("image_id", "embedding")
+    assert(feats.select(size($"embedding")).distinct().as[Int].collect().toSeq == Seq(64))
+
+    // 4. ANN near-dup over the features: distinct phashes mean no exact
+    // duplicates remain, so require NO cosine-0.999 pair (the planted dupes
+    // were already collapsed by the MERGE) while similar gradients may pair
+    // at lower thresholds
+    val keyed = feats.withColumn("vid", xxhash64($"image_id"))
+    val exact = Similarity.nearDupPairs(keyed, "vid", "embedding", threshold = 0.999999)
+    assert(exact.count() == 0, "duplicate content survived the MERGE")
+
+    // 5. negative control: without the MERGE (plain append), the planted
+    // duplicates DO surface as cosine=1 pairs through the same feature+ANN path
+    val raw = imgs.toDF()
+    val rawFeats = Multimodal.extractFeatures(
+        raw.select("image_id", "bytes").as[(String, Array[Byte])]
+          .map { case (id, bytes) => MediaRow(id, "image", bytes, Map.empty) })
+      .map(f => (f.media_id, f.feature.map(_.toDouble))).toDF("image_id", "embedding")
+      .withColumn("vid", xxhash64($"image_id"))
+    val dupPairs = Similarity.nearDupPairs(rawFeats, "vid", "embedding", threshold = 0.999999)
+    assert(dupPairs.count() > 0, "planted duplicates not detected pre-MERGE")
+    stored.unpersist()
+  }
+}
