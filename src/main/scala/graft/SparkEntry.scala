@@ -60,7 +60,8 @@ object SparkEntry {
     "q26_jaccard_capped" -> ContractQueries.q26JaccardCapped _,
     "q27_minhash_capped" -> ContractQueries.q27MinhashCapped _,
     "q28_hot_tokens" -> ContractQueries.q28HotTokens _,
-    "q29_simhash_near_dup" -> ContractQueries.q29SimhashNearDup _)
+    "q29_simhash_near_dup" -> ContractQueries.q29SimhashNearDup _,
+    "q30_bigram_jaccard" -> ContractQueries.q30BigramJaccard _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -338,6 +339,26 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents WHERE doc_id < 40)
         |GROUP BY token HAVING count(*) > 20 ORDER BY token""".stripMargin,
+
+    "q30_bigram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 120),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS token
+        |  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS r(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) >= 0.05
+        |ORDER BY d1, d2""".stripMargin,
 
     "q29_simhash_near_dup" -> {
       val sums = (0 until 16).map(j =>

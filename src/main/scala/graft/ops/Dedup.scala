@@ -27,6 +27,19 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_copies"), min(idCol).as("keep_id"))
 
+  /** Distinct word-`n`-gram shingles per document (n=1 ⇒ plain tokens). */
+  def shingleTokens(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    if (n <= 1)
+      df.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
+    else {
+      val toks = split(col(textCol), " ")
+      df.filter(size(toks) >= n)
+        .select(col(idCol), explode(expr(
+          s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+            s"i -> array_join(slice(split($textCol, ' '), i, $n), ' '))")).as("token"))
+        .distinct()
+    }
+
   /** (id, token) relation of distinct whitespace tokens with hash column. */
   def distinctTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
@@ -148,10 +161,15 @@ object Dedup {
     * the token universe BEFORE set sizes are computed (standard
     * stopword-removal semantics — Jaccard is over the reduced universe);
     * audit the dropped tokens via [[hotTokens]].
+    *
+    * `ngram > 1` shingles the text into word n-grams first (documents with
+    * fewer than `ngram` tokens have an empty shingle set and emit no
+    * pairs) — order-sensitive near-dup detection, the form used on large
+    * text corpora where unigram sets are too permissive.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDf: Long = Long.MaxValue): DataFrame = {
-    val toks0 = df.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
+      threshold: Double, maxDf: Long = Long.MaxValue, ngram: Int = 1): DataFrame = {
+    val toks0 = shingleTokens(df, idCol, textCol, ngram)
     val toks =
       if (maxDf == Long.MaxValue) toks0
       else {

@@ -208,6 +208,13 @@ object ContractQueries {
     Dedup.minhashCandidatePairs(t(spark, dir, "documents").filter(col("doc_id") < 1000),
       "doc_id", "text", maxBandPopulation = 50L).orderBy("d1", "d2")
 
+  /** Word-bigram Jaccard near-dup pairs: order-sensitive shingle sets
+    * (unigram sets are near-degenerate on a small vocabulary; bigrams make
+    * similarity mean shared word ORDER, the form used on text corpora). */
+  def q30BigramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(spark, dir, "documents").filter(col("doc_id") < 120),
+      "doc_id", "text", threshold = 0.05, ngram = 2).orderBy("d1", "d2")
+
   /** SimHash near-dup pairs within hamming radius 3, pigeonhole-bucketed
     * (4 blocks of 4 bits; candidates join on exact block equality). */
   def q29SimhashNearDup(spark: SparkSession, dir: String): DataFrame =

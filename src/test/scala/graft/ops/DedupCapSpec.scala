@@ -46,6 +46,25 @@ class DedupCapSpec extends AnyFunSuite {
     dropped.foreach { case (t, n) => assert(n == dfreq(t).toLong) }
   }
 
+  test("jaccardPairs ngram: bigram shingles equal set-math recompute") {
+    val sets = docSets(40)
+    val grams = sets.keys.map { d =>
+      val toks = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") === d).select("text").collect()(0).getString(0).split(" ")
+      d -> toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }.toMap
+    val expected = (for {
+      (d1, s1) <- grams; (d2, s2) <- grams if d1 < d2
+      inter = s1.intersect(s2).size if inter > 0
+      j = BigDecimal(inter.toDouble / (s1.size + s2.size - inter))
+        .setScale(6, RoundingMode.HALF_UP).toDouble if j >= 0.02
+    } yield (d1, d2, j)).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 40)
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.02, ngram = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+  }
+
   test("simhashNearDup: pigeonhole bucketing finds EXACTLY the ≤r-hamming pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sigs = Dedup.simhash(docs, "doc_id", "text")
