@@ -61,7 +61,8 @@ object SparkEntry {
     "q27_minhash_capped" -> ContractQueries.q27MinhashCapped _,
     "q28_hot_tokens" -> ContractQueries.q28HotTokens _,
     "q29_simhash_near_dup" -> ContractQueries.q29SimhashNearDup _,
-    "q30_bigram_jaccard" -> ContractQueries.q30BigramJaccard _)
+    "q30_bigram_jaccard" -> ContractQueries.q30BigramJaccard _,
+    "q31_hot_bigrams" -> ContractQueries.q31HotBigrams _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -339,6 +340,16 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents WHERE doc_id < 40)
         |GROUP BY token HAVING count(*) > 20 ORDER BY token""".stripMargin,
+
+    "q31_hot_bigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 120),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS token
+        |  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS r(i))
+        |SELECT token, count(*) AS doc_freq FROM sh
+        |GROUP BY token HAVING count(*) > 2 ORDER BY token""".stripMargin,
 
     "q30_bigram_jaccard" ->
       """WITH t AS (

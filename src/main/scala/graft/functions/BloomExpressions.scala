@@ -72,8 +72,8 @@ object BloomFunctions {
   * probes return false via a shared empty filter.
   */
 object BloomBucketStore {
-  def path(dir: String, round: Int, bucket: Int): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, "bloombuckets", s"round=$round", s"bucket=$bucket.bin")
+  def path(dir: String, round: Int, bucket: Int): String =
+    s"$dir/bloombuckets/round=$round/bucket=$bucket.bin"
 
   /** Empty filter (all bits zero): `mightContainLong` is always false. */
   private val Empty: BloomFilter = BloomFilter.create(1)
@@ -84,14 +84,18 @@ object BloomBucketStore {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), (Int, BloomFilter)]()
 
-  def load(dir: String, round: Int, bucket: Int): BloomFilter = {
+  /** Bucket files are read through the Hadoop FileSystem API (StateFs), so
+    * the snapshot lives on whatever distributed store `dir`'s scheme names —
+    * the executor reading a bucket is never assumed to share a disk with
+    * the task that built it. */
+  def load(sfs: graft.io.StateFs, dir: String, round: Int, bucket: Int): BloomFilter = {
     val key = (dir, bucket)
     val cur = cache.get(key)
     if (cur != null && cur._1 == round) return cur._2
     val pp = path(dir, round, bucket)
     val f =
-      if (java.nio.file.Files.exists(pp)) {
-        val in = new java.io.BufferedInputStream(new java.io.FileInputStream(pp.toFile))
+      if (sfs.exists(pp)) {
+        val in = new java.io.BufferedInputStream(sfs.open(pp))
         try BloomFilter.readFrom(in) finally in.close()
       } else Empty
     cache.put(key, (round, f))
@@ -100,11 +104,12 @@ object BloomBucketStore {
 }
 
 /** Task-side probe handle for one snapshot round of the bucket store. Ships
-  * as a tiny reference object in the plan (dir + round + bucket count); each
-  * task materializes only the buckets its rows hash into. Per-row cost after
-  * warm-up is an array read + one `mightContainLong`.
+  * as a tiny reference object in the plan (dir + round + bucket count + the
+  * Hadoop conf); each task materializes only the buckets its rows hash into.
+  * Per-row cost after warm-up is an array read + one `mightContainLong`.
   */
-final class BloomBucketHandle(val dir: String, val round: Int, val nBuckets: Int)
+final class BloomBucketHandle(val dir: String, val round: Int, val nBuckets: Int,
+    val sfs: graft.io.StateFs = graft.io.StateFs.local)
     extends Serializable {
   @transient private lazy val local =
     new java.util.concurrent.atomic.AtomicReferenceArray[BloomFilter](nBuckets)
@@ -112,7 +117,7 @@ final class BloomBucketHandle(val dir: String, val round: Int, val nBuckets: Int
     val b = java.lang.Math.floorMod(h, nBuckets.toLong).toInt
     var f = local.get(b)
     if (f == null) {
-      f = BloomBucketStore.load(dir, round, b)
+      f = BloomBucketStore.load(sfs, dir, round, b)
       local.set(b, f)
     }
     f.mightContainLong(h)

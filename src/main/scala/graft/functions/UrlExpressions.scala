@@ -99,6 +99,21 @@ case class UrlSecurityValid(child: Expression)
     copy(child = newChild)
 }
 
+/** URL path component — Python `urlparse(url).path` semantics; feeds the
+  * scheduler's robots Disallow-prefix filter (F14/J4). */
+case class UrlPath(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_path"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKernels.urlPath(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.urlPath($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlPath =
+    copy(child = newChild)
+}
+
 /** 1→N href generator over a raw-HTML column (G1 in SURVEY.md §2.6). */
 case class ExtractHrefs(child: Expression)
     extends UnaryExpression with StringInputCheck {
@@ -118,6 +133,7 @@ object UrlFunctions {
   def normalize_url(c: Column): Column = CB.column(NormalizeUrl(CB.expression(c)))
   def url_resolve(base: Column, ref: Column): Column = CB.column(UrlResolve(CB.expression(base), CB.expression(ref)))
   def url_host(c: Column): Column = CB.column(UrlHost(CB.expression(c)))
+  def url_path(c: Column): Column = CB.column(UrlPath(CB.expression(c)))
   def url_syntactic_valid(c: Column): Column = CB.column(UrlSyntacticValid(CB.expression(c)))
   def url_security_valid(c: Column): Column = CB.column(UrlSecurityValid(CB.expression(c)))
   def extract_hrefs(c: Column): Column = CB.column(ExtractHrefs(CB.expression(c)))
@@ -136,6 +152,7 @@ object UrlFunctions {
     reg.createOrReplaceTempFunction("normalize_url", arity("normalize_url", 1)(es => NormalizeUrl(es.head)), "built-in")
     reg.createOrReplaceTempFunction("url_resolve", arity("url_resolve", 2)(es => UrlResolve(es(0), es(1))), "built-in")
     reg.createOrReplaceTempFunction("url_host", arity("url_host", 1)(es => UrlHost(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("url_path", arity("url_path", 1)(es => UrlPath(es.head)), "built-in")
     reg.createOrReplaceTempFunction("url_syntactic_valid", arity("url_syntactic_valid", 1)(es => UrlSyntacticValid(es.head)), "built-in")
     reg.createOrReplaceTempFunction("url_security_valid", arity("url_security_valid", 1)(es => UrlSecurityValid(es.head)), "built-in")
     reg.createOrReplaceTempFunction("extract_hrefs", arity("extract_hrefs", 1)(es => ExtractHrefs(es.head)), "built-in")

@@ -64,6 +64,11 @@ final case class CrawlConfig(
     closureBuckets: Int = 0,
     maxRounds: Int = Int.MaxValue,
     compactEvery: Int = 8,
+    // Retry-After backoff state up to this many hosts is applied as an
+    // inlined literal filter (cheapest plan); above it, as an anti-join
+    // against the persisted hoststate relation — bounded plan + driver
+    // memory at any cardinality
+    hostBlockInlineMax: Long = 1024L,
     checkpointDir: Option[String] = None) {
 
   /** The request headers a live HTTP fetcher sends at the fetch boundary

@@ -1,15 +1,21 @@
 package graft.operators
 
+import graft.io.StateFs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.util.sketch.BloomFilter
-import java.io.{BufferedInputStream, BufferedOutputStream, FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.io.{BufferedInputStream, BufferedOutputStream}
 import java.util.Properties
 import scala.jdk.CollectionConverters._
 
 /** Per-round crawl state on disk — the north rule's "checkpoints
   * per-partition frontier state (seen-filter snapshots, queue offsets,
   * lineage + fetch metrics) for exact resume" (BASELINE.json `north_rule`).
+  *
+  * Every byte goes through [[graft.io.StateFs]] (the Hadoop FileSystem API),
+  * so `dir` may be a `file:`, `hdfs:`, `s3a:` or any registered-scheme URI —
+  * the layout below works unchanged on the distributed storage a
+  * 1000-executor deployment requires (executors do not share the driver's
+  * local disk; see StateFs for the commit protocol).
   *
   * Layout under `dir`:
   *  - `visited/round=K/`   parquet delta: the URLs first visited in round K
@@ -22,6 +28,9 @@ import scala.jdk.CollectionConverters._
   *  - `sides/round=K/`     error/redirect side-output delta (tagged `kind`)
   *  - `visitlog/round=K/`  (round, batchIdx, url) crawl-ordering lineage
   *  - `bloom/round=K.bin`  serialized URL-seen Bloom filter snapshot
+  *  - `hoststate/round=K/` parquet (host, notBefore) Retry-After backoff
+  *    relation — a relation, not a driver map, so millions of backing-off
+  *    hosts neither blow up driver memory nor inline into the plan
   *  - `manifest/round=K.properties` atomic commit record (written last;
   *    resume reads the highest round with a manifest — partially written
   *    rounds are invisible)
@@ -46,7 +55,9 @@ object CheckpointStore {
       visitedRounds: Seq[Int],
       liveSegs: Seq[SegInfo],
       hasBloom: Boolean,
-      bloomRound: Int = -1)
+      bloomRound: Int = -1,
+      // round whose hoststate/ dir holds the current backoff relation
+      hostStateRound: Int = -1)
 }
 
 final class CheckpointStore(spark: SparkSession, val dir: String,
@@ -59,8 +70,9 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
   import CheckpointStore._
   import org.apache.spark.sql.types._
 
-  private def p(parts: String*): Path = Paths.get(dir, parts: _*)
-  Files.createDirectories(p("manifest"))
+  val sfs: StateFs = StateFs(spark)
+  private def p(parts: String*): String = sfs.child(dir, parts: _*)
+  sfs.mkdirs(p("manifest"))
 
   // Explicit layout schemas: every state read skips driver-side parquet
   // footer inference — at one crawl round per few seconds, the per-read
@@ -78,12 +90,15 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     StructField("url", StringType), StructField("urlHash", LongType)))
   private val sidesSchema = StructType(Seq(
     StructField("url", StringType), StructField("kind", StringType)))
+  private val hostStateSchema = StructType(Seq(
+    StructField("host", StringType), StructField("notBefore", IntegerType)))
 
   def visitedPath(round: Int): String =
-    if (visitedFromLog) visitLogPath(round) else p("visited", s"round=$round").toString
-  def segPath(seg: Int): String = p("frontier", s"seg=$seg").toString
-  def sidesPath(round: Int): String = p("sides", s"round=$round").toString
-  def visitLogPath(round: Int): String = p("visitlog", s"round=$round").toString
+    if (visitedFromLog) visitLogPath(round) else p("visited", s"round=$round")
+  def segPath(seg: Int): String = p("frontier", s"seg=$seg")
+  def sidesPath(round: Int): String = p("sides", s"round=$round")
+  def visitLogPath(round: Int): String = p("visitlog", s"round=$round")
+  def hostStatePath(round: Int): String = p("hoststate", s"round=$round")
 
   def saveManifest(m: Manifest): Unit = {
     val props = new Properties()
@@ -99,24 +114,22 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       m.liveSegs.map(s => s"${s.seg}:${s.minIdx}:${s.maxIdx}:${s.rows}").mkString(","))
     props.setProperty("hasBloom", m.hasBloom.toString)
     props.setProperty("bloomRound", m.bloomRound.toString)
-    val tmp = p("manifest", s".round=${m.round}.tmp")
-    val out = Files.newOutputStream(tmp)
-    try props.store(out, null) finally out.close()
-    Files.move(tmp, p("manifest", s"round=${m.round}.properties"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    props.setProperty("hostStateRound", m.hostStateRound.toString)
+    sfs.writeAtomic(p("manifest", s"round=${m.round}.properties")) { out =>
+      props.store(out, null)
+    }
   }
 
   def latestManifest(): Option[Manifest] = {
-    val mdir = p("manifest").toFile
-    val rounds = Option(mdir.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).collect { case s if s.startsWith("round=") && s.endsWith(".properties") =>
+    val rounds = sfs.listNames(p("manifest"))
+      .collect { case s if s.startsWith("round=") && s.endsWith(".properties") =>
         s.stripPrefix("round=").stripSuffix(".properties").toInt }
     if (rounds.isEmpty) None else Some(loadManifest(rounds.max))
   }
 
   def loadManifest(round: Int): Manifest = {
     val props = new Properties()
-    val in = Files.newInputStream(p("manifest", s"round=$round.properties"))
+    val in = sfs.open(p("manifest", s"round=$round.properties"))
     try props.load(in) finally in.close()
     def seq(key: String): Seq[String] = {
       val v = props.getProperty(key, "")
@@ -136,7 +149,8 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
         SegInfo(a.toInt, b.toLong, c.toLong, d.toLong)
       },
       props.getProperty("hasBloom").toBoolean,
-      props.getProperty("bloomRound", "-1").toInt)
+      props.getProperty("bloomRound", "-1").toInt,
+      props.getProperty("hostStateRound", "-1").toInt)
   }
 
   /** The visited set: union of disjoint per-round deltas (no distinct).
@@ -168,27 +182,24 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
   }
 
   def readSides(rounds: Seq[Int]): Option[DataFrame] = {
-    val existing = rounds.map(sidesPath).filter(pp => Files.exists(Paths.get(pp)))
+    val existing = rounds.map(sidesPath).filter(sfs.exists)
     if (existing.isEmpty) None else Some(spark.read.schema(sidesSchema).parquet(existing: _*))
   }
 
   def readVisitLog(rounds: Seq[Int]): Option[DataFrame] = {
-    val existing = rounds.map(visitLogPath).filter(pp => Files.exists(Paths.get(pp)))
+    val existing = rounds.map(visitLogPath).filter(sfs.exists)
     if (existing.isEmpty) None
     else Some(spark.read.schema(visitLogSchema).parquet(existing: _*))
   }
 
-  def saveBloom(round: Int, bloom: BloomFilter): Unit = {
-    Files.createDirectories(p("bloom"))
-    val tmp = p("bloom", s".round=$round.tmp")
-    val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
-    try bloom.writeTo(out) finally out.close()
-    Files.move(tmp, p("bloom", s"round=$round.bin"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  def saveBloom(round: Int, bloom: BloomFilter): Unit =
+    sfs.writeAtomic(p("bloom", s"round=$round.bin")) { out =>
+      val b = new BufferedOutputStream(out)
+      bloom.writeTo(b); b.flush()
+    }
 
   def loadBloom(round: Int): BloomFilter = {
-    val in = new BufferedInputStream(new FileInputStream(p("bloom", s"round=$round.bin").toFile))
+    val in = new BufferedInputStream(sfs.open(p("bloom", s"round=$round.bin")))
     try BloomFilter.readFrom(in) finally in.close()
   }
 
@@ -196,15 +207,18 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     * §2.1): `deltas` (urlHash column) is identity-partitioned into `nBuckets`
     * by `pmod(urlHash, nBuckets)`; each task builds its bucket's delta
     * filter, merges the previous snapshot's bucket file (same create()
-    * parameters each round, so bit layouts are merge-compatible), and writes
-    * `bloombuckets/round=K/bucket=B.bin` with an atomic rename. The driver
+    * parameters each round, so bit layouts are merge-compatible), and
+    * publishes `bloombuckets/round=K/bucket=B.bin` through StateFs's
+    * attempt-unique atomic write — task retries / speculative attempts of
+    * one bucket never interleave on a shared tmp file, and both attempts
+    * write identical content so either rename winning is correct. The driver
     * never holds a filter — per-round driver cost is O(#buckets) task
     * scheduling, not O(rows).
     */
   def saveBloomBuckets(round: Int, prevRound: Int, deltas: DataFrame,
       nBuckets: Int, expectedPerBucket: Long, fpp: Double): Unit = {
-    Files.createDirectories(p("bloombuckets", s"round=$round"))
     val dirStr = dir
+    val fsRef = sfs // serializable; do not capture `this` in the task closure
     deltas.select("urlHash").rdd
       .map(r => (Math.floorMod(r.getLong(0), nBuckets.toLong).toInt, r.getLong(0)))
       .partitionBy(new IdentityPartitioner(nBuckets))
@@ -213,18 +227,17 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
         var n = 0L
         it.foreach { kv => f.putLong(kv._2); n += 1 }
         val prevPath = graft.functions.BloomBucketStore.path(dirStr, prevRound, bucket)
-        val hasPrev = prevRound >= 0 && Files.exists(prevPath)
+        val hasPrev = prevRound >= 0 && fsRef.exists(prevPath)
         if (hasPrev) {
-          val in = new BufferedInputStream(new FileInputStream(prevPath.toFile))
+          val in = new BufferedInputStream(fsRef.open(prevPath))
           try f.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
         }
         if (n > 0 || hasPrev) {
           val outP = graft.functions.BloomBucketStore.path(dirStr, round, bucket)
-          val tmp = outP.resolveSibling(s".bucket=$bucket.tmp")
-          val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
-          try f.writeTo(out) finally out.close()
-          Files.move(tmp, outP,
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          fsRef.writeAtomic(outP) { out =>
+            val b = new BufferedOutputStream(out)
+            f.writeTo(b); b.flush()
+          }
         }
         Iterator.single(n)
       }.count()
@@ -232,35 +245,24 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
 
   /** Round-local fetch metrics (lineage + fetch metrics per north rule). */
   def saveMetrics(round: Int, kv: Map[String, Long]): Unit = {
-    Files.createDirectories(p("metrics"))
     val props = new Properties()
     kv.foreach { case (k, v) => props.setProperty(k, v.toString) }
-    val out = Files.newOutputStream(p("metrics", s"round=$round.properties"))
-    try props.store(out, null) finally out.close()
-  }
-
-  /** Retry-After host backoff state (host → first eligible round). */
-  def saveHostState(round: Int, state: Map[String, Int]): Unit = {
-    Files.createDirectories(p("hoststate"))
-    val props = new Properties()
-    state.foreach { case (h, nb) => props.setProperty(h, nb.toString) }
-    val out = Files.newOutputStream(p("hoststate", s"round=$round.properties"))
-    try props.store(out, null) finally out.close()
-  }
-
-  def loadHostState(round: Int): Map[String, Int] = {
-    val path = p("hoststate", s"round=$round.properties")
-    if (!Files.exists(path)) return Map.empty
-    val props = new Properties()
-    val in = Files.newInputStream(path)
-    try props.load(in) finally in.close()
-    props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k).toInt).toMap
+    sfs.writeAtomic(p("metrics", s"round=$round.properties"))(out => props.store(out, null))
   }
 
   def loadMetrics(round: Int): Map[String, Long] = {
     val props = new Properties()
-    val in = Files.newInputStream(p("metrics", s"round=$round.properties"))
+    val in = sfs.open(p("metrics", s"round=$round.properties"))
     try props.load(in) finally in.close()
     props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k).toLong).toMap
   }
+
+  /** Retry-After backoff state as a relation `(host, notBefore)` — written
+    * only on rounds where it changes; the manifest's `hostStateRound` points
+    * at the latest version. */
+  def saveHostState(round: Int, state: DataFrame): Unit =
+    state.write.mode("overwrite").parquet(hostStatePath(round))
+
+  def readHostState(round: Int): DataFrame =
+    spark.read.schema(hostStateSchema).parquet(hostStatePath(round))
 }

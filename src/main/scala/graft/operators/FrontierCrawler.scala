@@ -7,7 +7,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
-import java.nio.file.Files
 
 /** Result of a crawl — URL relations stay distributed (Datasets), scalars in
   * [[graft.model.CrawlStats]]. Mirrors `CrawlResult`
@@ -19,7 +18,8 @@ final case class CrawlOutcome(
     redirectUrls: DataFrame, // url (distinct)
     visitLog: DataFrame,     // round, batchIdx, url — crawl-ordering lineage
     stats: CrawlStats,
-    checkpointDir: String) {
+    checkpointDir: String,
+    closurePath: String) {
 
   /** stdout contract: all found URLs sorted ascending
     * (`src/web_crawler.py:308-309`). */
@@ -32,10 +32,9 @@ final case class CrawlOutcome(
     * redirecting URL, exploded from the persisted fetch closure. */
   def redirectChains: DataFrame = {
     import org.apache.spark.sql.functions._
-    val p = s"$checkpointDir/fetchclosure"
     val ss = found.sparkSession
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-      ss.read.parquet(p).filter(size(col("chain")) > 1)
+    if (graft.io.StateFs(ss).exists(closurePath))
+      ss.read.parquet(closurePath).filter(size(col("chain")) > 1)
         .select(col("url"), posexplode(col("chain")).as(Seq("hop", "chainUrl")))
     else ss.emptyDataFrame
   }
@@ -115,9 +114,19 @@ final class FrontierCrawler(
 
   import spark.implicits._
 
-  private val ckptDir =
-    cfg.checkpointDir.getOrElse(Files.createTempDirectory("graft-crawl-").toString)
+  private val ckptDir = cfg.checkpointDir.getOrElse(
+    java.nio.file.Files.createTempDirectory("graft-crawl-").toString)
   private val store = new CheckpointStore(spark, ckptDir, visitedFromLog = !cfg.fifoParity)
+  private val sfs = store.sfs
+
+  /** The closure depends on every config field that shapes a fetch
+    * (timeout trims pages out of `fetchPages`, maxRedirects bounds the
+    * walk), so those are part of its identity: a resume — or a re-run over
+    * the same checkpoint dir — with a different --timeout builds a fresh
+    * closure instead of silently reusing one computed under the old
+    * setting. */
+  private val closurePath =
+    s"$ckptDir/fetchclosure/t${cfg.timeout}_r${cfg.maxRedirects}"
 
   private val ContentTypes = Seq("text/html", "text/plain", "application/xhtml+xml")
 
@@ -213,8 +222,8 @@ final class FrontierCrawler(
     * walk's union-of-maps over the whole pages relation — driver-side
     * Catalyst planning time was the round bottleneck, not execution. */
   private lazy val fetchResolved: DataFrame = {
-    val path = s"$ckptDir/fetchclosure"
-    if (!Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+    val path = closurePath
+    if (!sfs.exists(s"$path/_SUCCESS")) {
       val maxRedirects = cfg.maxRedirects
       val redirectStatuses = Set(301, 302, 303, 307, 308)
       val direct = fetchPages
@@ -258,8 +267,16 @@ final class FrontierCrawler(
         .persist()
       val finalKeys = exhausted.filter(_.phase == Hop.NeedsFinal)
         .map(_.currentUrl).distinct().toDF("__curl")
+      // projected to the fields Hop.transition reads (status, location,
+      // links, retryAfter) — html bodies must NOT ride the broadcast: at
+      // redirectFrac≈3% of a large corpus, full PageRows here would blow
+      // the broadcast limit long before the rpages side does. Bounded by
+      // |redirect landings| × (url + ~linksPerPage hrefs) per row; when
+      // that outgrows a broadcast (10^10 pages), drop the hint — the join
+      // structure is unchanged.
       val targets = fetchPages
         .join(broadcast(finalKeys), $"url" === $"__curl", "left_semi").as[PageRow]
+        .map(p => p.copy(html = None, contentType = None, imageId = None))
       val walked = exhausted
         .joinWith(broadcast(targets), exhausted("currentUrl") === targets("url"), "left_outer")
         .map { case (h, pg) =>
@@ -296,7 +313,7 @@ final class FrontierCrawler(
   }
 
   private lazy val closureTableName =
-    s"graft_closure_${Integer.toHexString(ckptDir.hashCode).replace("-", "n")}"
+    s"graft_closure_${Integer.toHexString(closurePath.hashCode).replace("-", "n")}"
 
   // ----------------------------------------------------------------------
 
@@ -345,7 +362,7 @@ final class FrontierCrawler(
       else if (m.round >= 0 && m.hasBloom && m.bloomRound >= 0) Some(store.loadBloom(m.bloomRound))
       else None
     var bloomRound: Int = m.bloomRound
-    hostNotBefore = if (m.round >= 0) store.loadHostState(m.round) else Map.empty
+    loadHostBackoff(if (m.round >= 0) m.hostStateRound else -1)
 
     var round = m.round + 1
     var done = false
@@ -387,7 +404,8 @@ final class FrontierCrawler(
           val probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
             if (frontierRows < cfg.bloomMinFrontierRows) None
             else if (bucketMode && bloomRound >= 0) {
-              val handle = new graft.functions.BloomBucketHandle(ckptDir, bloomRound, cfg.bloomBuckets)
+              val handle =
+                new graft.functions.BloomBucketHandle(ckptDir, bloomRound, cfg.bloomBuckets, sfs)
               Some(h => graft.functions.BloomFunctions.bloom_bucket_might_contain(h, handle))
             } else bloomBc.map(bc =>
               (h: org.apache.spark.sql.Column) =>
@@ -430,9 +448,8 @@ final class FrontierCrawler(
             // polite mode: an empty batch while hosts sit under Retry-After
             // backoff is an idle tick, not termination — their frontier rows
             // become eligible again once the backoff round passes
-            if (!cfg.fifoParity && hostNotBefore.values.exists(_ > round)) {
-              store.saveHostState(round, hostNotBefore)
-              m = m.copy(round = round)
+            if (!cfg.fifoParity && hostMaxNotBefore > round) {
+              m = m.copy(round = round, hostStateRound = hostStateRound)
               store.saveManifest(m)
               round += 1
             } else done = true
@@ -613,18 +630,26 @@ final class FrontierCrawler(
               }
             }
 
-            // Retry-After → per-host backoff (F14; polite mode only)
+            // Retry-After → per-host backoff (F14; polite mode only): merge
+            // this round's bumps into the persisted relation with a
+            // groupBy-max — pure dataflow, so 10^6 throttled hosts cost one
+            // small shuffle, not driver memory. Rounds without a Retry-After
+            // (the overwhelming majority) do no host-state work at all; the
+            // manifest carries the last written round forward.
             if (!cfg.fifoParity && retryCnt > 0) {
               val span = math.max(cfg.perHostBudget * cfg.delay, 1e-9)
               val bumps = f.filter($"retryAfter".isNotNull)
                 .groupBy(url_host($"origUrl").as("host")).agg(max($"retryAfter").as("ra"))
-                .collect()
-                .map(r => r.getString(0) -> (round + 1 + math.ceil(r.getInt(1) / span).toInt))
-              hostNotBefore = hostNotBefore ++ bumps.map { case (h, nb) =>
-                h -> math.max(nb, hostNotBefore.getOrElse(h, 0))
-              }
+                .select($"host",
+                  (lit(round + 1) + ceil($"ra" / lit(span)).cast("int")).as("notBefore"))
+              val merged =
+                if (hostStateRound < 0) bumps
+                else store.readHostState(hostStateRound).unionByName(bumps)
+                  .groupBy("host").agg(max($"notBefore").as("notBefore"))
+              store.saveHostState(round, merged)
+              hostStateRound = round
+              refreshHostBackoffScalars()
             }
-            store.saveHostState(round, hostNotBefore)
 
             val newWatermark =
               if (cfg.fifoParity) {
@@ -662,7 +687,8 @@ final class FrontierCrawler(
               m.errorCount + errCnt, m.redirectCount + redirCnt,
               m.scheduledTotal + batchCnt, m.fetchedTotal + batchCnt,
               m.visitedRounds :+ round, liveSegs,
-              bloom.isDefined || (bucketMode && bloomRound >= 0), bloomRound)
+              bloom.isDefined || (bucketMode && bloomRound >= 0), bloomRound,
+              hostStateRound)
             store.saveManifest(m)
 
             f.unpersist(); newEntries.unpersist()
@@ -688,7 +714,8 @@ final class FrontierCrawler(
       visitLog = visitLog,
       stats = CrawlStats(visitedCount, m.errorCount, m.redirectCount, m.round + 1,
         m.scheduledTotal, m.fetchedTotal),
-      checkpointDir = ckptDir)
+      checkpointDir = ckptDir,
+      closurePath = closurePath)
   }
 
   /** Polite scheduler (north rule): per-host budget with the priority queue
@@ -699,16 +726,24 @@ final class FrontierCrawler(
     * hosts under Retry-After backoff excluded.
     */
   private def politeBatch(eligible: DataFrame, round: Int): DataFrame = {
-    val blocked = hostBlockFilter(round)
-    val el0 = blocked.fold(eligible)(c => eligible.filter(c))
+    val el0 = applyHostBackoff(eligible, round)
     val (el, budgetCol) = robots match {
       case Some(r) =>
         val joined = el0.join(broadcast(r), Seq("host"), "left_outer")
           .filter(!coalesce($"disallow", lit(false)))
+        // Disallow-prefix rules: exclude URLs whose path starts with any of
+        // the host's disallowed prefixes (path computed once per row, the
+        // exists() runs over the tiny per-host prefix array). Optional
+        // column — hand-built caches without it skip the filter.
+        val prefixed =
+          if (!r.columns.contains("disallowPrefixes")) joined
+          else joined.withColumn("__path", graft.functions.UrlFunctions.url_path($"url"))
+            .filter($"disallowPrefixes".isNull || size($"disallowPrefixes") === 0 ||
+              !exists($"disallowPrefixes", pfx => startswith($"__path", pfx)))
         val b = when($"crawlDelay".isNotNull && $"crawlDelay" > lit(cfg.delay),
           greatest(lit(1.0), lit(cfg.perHostBudget.toDouble) * lit(cfg.delay) / $"crawlDelay").cast("int"))
           .otherwise(lit(cfg.perHostBudget))
-        (joined, b)
+        (prefixed, b)
       case None => (el0, lit(cfg.perHostBudget))
     }
     val salt = pmod(xxhash64($"url"), lit(cfg.saltBuckets))
@@ -723,12 +758,54 @@ final class FrontierCrawler(
       .withColumn("batchIdx", $"rn2".cast("long") - 1)
       .withColumn("nextFetchTime",
         lit(round.toLong * math.max(cfg.perHostBudget, 1) * delayMs) + ($"rn2" - 1) * delayMs)
-      .drop("rn1", "rn2", "__budget", "disallow", "crawlDelay")
+      .drop("rn1", "rn2", "__budget", "disallow", "disallowPrefixes", "crawlDelay", "__path")
   }
 
-  private var hostNotBefore: Map[String, Int] = Map.empty
-  private def hostBlockFilter(round: Int): Option[org.apache.spark.sql.Column] = {
-    val blocked = hostNotBefore.collect { case (h, nb) if nb > round => h }.toSeq
-    if (blocked.isEmpty) None else Some(!$"host".isInCollection(blocked))
+  // Retry-After backoff state: persisted as a `(host, notBefore)` relation
+  // (CheckpointStore.saveHostState) — never a driver-resident map above
+  // cfg.hostBlockInlineMax rows, so an adversarial workload with millions of
+  // backing-off hosts neither exhausts driver memory nor inlines a
+  // million-literal isInCollection into the plan. Small states (the common
+  // case — Retry-After is sparse by construction) stay as an inlined filter,
+  // which is cheaper than an extra join per round.
+  private var hostStateRound: Int = -1
+  private var hostStateRows: Long = 0L
+  private var hostMaxNotBefore: Int = -1
+  private var hostStateSmall: Option[Map[String, Int]] = Some(Map.empty)
+
+  private[operators] def loadHostBackoff(round: Int): Unit = {
+    hostStateRound = round
+    if (round < 0) {
+      hostStateRows = 0L; hostMaxNotBefore = -1; hostStateSmall = Some(Map.empty)
+    } else refreshHostBackoffScalars()
   }
+
+  /** One bounded aggregation over the persisted relation refreshes the
+    * driver's scalars (row count, max notBefore) and — only while the state
+    * is small — the inlined map. */
+  private def refreshHostBackoffScalars(): Unit = {
+    val st = store.readHostState(hostStateRound)
+    val Row(cnt, mx) = st.agg(count(lit(1)), max($"notBefore")).head()
+    hostStateRows = cnt.asInstanceOf[Long]
+    hostMaxNotBefore = Option(mx).fold(-1)(_.asInstanceOf[Int])
+    hostStateSmall =
+      if (hostStateRows <= cfg.hostBlockInlineMax)
+        Some(st.collect().map(r => r.getString(0) -> r.getInt(1)).toMap)
+      else None
+  }
+
+  /** Drop frontier rows of hosts still under Retry-After backoff: inlined
+    * literal filter while the state is small, anti-join against the
+    * persisted relation once it is not (bounded plan at any cardinality). */
+  private[operators] def applyHostBackoff(eligible: DataFrame, round: Int): DataFrame =
+    if (hostStateRound < 0 || hostMaxNotBefore <= round) eligible
+    else hostStateSmall match {
+      case Some(mm) =>
+        val blocked = mm.collect { case (h, nb) if nb > round => h }.toSeq
+        if (blocked.isEmpty) eligible else eligible.filter(!$"host".isInCollection(blocked))
+      case None =>
+        eligible.join(
+          store.readHostState(hostStateRound).filter($"notBefore" > round).select("host"),
+          Seq("host"), "left_anti")
+    }
 }

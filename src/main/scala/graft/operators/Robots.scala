@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** robots.txt parsing into the polite scheduler's cache schema
-  * `(host, disallow, crawlDelay)` (S3/J4 in SURVEY.md §2.1/§2.4).
+  * `(host, disallow, disallowPrefixes, crawlDelay)` (S3/J4 in SURVEY.md
+  * §2.1/§2.4).
   *
   * The reference never parses robots bodies (its operational probe only
   * checks reachability, `url_verifier.py:200-211`); a production crawler
@@ -11,69 +12,83 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * bodies however you like, parse them here, and hand the relation to
   * [[FrontierCrawler]]'s `robots` parameter.
   *
-  * Minimal, standard interpretation for the `User-agent: *` group:
-  *  - `Disallow: /` (exactly root, in the active group) ⇒ host disallowed
-  *  - `Crawl-delay: N` in the active group ⇒ per-host delay (seconds)
-  *  - groups end at the next `User-agent:` line that starts a new block;
-  *    later `*` groups override earlier ones (last-group-wins, the common
-  *    crawler behavior); comments (`#…`) and blank lines are ignored
+  * Standard interpretation for the `User-agent: *` group (original
+  * robots.txt convention + the common-crawler extensions):
+  *  - `Disallow: /` (exactly root) ⇒ the whole host is disallowed
+  *  - `Disallow: <prefix>` ⇒ URLs whose *path* starts with the prefix are
+  *    excluded (path-prefix match, the de-facto rule); an empty
+  *    `Disallow:` allows everything
+  *  - `Crawl-delay: N` ⇒ per-host delay (seconds)
+  *  - records are separated by blank lines (the 1994 de-facto standard:
+  *    a blank line terminates the current group) and also end at a
+  *    `User-agent:` line that follows directives; consecutive `User-agent`
+  *    lines share one group; later `*` groups override earlier ones
+  *    (last-group-wins, the common crawler behavior); comments (`#…`) are
+  *    stripped anywhere
   */
 object Robots {
 
-  /** Pure single-body parse → (disallowAll, crawlDelaySeconds). */
-  def parseBody(body: String): (Boolean, Option[Double]) = {
+  /** Parsed `User-agent: *` rules of one robots body. */
+  final case class RobotsRules(
+      disallowAll: Boolean,
+      disallowPrefixes: Seq[String],
+      crawlDelay: Option[Double])
+
+  /** Pure single-body parse of the star group. */
+  def parseBody(body: String): RobotsRules = {
     var inStar = false          // currently inside a User-agent: * group
-    var sawAgentSinceBlank = false
-    var disallow = false
-    var delay: Option[Double] = None
-    var groupDisallow = false
-    var groupDelay: Option[Double] = None
-    def closeGroup(): Unit = if (inStar) {
-      disallow = groupDisallow
-      delay = groupDelay
+    var inAgentRun = false      // last non-blank line was a User-agent line
+    var result = RobotsRules(disallowAll = false, Nil, None)
+    var gDisallowAll = false
+    var gPrefixes = List.empty[String]
+    var gDelay: Option[Double] = None
+    def closeGroup(): Unit = {
+      if (inStar) result = RobotsRules(gDisallowAll, gPrefixes.reverse, gDelay)
+      inStar = false; gDisallowAll = false; gPrefixes = Nil; gDelay = None
     }
     body.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
-      if (line.nonEmpty) {
+      if (line.isEmpty) {
+        // blank line = end of record (1994 de-facto standard)
+        closeGroup()
+        inAgentRun = false
+      } else {
         val i = line.indexOf(':')
         if (i > 0) {
           val key = line.substring(0, i).trim.toLowerCase
           val value = line.substring(i + 1).trim
           key match {
             case "user-agent" =>
-              if (sawAgentSinceBlank) {
-                // consecutive User-agent lines share one group; a User-agent
-                // after directives starts a new group
-              } else {
-                closeGroup()
-                inStar = false; groupDisallow = false; groupDelay = None
-              }
+              // a User-agent after directives starts a new group;
+              // consecutive User-agent lines share one
+              if (!inAgentRun) closeGroup()
               if (value == "*") inStar = true
-              sawAgentSinceBlank = true
+              inAgentRun = true
             case "disallow" =>
-              sawAgentSinceBlank = false
-              if (value == "/") groupDisallow = true
+              inAgentRun = false
+              if (value == "/") gDisallowAll = true
+              else if (value.nonEmpty) gPrefixes ::= value
             case "crawl-delay" =>
-              sawAgentSinceBlank = false
-              groupDelay = value.toDoubleOption.orElse(groupDelay)
+              inAgentRun = false
+              gDelay = value.toDoubleOption.orElse(gDelay)
             case _ =>
-              sawAgentSinceBlank = false
+              inAgentRun = false
           }
         }
       }
     }
     closeGroup()
-    (disallow, delay)
+    result
   }
 
   /** (host, body) relation → the scheduler cache `(host, disallow,
-    * crawlDelay)`. A narrow map — no shuffle; at 10^7 hosts this is one
-    * pass over ~500 MB of robots bodies. */
+    * disallowPrefixes, crawlDelay)`. A narrow map — no shuffle; at 10^7
+    * hosts this is one pass over ~500 MB of robots bodies. */
   def parse(bodies: Dataset[(String, String)]): DataFrame = {
     import bodies.sparkSession.implicits._
     bodies.map { case (host, body) =>
-      val (dis, delay) = parseBody(body)
-      (host, dis, delay)
-    }.toDF("host", "disallow", "crawlDelay")
+      val r = parseBody(body)
+      (host, r.disallowAll, r.disallowPrefixes, r.crawlDelay)
+    }.toDF("host", "disallow", "disallowPrefixes", "crawlDelay")
   }
 }

@@ -27,18 +27,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_copies"), min(idCol).as("keep_id"))
 
-  /** Distinct word-`n`-gram shingles per document (n=1 ⇒ plain tokens). */
+  /** Distinct word-`n`-gram shingles per document (n=1 ⇒ plain tokens).
+    * The tokenization is bound ONCE through a projection (`__toks`): Catalyst
+    * does not common-subexpression-eliminate across lambda boundaries, so
+    * inlining `split(text)` into the transform body would re-split each row
+    * three times — measurable at 100-TB text scale. CollapseProject keeps the
+    * binding because the split is non-cheap and referenced more than once. */
   def shingleTokens(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     if (n <= 1)
       df.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
-    else {
-      val toks = split(col(textCol), " ")
-      df.filter(size(toks) >= n)
+    else
+      df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+        .filter(size(col("__toks")) >= n)
         .select(col(idCol), explode(expr(
-          s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
-            s"i -> array_join(slice(split($textCol, ' '), i, $n), ' '))")).as("token"))
+          s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+            s"i -> array_join(slice(__toks, i, $n), ' '))")).as("token"))
         .distinct()
-    }
 
   /** (id, token) relation of distinct whitespace tokens with hash column. */
   def distinctTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -192,9 +196,14 @@ object Dedup {
   }
 
   /** Audit relation for [[jaccardPairs]]' cap: the hot (stopword-like)
-    * tokens that were dropped, with their document frequencies. */
-  def hotTokens(df: DataFrame, idCol: String, textCol: String, maxDf: Long): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("token")).distinct()
+    * tokens that were dropped, with their document frequencies. `ngram` must
+    * match the `jaccardPairs` call being audited — both build their token
+    * universe through [[shingleTokens]], so the cap and the audit always
+    * count document frequencies over the same (unigram or shingled)
+    * vocabulary. */
+  def hotTokens(df: DataFrame, idCol: String, textCol: String, maxDf: Long,
+      ngram: Int = 1): DataFrame =
+    shingleTokens(df, idCol, textCol, ngram)
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") > maxDf)
 }

@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.io.StateFs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.util.Properties
+
+/** Persisted IVF (inverted-file) ANN index — build once, probe many.
+  *
+  * [[Similarity.ivfTopK]] is the one-shot form: it refits the k-means
+  * quantizer and re-scans the corpus on every call, which is wrong for a
+  * pipeline serving many queries. This index splits the lifecycle:
+  *
+  *  - [[IvfIndex.build]] (once): sample-fit the quantizer, assign every
+  *    vector to its nearest centroid, and persist
+  *      `dir/centroids/`    tiny parquet (list, centroid)
+  *      `dir/assignments/`  parquet PARTITIONED BY list — the posting lists
+  *      `dir/_meta.properties`
+  *  - [[IvfIndex.load]] + [[IvfIndex#topK]] (many): probing reads ONLY the
+  *    `nProbe` posting-list partitions (Spark partition pruning on `list`),
+  *    never refits, never counts the corpus — per-query cost is
+  *    O(corpus × nProbe / nLists) scan + one top-k.
+  *
+  * The quantizer's centroid step is k-means over a deterministic hash
+  * sample (seed fixed; KMeans is deterministic per Spark version but not
+  * engine-portable, so recall is ScalaTest-verified against the exact
+  * [[Similarity.cosineTopK]] rather than oracle-hashed). All metadata I/O
+  * goes through [[graft.io.StateFs]], so `dir` may live on any Hadoop
+  * filesystem scheme.
+  */
+object IvfIndex {
+
+  /** Fit + assign + persist. One full count (sampling denominator) and one
+    * KMeans fit happen HERE and never again. */
+  def build(spark: SparkSession, dir: String, emb: DataFrame,
+      idCol: String, vecCol: String, nLists: Int = 16,
+      fitSample: Long = 200000L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+      .withColumn("features", array_to_vector(col("e")))
+    // the quantizer only needs a representative sample — at 10^9 vectors
+    // fitting on the full corpus would iterate the whole table 10×; a
+    // deterministic hash-sample of ~fitSample rows trains centroids of the
+    // same quality (standard IVF practice), then assignment is one pass
+    val nRows = e.count()
+    val train =
+      if (nRows <= fitSample) e
+      else e.filter(pmod(xxhash64(col(idCol)), lit(nRows / fitSample)) === 0)
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10).fit(train)
+
+    val sfs = StateFs(spark)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(sfs.child(dir, "centroids"))
+    model.transform(e).withColumnRenamed("prediction", "list")
+      .select(col(idCol).as("id"), col("e"), col("list"))
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(sfs.child(dir, "assignments"))
+    val props = new Properties()
+    props.setProperty("nLists", nLists.toString)
+    props.setProperty("rows", nRows.toString)
+    sfs.writeAtomic(sfs.child(dir, "_meta.properties"))(out => props.store(out, null))
+    new IvfIndex(spark, dir, nLists)
+  }
+
+  def load(spark: SparkSession, dir: String): IvfIndex = {
+    val sfs = StateFs(spark)
+    val props = new Properties()
+    val in = sfs.open(sfs.child(dir, "_meta.properties"))
+    try props.load(in) finally in.close()
+    new IvfIndex(spark, dir, props.getProperty("nLists").toInt)
+  }
+}
+
+final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
+  private val sfs = StateFs(spark)
+
+  /** The quantizer: nLists rows, loaded once per index handle. */
+  @transient lazy val centroids: Array[(Int, Array[Double])] =
+    spark.read.parquet(sfs.child(dir, "centroids")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+
+  private def assignments: DataFrame =
+    spark.read.parquet(sfs.child(dir, "assignments"))
+
+  /** The `nProbe` lists whose centroids are nearest (squared euclidean)
+    * to `q` — driver-side over the tiny centroid set. */
+  def probeLists(q: Array[Double], nProbe: Int): Seq[Int] =
+    centroids.map { case (i, c) =>
+      (i, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+
+  /** Posting-list scan for the probed lists — the `list` filter prunes to
+    * those partitions; exposed for plan/pruning inspection in tests. */
+  def probeScan(lists: Seq[Int]): DataFrame =
+    assignments.filter(col("list").isInCollection(lists))
+
+  /** Approximate top-k by exact cosine within the probed posting lists.
+    * No fit, no corpus count — one pruned scan + one top-k. */
+  def topK(q: Array[Double], k: Int, nProbe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val probed = probeScan(probeLists(q, nProbe))
+    val base = excludeId.fold(probed)(x => probed.filter(col("id") =!= x))
+    base.withColumn("qe", typedLit(q.toSeq))
+      .withColumn("cos", round(Similarity.cosine("e", "qe"), 6))
+      .select(col("id"), col("cos"), col("list"))
+      .orderBy(desc("cos"), col("id"))
+      .limit(k)
+  }
+
+  /** Convenience: query by the id of an indexed vector (one pruned-by-stats
+    * lookup against the caller's embedding relation for the vector). */
+  def topKById(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toArray
+    topK(q, k, nProbe, excludeId = Some(queryId))
+  }
+
+  /** Batch-query API — fully distributed, one job for any number of query
+    * vectors: rank centroids per query (broadcast of the nLists-row
+    * centroid relation), keep each query's nProbe lists, join the posting
+    * lists once on `list`, verify with exact cosine, window-top-k per
+    * query. The assignments side shuffles at most once regardless of the
+    * query count. */
+  def topKBatch(queries: DataFrame, qidCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qe"))
+    val cents = spark.read.parquet(sfs.child(dir, "centroids"))
+    val dist = expr(
+      "aggregate(zip_with(centroid, qe, (a, b) -> (a - b) * (a - b)), " +
+        "cast(0 as double), (acc, v) -> acc + v)")
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cdist", dist)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist"), col("list"))))
+      .filter(col("crank") <= nProbe)
+      .select("qid", "qe", "list")
+    probes.join(assignments, Seq("list"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", round(Similarity.cosine("e", "qe"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rk"))
+  }
+}

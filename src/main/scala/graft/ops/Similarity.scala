@@ -51,13 +51,23 @@ object Similarity {
   }
 
   /** ANN candidate pairs via LSH buckets: all-pairs only within a bucket
-    * (shuffle on sig), each verified with the exact cosine. */
+    * (shuffle on sig), each verified with the exact cosine.
+    *
+    * Ids-first: only `(sig, id)` rides the bucket shuffle — at 10^9 × 64d,
+    * shipping both embedding arrays through the candidate join would move
+    * two orders of magnitude more bytes than the 16-byte id rows; the
+    * vectors re-attach by id to the (much smaller) candidate set only. */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, dims: Int, threshold: Double): DataFrame = {
     val s = lshSignature(emb, idCol, vecCol, planes, dims)
-    val l = s.select(col("sig"), col(idCol).as("v1"), col("e").as("e1"))
-    val r = s.select(col("sig"), col(idCol).as("v2"), col("e").as("e2"))
-    l.join(r, Seq("sig")).filter(col("v1") < col("v2"))
+    val ids = s.select(col("sig"), col(idCol))
+    val l = ids.select(col("sig"), col(idCol).as("v1"))
+    val r = ids.select(col("sig"), col(idCol).as("v2"))
+    val cand = l.join(r, Seq("sig")).filter(col("v1") < col("v2")).select("v1", "v2")
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+    cand
+      .join(e.select(col(idCol).as("v1"), col("e").as("e1")), Seq("v1"))
+      .join(e.select(col(idCol).as("v2"), col("e").as("e2")), Seq("v2"))
       .withColumn("cos", round(
         dot("e1", "e2") / (sqrt(dot("e1", "e1")) * sqrt(dot("e2", "e2"))), 6))
       .filter(col("cos") >= threshold)
@@ -72,7 +82,11 @@ object Similarity {
     * (KMeans seed fixed — deterministic per Spark version, but not
     * engine-portable, so this op is ScalaTest-verified by recall against
     * [[cosineTopK]] rather than oracle-hashed.)
-    */
+    *
+    * One-shot form: fits and scans per call. Pipelines serving repeated
+    * queries use [[IvfIndex]] — the same quantizer persisted once
+    * (centroids + list-partitioned assignments), probed many times with
+    * partition-pruned reads and no refit. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nLists: Int = 16, nProbe: Int = 4,
       fitSample: Long = 200000L): DataFrame = {

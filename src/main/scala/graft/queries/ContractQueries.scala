@@ -226,6 +226,13 @@ object ContractQueries {
     Dedup.hotTokens(t(spark, dir, "documents").filter(col("doc_id") < 40),
       "doc_id", "text", maxDf = 20L).orderBy("token")
 
+  /** q28's audit in the BIGRAM universe — `hotTokens(ngram = 2)` must count
+    * document frequencies over the same shingled vocabulary that
+    * `jaccardPairs(ngram = 2)` caps (q30's universe), not over unigrams. */
+  def q31HotBigrams(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hotTokens(t(spark, dir, "documents").filter(col("doc_id") < 120),
+      "doc_id", "text", maxDf = 2L, ngram = 2).orderBy("token")
+
   /** Embedding-cosine near-duplicate pairs within a bounded id range. */
   def q21NearDupCosine(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(t(spark, dir, "embeddings").filter(col("vec_id") < 200),

@@ -1,13 +1,21 @@
 package graft.sources
 
+import graft.io.StateFs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Properties
 
-/** Table partition spec: `expr` (over the table's columns) yields the
-  * partition value written as `<name>=<value>/` inside each batch dir.
-  * Must be chosen at table creation and kept for the table's lifetime. */
+/** Table partition spec: `expr` yields the partition value written as
+  * `<name>=<value>/` inside each batch dir. Must be chosen at table creation
+  * and kept for the table's lifetime.
+  *
+  * For MERGE pruning to be sound, `expr` MUST be a pure function of the
+  * merge key column ([[IceLite.mergeInsert]]'s `keyCol`) — that is what
+  * guarantees an existing key lives in a partition the staged batch also
+  * touches. [[IceLite.phashPartition]] satisfies this; an expr over other
+  * columns would let existing keys in untouched partitions be re-inserted
+  * as duplicates, so `mergeInsert` enforces it by construction of the
+  * specs this module exports and documents it here for custom specs. */
 final case class PartitionSpec(name: String, expr: Column)
 
 object IceLite {
@@ -16,15 +24,21 @@ object IceLite {
     * anti-joins only the partitions the staged batch touches. */
   def phashPartition(keyCol: String = "phash"): PartitionSpec =
     PartitionSpec("__p", shiftrightunsigned(col(keyCol), 56))
+
+  /** The directory name Spark writes null partition values to. */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 }
 
 /** `icelite` — a minimal Iceberg-style snapshot table (SURVEY.md §7.4).
   *
   * No Iceberg jar ships in `/opt/spark/jars`, so the observable semantics
-  * the north rule needs are implemented directly:
+  * the north rule needs are implemented directly — with all metadata I/O
+  * through [[graft.io.StateFs]] (the Hadoop FileSystem API), so `dir` may
+  * name `file:`, `hdfs:`, `s3a:` or any registered scheme and the table
+  * works on the distributed storage a real cluster requires:
   *  - data as immutable parquet batch directories under `table/data/`
-  *  - JSON-free snapshot manifests `table/meta/v<N>.properties` listing the
-  *    member batch dirs + row count (immutable once written)
+  *  - snapshot manifests `table/meta/v<N>.properties` listing the member
+  *    batch dirs + row count (immutable once written)
   *  - commits are atomic: write data first, write the new manifest, then
   *    atomically swap the `current.properties` pointer — readers see either
   *    the old or the new snapshot, never a mix; crashed writers leave only
@@ -39,22 +53,28 @@ object IceLite {
   *    partition values (bounded by the partition-space size, e.g. 256 for
   *    the phash layout) and anti-joins only those subdirectories — at 100 TB
   *    the merge reads the touched partitions, not the table
+  *  - maintenance: [[compact]] rewrites the accumulated small batch dirs
+  *    into one (plans stop growing with commit count), [[expireSnapshots]]
+  *    retires old versions and deletes batch dirs nothing retained
+  *    references — without either, a long-lived table's per-read file list
+  *    and storage grow linearly with commits
   */
 final class IceLite(spark: SparkSession, val dir: String,
     partition: Option[PartitionSpec] = None) {
 
-  private def p(parts: String*): Path = Paths.get(dir, parts: _*)
-  Files.createDirectories(p("meta"))
-  Files.createDirectories(p("data"))
+  private val sfs = StateFs(spark)
+  private def p(parts: String*): String = sfs.child(dir, parts: _*)
+  sfs.mkdirs(p("meta"))
+  sfs.mkdirs(p("data"))
 
   final case class Snapshot(version: Int, batches: Seq[String], rowCount: Long)
 
   def currentVersion(): Int = {
     val cur = p("meta", "current.properties")
-    if (!Files.exists(cur)) 0
+    if (!sfs.exists(cur)) 0
     else {
       val props = new Properties()
-      val in = Files.newInputStream(cur)
+      val in = sfs.open(cur)
       try props.load(in) finally in.close()
       props.getProperty("version").toInt
     }
@@ -62,10 +82,10 @@ final class IceLite(spark: SparkSession, val dir: String,
 
   def snapshot(version: Int): Option[Snapshot] = {
     val f = p("meta", s"v$version.properties")
-    if (!Files.exists(f)) None
+    if (!sfs.exists(f)) None
     else {
       val props = new Properties()
-      val in = Files.newInputStream(f)
+      val in = sfs.open(f)
       try props.load(in) finally in.close()
       val batches = props.getProperty("batches", "")
       Some(Snapshot(version,
@@ -83,17 +103,21 @@ final class IceLite(spark: SparkSession, val dir: String,
     * callers create tables by appending). */
   def read(): DataFrame = readAt(currentVersion())
 
+  /** Read snapshot `version`. An expired (or never-committed) version fails
+    * cleanly here — its manifest file is gone, so there is nothing to read. */
   def readAt(version: Int): DataFrame = {
     val s = snapshot(version)
-      .getOrElse(throw new IllegalStateException(s"icelite: no snapshot v$version at $dir"))
+      .getOrElse(throw new IllegalStateException(
+        s"icelite: no snapshot v$version at $dir (never committed, or expired " +
+          "by expireSnapshots)"))
     if (s.batches.isEmpty)
       throw new IllegalStateException(s"icelite: snapshot v$version is empty")
     partition match {
-      case None => spark.read.parquet(s.batches.map(b => p("data", b).toString): _*)
+      case None => spark.read.parquet(s.batches.map(b => p("data", b)): _*)
       case Some(ps) =>
         // each batch root is its own partitioned layout — discover per batch
         // and union (multi-root discovery rejects sibling partition trees)
-        s.batches.map(b => spark.read.parquet(p("data", b).toString).drop(ps.name))
+        s.batches.map(b => spark.read.parquet(p("data", b)).drop(ps.name))
           .reduce(_ unionByName _)
     }
   }
@@ -110,8 +134,8 @@ final class IceLite(spark: SparkSession, val dir: String,
       s <- currentSnapshot().toSeq
       b <- s.batches
       v <- values
-      d = p("data", b, s"${ps.name}=$v") if Files.exists(d)
-    } yield d.toString
+      d = p("data", b, s"${ps.name}=$v") if sfs.exists(d)
+    } yield d
   }
 
   /** Append `df` as a new snapshot (no dedup). Returns rows appended. */
@@ -120,7 +144,10 @@ final class IceLite(spark: SparkSession, val dir: String,
   /** MERGE-INTO … WHEN NOT MATCHED THEN INSERT on `keyCol`: stage rows whose
     * key is absent from the current snapshot (staged side deduped on the key
     * first), append them. Returns rows inserted. On a partitioned table the
-    * anti-join reads only the partitions the staged rows hash into. */
+    * anti-join reads only the partitions the staged rows hash into; a null
+    * partition value maps to the Hive default partition dir (where the
+    * writer puts null-valued rows), so null-keyed rows are pruned and
+    * deduplicated like any other. */
   def mergeInsert(df: DataFrame, keyCol: String): Long = {
     val staged = df.dropDuplicates(keyCol)
     val hasData = currentSnapshot().exists(_.batches.nonEmpty)
@@ -131,7 +158,8 @@ final class IceLite(spark: SparkSession, val dir: String,
           // distinct partition values: bounded by the partition-space size
           // (256 for the phash layout) — a deliberate, bounded collect
           val touched = stagedP.select(ps.name).distinct().collect()
-            .map(_.get(0).toString).toSeq
+            .map(r => if (r.isNullAt(0)) IceLite.NullPartition else r.get(0).toString)
+            .toSeq
           val dirs = partitionDirs(touched)
           val novel =
             if (dirs.isEmpty) stagedP.drop(ps.name)
@@ -143,6 +171,50 @@ final class IceLite(spark: SparkSession, val dir: String,
         commit(staged.join(read().select(keyCol), Seq(keyCol), "left_anti"))
       case (_, false) => commit(staged)
     }
+  }
+
+  /** Rewrite the current snapshot's `batches` into ONE consolidated batch
+    * dir and commit it as a new version. The read set is unchanged; the
+    * per-read file list shrinks from O(#commits) dirs to one — run this
+    * periodically on any table that takes many small commits (each
+    * `mergeInsert` appends a batch dir forever otherwise). Returns the new
+    * version, or the current one if there is nothing to consolidate. */
+  def compact(): Int = {
+    val s = currentSnapshot().getOrElse(return currentVersion())
+    if (s.batches.size <= 1) return s.version
+    val v = s.version + 1
+    val batch = f"batch-$v%05d"
+    val data = read()
+    partition match {
+      case Some(ps) =>
+        data.withColumn(ps.name, ps.expr)
+          .write.mode("overwrite").partitionBy(ps.name).parquet(p("data", batch))
+      case None =>
+        data.write.mode("overwrite").parquet(p("data", batch))
+    }
+    publish(v, Seq(batch), s.rowCount)
+    v
+  }
+
+  /** Retire all but the newest `retain` snapshots: their manifests are
+    * deleted (time travel to them now fails cleanly in [[readAt]]), then
+    * every batch dir no retained snapshot references is deleted. Storage
+    * stops growing with history length; time travel keeps working within
+    * the retention window. */
+  def expireSnapshots(retain: Int): Unit = {
+    require(retain >= 1, "icelite: must retain at least the current snapshot")
+    val cur = currentVersion()
+    if (cur == 0) return
+    val keepVersions = ((cur - retain + 1) max 1) to cur
+    val keepBatches = keepVersions.flatMap(v => snapshot(v).toSeq.flatMap(_.batches)).toSet
+    sfs.listNames(p("meta"))
+      .collect { case n if n.startsWith("v") && n.endsWith(".properties") =>
+        n.stripPrefix("v").stripSuffix(".properties").toInt }
+      .filter(v => v < keepVersions.head)
+      .foreach(v => sfs.delete(p("meta", s"v$v.properties")))
+    sfs.listNames(p("data"))
+      .filter(b => b.startsWith("batch-") && !keepBatches.contains(b))
+      .foreach(b => sfs.delete(p("data", b)))
   }
 
   private def commit(df: DataFrame): Long = {
@@ -158,28 +230,26 @@ final class IceLite(spark: SparkSession, val dir: String,
         case Some(ps) =>
           cached.withColumn(ps.name, ps.expr)
             .write.mode("overwrite").partitionBy(ps.name)
-            .parquet(p("data", batch).toString)
+            .parquet(p("data", batch))
         case None =>
-          cached.write.mode("overwrite").parquet(p("data", batch).toString)
+          cached.write.mode("overwrite").parquet(p("data", batch))
       }
       val prev = currentSnapshot().map(_.batches).getOrElse(Nil)
       val prevCount = currentSnapshot().map(_.rowCount).getOrElse(0L)
-      val props = new Properties()
-      props.setProperty("version", v.toString)
-      props.setProperty("batches", (prev :+ batch).mkString(","))
-      props.setProperty("rowCount", (prevCount + rows).toString)
-      writeProps(props, p("meta", s"v$v.properties"))
-      val cur = new Properties()
-      cur.setProperty("version", v.toString)
-      writeProps(cur, p("meta", "current.properties"))
+      publish(v, prev :+ batch, prevCount + rows)
       rows
     } finally cached.unpersist()
   }
 
-  private def writeProps(props: Properties, target: Path): Unit = {
-    val tmp = target.resolveSibling("." + target.getFileName.toString + ".tmp")
-    val out = Files.newOutputStream(tmp)
-    try props.store(out, null) finally out.close()
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  /** Write manifest v, then swap the current pointer (both atomic). */
+  private def publish(v: Int, batches: Seq[String], rowCount: Long): Unit = {
+    val props = new Properties()
+    props.setProperty("version", v.toString)
+    props.setProperty("batches", batches.mkString(","))
+    props.setProperty("rowCount", rowCount.toString)
+    sfs.writeAtomic(p("meta", s"v$v.properties"))(out => props.store(out, null))
+    val cur = new Properties()
+    cur.setProperty("version", v.toString)
+    sfs.writeAtomic(p("meta", "current.properties"))(out => cur.store(out, null))
   }
 }

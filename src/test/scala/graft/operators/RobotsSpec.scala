@@ -9,21 +9,70 @@ class RobotsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  import Robots.RobotsRules
+
   test("parseBody: star group, specific groups, comments, last-group-wins") {
-    assert(Robots.parseBody("User-agent: *\nDisallow: /") == (true, None))
+    assert(Robots.parseBody("User-agent: *\nDisallow: /") == RobotsRules(true, Nil, None))
     assert(Robots.parseBody("User-agent: *\nDisallow: /admin\nCrawl-delay: 2.5") ==
-      (false, Some(2.5)))
+      RobotsRules(false, Seq("/admin"), Some(2.5)))
     // the googlebot group must not apply to *
     assert(Robots.parseBody("User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow:") ==
-      (false, None))
+      RobotsRules(false, Nil, None))
     // consecutive agents share a group
-    assert(Robots.parseBody("User-agent: a\nUser-agent: *\nDisallow: /") == (true, None))
+    assert(Robots.parseBody("User-agent: a\nUser-agent: *\nDisallow: /") ==
+      RobotsRules(true, Nil, None))
     // comments + junk tolerated; later * group overrides the earlier one
     assert(Robots.parseBody(
       "# hi\nUser-agent: *\nDisallow: /\n\nUser-agent: *\nDisallow: /x\nCrawl-delay: 1") ==
-      (false, Some(1.0)))
-    assert(Robots.parseBody("") == (false, None))
-    assert(Robots.parseBody("garbage without colon\nDisallow: /") == (false, None))
+      RobotsRules(false, Seq("/x"), Some(1.0)))
+    assert(Robots.parseBody("") == RobotsRules(false, Nil, None))
+    assert(Robots.parseBody("garbage without colon\nDisallow: /") ==
+      RobotsRules(false, Nil, None))
+  }
+
+  test("parseBody: prefix lists in order, blank line terminates a group") {
+    // multiple prefixes, document order preserved
+    assert(Robots.parseBody(
+      "User-agent: *\nDisallow: /private/\nDisallow: /tmp\nCrawl-delay: 0.5") ==
+      RobotsRules(false, Seq("/private/", "/tmp"), Some(0.5)))
+    // a blank line ends the * record: the stray Disallow after it belongs
+    // to no group (1994 de-facto standard) and must not apply
+    assert(Robots.parseBody("User-agent: *\nDisallow: /a\n\nDisallow: /") ==
+      RobotsRules(false, Seq("/a"), None))
+    // root disallow beats prefixes within one group
+    assert(Robots.parseBody("User-agent: *\nDisallow: /x\nDisallow: /") ==
+      RobotsRules(true, Seq("/x"), None))
+    // blank line between a specific group and the * group isolates them
+    assert(Robots.parseBody(
+      "User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow: /only") ==
+      RobotsRules(false, Seq("/only"), None))
+  }
+
+  test("Disallow prefixes exclude matching paths end-to-end; host stays crawlable") {
+    import graft.model.PageRow
+    def page(url: String, links: Seq[String] = Nil) =
+      PageRow(url, 200, None, links, None, Some("text/html"), None, None)
+    val pages = Seq(
+      page("http://site0.com/", Seq("/a", "/private/x", "/b")),
+      page("http://site0.com/a", Seq("/private/y", "/b")),
+      page("http://site0.com/b"),
+      page("http://site0.com/private/x", Seq("/c")),
+      page("http://site0.com/private/y"),
+      page("http://site0.com/c"))
+    val robots = Robots.parse(Seq(
+      ("site0.com", "User-agent: *\nDisallow: /private/")).toDS())
+    val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
+      perHostBudget = 4, bloomEnabled = false)
+    val out = new FrontierCrawler(spark, pages.toDS(), cfg, robots = Some(robots))
+      .crawlSeeds(Seq("http://site0.com/").toDF("url"))
+    val visited = out.sortedFound
+    assert(!visited.exists(_.contains("/private/")), s"disallowed path crawled: $visited")
+    // the host itself stays crawlable — allowed pages all visited,
+    // including /b discovered alongside the excluded /private/ links
+    assert(visited.contains("http://site0.com/a"))
+    assert(visited.contains("http://site0.com/b"))
+    // /c is only linked FROM a disallowed page — never discovered
+    assert(!visited.contains("http://site0.com/c"))
   }
 
   test("parsed bodies drive the polite scheduler exactly like a hand-built cache") {

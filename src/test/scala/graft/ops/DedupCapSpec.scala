@@ -65,6 +65,44 @@ class DedupCapSpec extends AnyFunSuite {
     assert(got == expected, s"${got.size} vs ${expected.size}")
   }
 
+  test("hotTokens(ngram=2): audit shares the bigram universe with the capped pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 40)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val grams = texts.view.mapValues(
+      toks => toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet).toMap
+    val bigramDf = grams.values.flatten.groupBy(identity).map { case (g, gs) => g -> gs.size }
+    val maxDf = 3L
+
+    // the audit relation == the over-cap BIGRAM frequencies, exactly
+    val dropped = Dedup.hotTokens(docs, "doc_id", "text", maxDf, ngram = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dropped.keySet == bigramDf.collect { case (g, n) if n > maxDf => g }.toSet)
+    dropped.foreach { case (g, n) => assert(n == bigramDf(g).toLong) }
+    assert(dropped.nonEmpty, "fixture has no hot bigrams — lower maxDf")
+
+    // and it corresponds to what jaccardPairs(ngram=2, maxDf) actually drops:
+    // set-math recompute over the REDUCED bigram universe
+    val keep = bigramDf.collect { case (g, n) if n <= maxDf => g }.toSet
+    val reduced = grams.view.mapValues(_.intersect(keep)).toMap
+    val expected = (for {
+      (d1, s1) <- reduced; (d2, s2) <- reduced if d1 < d2
+      inter = s1.intersect(s2).size if inter > 0
+      j = BigDecimal(inter.toDouble / (s1.size + s2.size - inter))
+        .setScale(6, RoundingMode.HALF_UP).toDouble if j >= 0.02
+    } yield (d1, d2, j)).toSet
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.02,
+      maxDf = maxDf, ngram = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"${got.size} vs ${expected.size}")
+
+    // regression guard on the round-2 defect: the bigram audit is NOT the
+    // unigram audit
+    val unigramDropped = Dedup.hotTokens(docs, "doc_id", "text", maxDf)
+      .collect().map(r => r.getString(0)).toSet
+    assert(dropped.keySet != unigramDropped)
+  }
+
   test("simhashNearDup: pigeonhole bucketing finds EXACTLY the ≤r-hamming pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sigs = Dedup.simhash(docs, "doc_id", "text")

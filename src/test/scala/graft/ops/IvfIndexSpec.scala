@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.functions.TestSpark
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The persisted IVF index: build-once/probe-many. Queries must recall like
+  * the one-shot [[Similarity.ivfTopK]] while doing NO k-means refit and NO
+  * full-corpus scan — each probe reads only its posting-list partitions. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Sum of records read by all tasks while `body` runs. */
+  private def recordsRead[T](body: => T): (T, Long) = {
+    val n = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) n.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      Thread.sleep(600) // drain the listener bus
+      (r, n.get)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("build once, probe many: recall preserved, no refit, pruned reads") {
+    val dir = Files.createTempDirectory("graft-ivf-").toString
+    val k = 10
+    IvfIndex.build(spark, dir, emb, "vec_id", "embedding", nLists = 16)
+    val corpusRows = emb.count()
+
+    // reopened handle has no reference to the corpus — a refit or corpus
+    // count is structurally impossible on the query path
+    val idx = IvfIndex.load(spark, dir)
+    assert(idx.nLists == 16 && idx.centroids.length == 16)
+
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", queryId = 3L, k)
+      .select("vec_id").as[Long].collect().toSet
+    val first = idx.topKById(emb, "vec_id", "embedding", queryId = 3L, k, nProbe = 6)
+      .select("id").as[Long].collect().toSet
+    val recall = exact.intersect(first).size.toDouble / k
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+
+    // second query: same answer, and the work done is a pruned posting-list
+    // scan — total records read stays far below one corpus pass (a KMeans
+    // refit alone would read the corpus ~10×)
+    val qvec = emb.filter($"vec_id" === 3L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val (second, read) = recordsRead {
+      idx.topK(qvec, k, nProbe = 6, excludeId = Some(3L))
+        .select("id").as[Long].collect().toSet
+    }
+    assert(second == first)
+    assert(read < corpusRows,
+      s"query read $read records — not a pruned probe over $corpusRows rows")
+
+    // the probe scan's plan prunes partitions: only probed list= dirs appear
+    val probed = idx.probeLists(qvec, 6)
+    val scanned = idx.probeScan(probed)
+    val planned = scanned.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(planned.nonEmpty)
+    val partFilters = planned.head.metadata.getOrElse("PartitionFilters", "")
+    assert(partFilters.contains("list"), s"no partition filter on list: $partFilters")
+    assert(scanned.count() < corpusRows)
+  }
+
+  test("topKBatch: distributed multi-query probing matches per-query results") {
+    val dir = Files.createTempDirectory("graft-ivfb-").toString
+    val idx = IvfIndex.build(spark, dir, emb, "vec_id", "embedding", nLists = 16)
+    val k = 5
+    val qids = Seq(3L, 7L, 11L)
+    val queries = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val batch = idx.topKBatch(queries, "qid", "qe", k, nProbe = 6)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    qids.foreach { q =>
+      val single = idx.topKById(emb, "vec_id", "embedding", q, k, nProbe = 6)
+        .select("id").as[Long].collect().toSet
+      assert(batch(q) == single, s"batch result for query $q diverges")
+    }
+  }
+}
