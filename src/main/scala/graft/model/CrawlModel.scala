@@ -69,6 +69,11 @@ final case class CrawlConfig(
     // against the persisted hoststate relation — bounded plan + driver
     // memory at any cardinality
     hostBlockInlineMax: Long = 1024L,
+    // robots cache join strategy: broadcast (right for caches that fit an
+    // executor, the common case) vs shuffle-side on `host` (a 10^7-host /
+    // ~500 MB cache must not be broadcast; it shuffles on the same key the
+    // scheduler windows partition by, so the join composes cleanly)
+    robotsBroadcast: Boolean = true,
     checkpointDir: Option[String] = None) {
 
   /** The request headers a live HTTP fetcher sends at the fetch boundary

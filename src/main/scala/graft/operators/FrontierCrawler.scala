@@ -729,7 +729,8 @@ final class FrontierCrawler(
     val el0 = applyHostBackoff(eligible, round)
     val (el, budgetCol) = robots match {
       case Some(r) =>
-        val joined = el0.join(broadcast(r), Seq("host"), "left_outer")
+        val rSide = if (cfg.robotsBroadcast) broadcast(r) else r
+        val joined = el0.join(rSide, Seq("host"), "left_outer")
           .filter(!coalesce($"disallow", lit(false)))
         // Disallow-prefix rules: exclude URLs whose path starts with any of
         // the host's disallowed prefixes (path computed once per row, the

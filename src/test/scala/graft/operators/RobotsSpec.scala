@@ -48,6 +48,25 @@ class RobotsSpec extends AnyFunSuite {
       RobotsRules(false, Seq("/only"), None))
   }
 
+  test("shuffle-side robots join (10^7-host cache path) ≡ broadcast join") {
+    val p = SiteGraph.GraphParams(nHosts = 3, pagesPerHost = 20, linksPerPage = 3,
+      redirectFrac = 0.0, errorFrac = 0.0, deadLinkFrac = 0.0, crossHostFrac = 0.3, seed = 21L)
+    val pages = SiteGraph.localPages(p)
+    val seeds = (0 until 3).flatMap(h =>
+      pages.find(r => r.status == 200 && r.url.startsWith(s"http://site$h.com")).map(_.url))
+    val robots = Robots.parse(Seq(
+      ("site1.com", "User-agent: *\nDisallow: /"),
+      ("site2.com", "User-agent: *\nCrawl-delay: 0.2")).toDS())
+    def run(bcast: Boolean) = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(fifoParity = false, sameDomainOnly = false, delay = 0.1,
+        perHostBudget = 4, bloomEnabled = false, robotsBroadcast = bcast),
+      robots = Some(robots)).crawlSeeds(seeds.toDF("url"))
+    val b = run(true)
+    val s = run(false)
+    assert(s.sortedFound == b.sortedFound)
+    assert(s.stats == b.stats)
+  }
+
   test("Disallow prefixes exclude matching paths end-to-end; host stays crawlable") {
     import graft.model.PageRow
     def page(url: String, links: Seq[String] = Nil) =
