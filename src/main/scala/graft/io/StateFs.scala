@@ -62,12 +62,13 @@ final class StateFs(confSer: SerializableConfiguration) extends Serializable {
     if (!f.exists(hp)) Nil else f.listStatus(hp).map(_.getPath.getName).toSeq
   }
 
-  /** Unique-enough tmp token for the current execution context: the task
-    * attempt id inside a task (two attempts of one task — retry or
-    * speculation — never share a tmp file), a fixed token on the driver
-    * (store writers there are single-threaded per target). */
+  /** Unique tmp token for the current execution context: the task attempt
+    * id inside a task (two attempts of one task — retry or speculation —
+    * never share a tmp file); on the driver, the thread id plus a global
+    * counter (concurrent driver futures never share one either). */
   private def attemptToken: String =
-    Option(TaskContext.get()).map(tc => s"a${tc.taskAttemptId()}").getOrElse("driver")
+    Option(TaskContext.get()).map(tc => s"a${tc.taskAttemptId()}").getOrElse(
+      s"d${Thread.currentThread().getId}-${StateFs.seq.incrementAndGet()}")
 
   /** Atomically publish `target`: `body` writes to an attempt-unique tmp
     * sibling which is then renamed over the target. Concurrent attempts of
@@ -90,6 +91,8 @@ final class StateFs(confSer: SerializableConfiguration) extends Serializable {
 }
 
 object StateFs {
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** StateFs carrying the session's Hadoop configuration (credentials,
     * `fs.<scheme>.impl` registrations, defaultFS). */
   def apply(spark: SparkSession): StateFs =

@@ -43,6 +43,28 @@ class StateFsSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(local, "sub", "a.txt")))
   }
 
+  test("writeAtomic: concurrent attempts on one target never interleave") {
+    val root = Files.createTempDirectory("graft-statefs-conc-").toString
+    val sfs = StateFs(spark)
+    val target = sfs.child(root, "contended.bin")
+    val payload = Array.tabulate(64 * 1024)(i => (i % 251).toByte)
+    val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (0 until 8).map { _ =>
+      val t = new Thread(() =>
+        try (0 until 5).foreach(_ => sfs.writeAtomic(target)(_.write(payload)))
+        catch { case _: Throwable => errs.incrementAndGet() })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    assert(errs.get() == 0, "concurrent writeAtomic threw")
+    // whoever won, the published file is one complete payload — never a
+    // truncated or interleaved mix (the round-2 shared-tmp hazard)
+    val in = sfs.open(target)
+    val got = try in.readAllBytes() finally in.close()
+    assert(got.sameElements(payload))
+    assert(sfs.listNames(root) == Seq("contended.bin")) // no tmp residue
+  }
+
   test("bucketed-bloom polite crawl + resume with all state on graftfs://") {
     val p = SiteGraph.GraphParams(nHosts = 3, pagesPerHost = 25, linksPerPage = 4,
       redirectFrac = 0.05, errorFrac = 0.05, crossHostFrac = 0.25, seed = 53L)
