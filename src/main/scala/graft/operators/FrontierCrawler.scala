@@ -430,19 +430,21 @@ final class FrontierCrawler(
           // re-read it: downstream plans then reference a flat parquet scan
           // instead of re-analyzing the whole scheduler tree per action
           // urlHash rides along so the polite store can serve visited reads
-          // straight from this one write (visitedFromLog)
+          // straight from this one write (visitedFromLog).
+          // Count and max ride the write job as observed metrics — the
+          // driver's per-round serial floor is one job here, not two.
+          val batchObs = org.apache.spark.sql.Observation()
           timed("t_batch") {
             batch0.select(lit(round).as("round"), $"batchIdx", $"url", $"urlHash",
                 $"depth", $"discoveryIdx")
+              .observe(batchObs, count(lit(1)).as("n"), max($"discoveryIdx").as("mx"))
               .write.mode("overwrite").parquet(store.visitLogPath(round))
           }
           val batch = store.readBatch(round)
+          val batchMetrics = batchObs.get
+          val batchCnt = batchMetrics("n").asInstanceOf[Long]
           // polite mode never moves the watermark — only FIFO needs maxIdx
-          val (batchCnt, maxIdxAny) =
-            if (cfg.fifoParity) {
-              val Row(c, mx) = batch.agg(count(lit(1)), max($"discoveryIdx")).head()
-              (c.asInstanceOf[Long], mx)
-            } else (batch.count(), null)
+          val maxIdxAny: Any = batchMetrics.getOrElse("mx", null)
 
           if (batchCnt == 0L) {
             // polite mode: an empty batch while hosts sit under Retry-After
@@ -508,11 +510,11 @@ final class FrontierCrawler(
             // S-sinks: lineage + state deltas, submitted as concurrent Spark
             // jobs so their latency overlaps the link work below (the bloom
             // update awaits the visited write it reads). The error/redirect/
-            // retry counters are NOT a separate full-batch aggregation: the
-            // sides delta already carries one row per counted event, so the
-            // counts are read back from that (tiny) file after the futures
-            // land. Polite mode skips the visited write entirely — the batch
-            // lineage write above doubles as the visited delta.
+            // retry counters are NOT a separate aggregation job: the sides
+            // delta carries one row per counted event and the per-kind
+            // counts ride its write as observed metrics. Polite mode skips
+            // the visited write entirely — the batch lineage write above
+            // doubles as the visited delta.
             import scala.concurrent.{Await, Future}
             import scala.concurrent.duration.Duration
             import scala.concurrent.ExecutionContext.Implicits.global
@@ -521,10 +523,15 @@ final class FrontierCrawler(
               else Future { timed("t_wvis") {
                 batch.select($"url").dropDuplicates("url").withColumn("urlHash", xxhash64($"url"))
                   .write.mode("overwrite").parquet(store.visitedPath(round)) } }
+            val sidesObs = org.apache.spark.sql.Observation()
             val wSides = Future { timed("t_wsides") {
               f.filter($"errUrl".isNotNull).select($"errUrl".as("url"), lit("error").as("kind"))
                 .unionByName(f.filter($"redirected").select($"origUrl".as("url"), lit("redirect").as("kind")))
                 .unionByName(f.filter($"retryAfter".isNotNull).select($"origUrl".as("url"), lit("retry").as("kind")))
+                .observe(sidesObs,
+                  count(when($"kind" === "error", 1)).as("err"),
+                  count(when($"kind" === "redirect", 1)).as("redir"),
+                  count(when($"kind" === "retry", 1)).as("retry"))
                 .write.mode("overwrite").parquet(store.sidesPath(round)) } }
 
             // G1 + C1/C2/C3 + F1 + F4/U3: link explosion and admission
@@ -577,30 +584,34 @@ final class FrontierCrawler(
                 (lit((round.toLong + 1) * IdxSpan) + pmod(xxhash64($"url"), lit(IdxSpan)))
                   .as("discoveryIdx"),
                 lit(0L).as("nextFetchTime"))
-            }).persist()
+            })
 
-            // polite idx bounds are analytic ((round+1)·span … (round+2)·span)
-            // and the watermark never moves, so only FIFO pays for min/max
-            val (nlCnt, nlMin, nlMax) = timed("t_nlagg") {
-              if (cfg.fifoParity) {
-                val Row(c, mn, mx) =
-                  newEntries.agg(count(lit(1)), min($"discoveryIdx"), max($"discoveryIdx")).head()
-                (c.asInstanceOf[Long],
-                  Option(mn).fold(0L)(_.asInstanceOf[Long]),
-                  Option(mx).fold(-1L)(_.asInstanceOf[Long]))
-              } else
-                (newEntries.count(), (round.toLong + 1) * IdxSpan, (round.toLong + 2) * IdxSpan - 1)
-            }
-            Await.result(Future.sequence(Seq(wVis, wSides)), Duration.Inf)
-            val kindCounts = store.readSides(Seq(round)).get
-              .groupBy("kind").count().collect()
-              .map(r => r.getString(0) -> r.getLong(1)).toMap
-            val errCnt = kindCounts.getOrElse("error", 0L)
-            val redirCnt = kindCounts.getOrElse("redirect", 0L)
-            val retryCnt = kindCounts.getOrElse("retry", 0L)
+            // ONE evaluation of the link-admission subtree: the segment
+            // write is the only action over it, with count/min/max riding
+            // as observed metrics (no persist, no separate aggregation job
+            // — the polite idx bounds are analytic anyway, FIFO's min/max
+            // come from the same metrics). Runs on the main thread while
+            // the wVis/wSides futures overlap it. A 0-row round leaves an
+            // empty segment dir no manifest ever references.
             val seg = round + 1
-            if (nlCnt > 0) timed("t_wseg") {
-              newEntries.write.mode("overwrite").parquet(store.segPath(seg)) }
+            val segObs = org.apache.spark.sql.Observation()
+            timed("t_wseg") {
+              newEntries.observe(segObs, count(lit(1)).as("n"),
+                  min($"discoveryIdx").as("mn"), max($"discoveryIdx").as("mx"))
+                .write.mode("overwrite").parquet(store.segPath(seg))
+            }
+            val segMetrics = segObs.get
+            val nlCnt = segMetrics("n").asInstanceOf[Long]
+            val (nlMin, nlMax) =
+              if (cfg.fifoParity)
+                (Option(segMetrics("mn")).fold(0L)(_.asInstanceOf[Long]),
+                  Option(segMetrics("mx")).fold(-1L)(_.asInstanceOf[Long]))
+              else ((round.toLong + 1) * IdxSpan, (round.toLong + 2) * IdxSpan - 1)
+            Await.result(Future.sequence(Seq(wVis, wSides)), Duration.Inf)
+            val sideMetrics = sidesObs.get
+            val errCnt = sideMetrics("err").asInstanceOf[Long]
+            val redirCnt = sideMetrics("redir").asInstanceOf[Long]
+            val retryCnt = sideMetrics("retry").asInstanceOf[Long]
 
             // Bloom seen-filter: merged lazily — absorbing every round would
             // rebuild/broadcast a full-size filter per round (at 10^10 the
@@ -691,7 +702,7 @@ final class FrontierCrawler(
               hostStateRound)
             store.saveManifest(m)
 
-            f.unpersist(); newEntries.unpersist()
+            f.unpersist()
             round += 1
           }
           bloomBc.foreach(_.destroy())
