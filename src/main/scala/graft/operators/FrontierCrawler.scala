@@ -741,17 +741,40 @@ final class FrontierCrawler(
     val (el, budgetCol) = robots match {
       case Some(r) =>
         val rSide = if (cfg.robotsBroadcast) broadcast(r) else r
-        val joined = el0.join(rSide, Seq("host"), "left_outer")
-          .filter(!coalesce($"disallow", lit(false)))
-        // Disallow-prefix rules: exclude URLs whose path starts with any of
-        // the host's disallowed prefixes (path computed once per row, the
-        // exists() runs over the tiny per-host prefix array). Optional
-        // column — hand-built caches without it skip the filter.
+        val hasDis = r.columns.contains("disallowPrefixes")
+        val hasAllow = r.columns.contains("allowPrefixes")
+        val emptyArr = array().cast("array<string>")
+        // `Disallow: /` kills the host outright UNLESS Allow rules exist for
+        // it — RFC 9309 longest-match can re-admit specific paths below
+        val hostKill =
+          if (!hasAllow) !coalesce($"disallow", lit(false))
+          else !coalesce($"disallow", lit(false)) ||
+            size(coalesce($"allowPrefixes", emptyArr)) > 0
+        val joined = el0.join(rSide, Seq("host"), "left_outer").filter(hostKill)
+        // Prefix rules, RFC 9309 §2.2.2: among the rules whose prefix
+        // matches the URL path, the LONGEST wins; Allow wins length ties.
+        // `Disallow: /` participates as the "/" prefix when Allow rules
+        // exist. Path computed once per row; the per-host rule arrays are
+        // tiny, so the fold is register work inside codegen. Optional
+        // columns — hand-built caches without them skip the filter.
         val prefixed =
-          if (!r.columns.contains("disallowPrefixes")) joined
-          else joined.withColumn("__path", graft.functions.UrlFunctions.url_path($"url"))
-            .filter($"disallowPrefixes".isNull || size($"disallowPrefixes") === 0 ||
-              !exists($"disallowPrefixes", pfx => startswith($"__path", pfx)))
+          if (!hasDis) joined
+          else {
+            val dis0 = coalesce($"disallowPrefixes", emptyArr)
+            val dis =
+              if (!hasAllow) dis0
+              else when(coalesce($"disallow", lit(false)),
+                array_union(dis0, array(lit("/")))).otherwise(dis0)
+            val allows = if (hasAllow) coalesce($"allowPrefixes", emptyArr) else emptyArr
+            def bestLen(rules: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+              aggregate(filter(rules, p => startswith($"__path", p)),
+                lit(0), (acc, p) => greatest(acc, length(p)))
+            // keep iff the best matching Allow is at least as specific as
+            // the best matching Disallow (no match on either side = 0 ≤ 0)
+            joined.withColumn("__path", graft.functions.UrlFunctions.url_path($"url"))
+              .filter(bestLen(dis) <= bestLen(allows))
+              .drop("__path")
+          }
         val b = when($"crawlDelay".isNotNull && $"crawlDelay" > lit(cfg.delay),
           greatest(lit(1.0), lit(cfg.perHostBudget.toDouble) * lit(cfg.delay) / $"crawlDelay").cast("int"))
           .otherwise(lit(cfg.perHostBudget))
@@ -770,7 +793,8 @@ final class FrontierCrawler(
       .withColumn("batchIdx", $"rn2".cast("long") - 1)
       .withColumn("nextFetchTime",
         lit(round.toLong * math.max(cfg.perHostBudget, 1) * delayMs) + ($"rn2" - 1) * delayMs)
-      .drop("rn1", "rn2", "__budget", "disallow", "disallowPrefixes", "crawlDelay", "__path")
+      .drop("rn1", "rn2", "__budget", "disallow", "disallowPrefixes", "allowPrefixes",
+        "crawlDelay", "__path")
   }
 
   // Retry-After backoff state: persisted as a `(host, notBefore)` relation

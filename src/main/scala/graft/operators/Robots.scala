@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** robots.txt parsing into the polite scheduler's cache schema
-  * `(host, disallow, disallowPrefixes, crawlDelay)` (S3/J4 in SURVEY.md
-  * §2.1/§2.4).
+  * `(host, disallow, disallowPrefixes, allowPrefixes, crawlDelay)`
+  * (S3/J4 in SURVEY.md §2.1/§2.4).
   *
   * The reference never parses robots bodies (its operational probe only
   * checks reachability, `url_verifier.py:200-211`); a production crawler
@@ -12,12 +12,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * bodies however you like, parse them here, and hand the relation to
   * [[FrontierCrawler]]'s `robots` parameter.
   *
-  * Standard interpretation for the `User-agent: *` group (original
-  * robots.txt convention + the common-crawler extensions):
-  *  - `Disallow: /` (exactly root) ⇒ the whole host is disallowed
-  *  - `Disallow: <prefix>` ⇒ URLs whose *path* starts with the prefix are
-  *    excluded (path-prefix match, the de-facto rule); an empty
-  *    `Disallow:` allows everything
+  * Interpretation for the `User-agent: *` group (original robots.txt
+  * convention + RFC 9309 rule precedence):
+  *  - `Disallow: /` (exactly root) ⇒ `disallowAll`; the whole host is
+  *    excluded unless an `Allow:` rule overrides for specific paths
+  *  - `Disallow: <prefix>` / `Allow: <prefix>` ⇒ path-prefix rules; the
+  *    LONGEST matching rule wins and Allow wins length ties (RFC 9309
+  *    §2.2.2); an empty `Disallow:` allows everything
   *  - `Crawl-delay: N` ⇒ per-host delay (seconds)
   *  - records are separated by blank lines (the 1994 de-facto standard:
   *    a blank line terminates the current group) and also end at a
@@ -32,19 +33,21 @@ object Robots {
   final case class RobotsRules(
       disallowAll: Boolean,
       disallowPrefixes: Seq[String],
+      allowPrefixes: Seq[String],
       crawlDelay: Option[Double])
 
   /** Pure single-body parse of the star group. */
   def parseBody(body: String): RobotsRules = {
     var inStar = false          // currently inside a User-agent: * group
     var inAgentRun = false      // last non-blank line was a User-agent line
-    var result = RobotsRules(disallowAll = false, Nil, None)
+    var result = RobotsRules(disallowAll = false, Nil, Nil, None)
     var gDisallowAll = false
     var gPrefixes = List.empty[String]
+    var gAllows = List.empty[String]
     var gDelay: Option[Double] = None
     def closeGroup(): Unit = {
-      if (inStar) result = RobotsRules(gDisallowAll, gPrefixes.reverse, gDelay)
-      inStar = false; gDisallowAll = false; gPrefixes = Nil; gDelay = None
+      if (inStar) result = RobotsRules(gDisallowAll, gPrefixes.reverse, gAllows.reverse, gDelay)
+      inStar = false; gDisallowAll = false; gPrefixes = Nil; gAllows = Nil; gDelay = None
     }
     body.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -68,6 +71,9 @@ object Robots {
               inAgentRun = false
               if (value == "/") gDisallowAll = true
               else if (value.nonEmpty) gPrefixes ::= value
+            case "allow" =>
+              inAgentRun = false
+              if (value.nonEmpty) gAllows ::= value
             case "crawl-delay" =>
               inAgentRun = false
               gDelay = value.toDoubleOption.orElse(gDelay)
@@ -82,13 +88,14 @@ object Robots {
   }
 
   /** (host, body) relation → the scheduler cache `(host, disallow,
-    * disallowPrefixes, crawlDelay)`. A narrow map — no shuffle; at 10^7
-    * hosts this is one pass over ~500 MB of robots bodies. */
+    * disallowPrefixes, allowPrefixes, crawlDelay)`. A narrow map — no
+    * shuffle; at 10^7 hosts this is one pass over ~500 MB of robots
+    * bodies. */
   def parse(bodies: Dataset[(String, String)]): DataFrame = {
     import bodies.sparkSession.implicits._
     bodies.map { case (host, body) =>
       val r = parseBody(body)
-      (host, r.disallowAll, r.disallowPrefixes, r.crawlDelay)
-    }.toDF("host", "disallow", "disallowPrefixes", "crawlDelay")
+      (host, r.disallowAll, r.disallowPrefixes, r.allowPrefixes, r.crawlDelay)
+    }.toDF("host", "disallow", "disallowPrefixes", "allowPrefixes", "crawlDelay")
   }
 }

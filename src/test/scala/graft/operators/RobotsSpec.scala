@@ -12,40 +12,92 @@ class RobotsSpec extends AnyFunSuite {
   import Robots.RobotsRules
 
   test("parseBody: star group, specific groups, comments, last-group-wins") {
-    assert(Robots.parseBody("User-agent: *\nDisallow: /") == RobotsRules(true, Nil, None))
+    assert(Robots.parseBody("User-agent: *\nDisallow: /") == RobotsRules(true, Nil, Nil, None))
     assert(Robots.parseBody("User-agent: *\nDisallow: /admin\nCrawl-delay: 2.5") ==
-      RobotsRules(false, Seq("/admin"), Some(2.5)))
+      RobotsRules(false, Seq("/admin"), Nil, Some(2.5)))
     // the googlebot group must not apply to *
     assert(Robots.parseBody("User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow:") ==
-      RobotsRules(false, Nil, None))
+      RobotsRules(false, Nil, Nil, None))
     // consecutive agents share a group
     assert(Robots.parseBody("User-agent: a\nUser-agent: *\nDisallow: /") ==
-      RobotsRules(true, Nil, None))
+      RobotsRules(true, Nil, Nil, None))
     // comments + junk tolerated; later * group overrides the earlier one
     assert(Robots.parseBody(
       "# hi\nUser-agent: *\nDisallow: /\n\nUser-agent: *\nDisallow: /x\nCrawl-delay: 1") ==
-      RobotsRules(false, Seq("/x"), Some(1.0)))
-    assert(Robots.parseBody("") == RobotsRules(false, Nil, None))
+      RobotsRules(false, Seq("/x"), Nil, Some(1.0)))
+    assert(Robots.parseBody("") == RobotsRules(false, Nil, Nil, None))
     assert(Robots.parseBody("garbage without colon\nDisallow: /") ==
-      RobotsRules(false, Nil, None))
+      RobotsRules(false, Nil, Nil, None))
   }
 
   test("parseBody: prefix lists in order, blank line terminates a group") {
     // multiple prefixes, document order preserved
     assert(Robots.parseBody(
       "User-agent: *\nDisallow: /private/\nDisallow: /tmp\nCrawl-delay: 0.5") ==
-      RobotsRules(false, Seq("/private/", "/tmp"), Some(0.5)))
+      RobotsRules(false, Seq("/private/", "/tmp"), Nil, Some(0.5)))
     // a blank line ends the * record: the stray Disallow after it belongs
     // to no group (1994 de-facto standard) and must not apply
     assert(Robots.parseBody("User-agent: *\nDisallow: /a\n\nDisallow: /") ==
-      RobotsRules(false, Seq("/a"), None))
+      RobotsRules(false, Seq("/a"), Nil, None))
     // root disallow beats prefixes within one group
     assert(Robots.parseBody("User-agent: *\nDisallow: /x\nDisallow: /") ==
-      RobotsRules(true, Seq("/x"), None))
+      RobotsRules(true, Seq("/x"), Nil, None))
     // blank line between a specific group and the * group isolates them
     assert(Robots.parseBody(
       "User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow: /only") ==
-      RobotsRules(false, Seq("/only"), None))
+      RobotsRules(false, Seq("/only"), Nil, None))
+  }
+
+  test("parseBody: Allow rules collected alongside Disallow") {
+    assert(Robots.parseBody(
+      "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\nCrawl-delay: 1") ==
+      RobotsRules(false, Seq("/private/"), Seq("/private/pub/"), Some(1.0)))
+    // Allow with disallow-all: the standard "deny everything except" form
+    assert(Robots.parseBody("User-agent: *\nDisallow: /\nAllow: /public/") ==
+      RobotsRules(true, Nil, Seq("/public/"), None))
+    assert(Robots.parseBody("User-agent: *\nAllow:") == RobotsRules(false, Nil, Nil, None))
+  }
+
+  test("RFC 9309 longest-match: Allow overrides shorter Disallow end-to-end") {
+    import graft.model.PageRow
+    def page(url: String, links: Seq[String] = Nil) =
+      PageRow(url, 200, None, links, None, Some("text/html"), None, None)
+    val pages = Seq(
+      page("http://site0.com/", Seq("/private/x", "/private/pub/y", "/a")),
+      page("http://site0.com/a"),
+      page("http://site0.com/private/x"),
+      page("http://site0.com/private/pub/y"))
+    val robots = Robots.parse(Seq(
+      ("site0.com", "User-agent: *\nDisallow: /private/\nAllow: /private/pub/")).toDS())
+    val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
+      perHostBudget = 4, bloomEnabled = false)
+    val out = new FrontierCrawler(spark, pages.toDS(), cfg, robots = Some(robots))
+      .crawlSeeds(Seq("http://site0.com/").toDF("url"))
+    val visited = out.sortedFound
+    assert(visited.contains("http://site0.com/private/pub/y"), // longer Allow wins
+      s"Allow override ignored: $visited")
+    assert(!visited.contains("http://site0.com/private/x"))    // Disallow holds elsewhere
+    assert(visited.contains("http://site0.com/a"))
+  }
+
+  test("deny-everything-except: Disallow / with Allow carve-out") {
+    import graft.model.PageRow
+    def page(url: String, links: Seq[String] = Nil) =
+      PageRow(url, 200, None, links, None, Some("text/html"), None, None)
+    val pages = Seq(
+      page("http://site0.com/public/home", Seq("/public/a", "/secret")),
+      page("http://site0.com/public/a"),
+      page("http://site0.com/secret"))
+    val robots = Robots.parse(Seq(
+      ("site0.com", "User-agent: *\nDisallow: /\nAllow: /public/")).toDS())
+    val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
+      perHostBudget = 4, bloomEnabled = false)
+    val out = new FrontierCrawler(spark, pages.toDS(), cfg, robots = Some(robots))
+      .crawlSeeds(Seq("http://site0.com/public/home").toDF("url"))
+    val visited = out.sortedFound
+    assert(visited.contains("http://site0.com/public/home"))
+    assert(visited.contains("http://site0.com/public/a"))
+    assert(!visited.contains("http://site0.com/secret"))
   }
 
   test("shuffle-side robots join (10^7-host cache path) ≡ broadcast join") {
