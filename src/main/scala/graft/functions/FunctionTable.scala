@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Single source of truth for the engine's SQL-registrable expressions —
+  * consumed by both the in-driver `registerAll` helpers and the
+  * spark-submit [[graft.GraftExtensions]] path, so the two deployment
+  * modes cannot diverge (a function added here exists in both). */
+object FunctionTable {
+  final case class Fn(name: String, arity: Int, build: Seq[Expression] => Expression)
+
+  val all: Seq[Fn] = Seq(
+    Fn("normalize_url", 1, es => NormalizeUrl(es.head)),
+    Fn("url_resolve", 2, es => UrlResolve(es(0), es(1))),
+    Fn("url_host", 1, es => UrlHost(es.head)),
+    Fn("url_path", 1, es => UrlPath(es.head)),
+    Fn("url_syntactic_valid", 1, es => UrlSyntacticValid(es.head)),
+    Fn("url_security_valid", 1, es => UrlSecurityValid(es.head)),
+    Fn("extract_hrefs", 1, es => ExtractHrefs(es.head)),
+    Fn("text_fingerprint", 1, es => TextFingerprint(es.head)),
+    Fn("phash64", 1, es => PHash64(es.head)),
+    Fn("image_psnr", 2, es => ImagePsnr(es(0), es(1))))
+
+  /** Arity-checked builder for one table entry. */
+  def builder(f: Fn): Seq[Expression] => Expression = es => {
+    require(es.length == f.arity, s"${f.name} expects ${f.arity} argument(s), got ${es.length}")
+    f.build(es)
+  }
+
+  def byName(names: String*): Seq[Fn] = {
+    val m = all.map(f => f.name -> f).toMap
+    names.map(m)
+  }
+
+  /** Register `fns` into an existing session's FunctionRegistry. */
+  def register(spark: SparkSession, fns: Seq[Fn] = all): Unit =
+    fns.foreach(f => spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(f.name, builder(f), "built-in"))
+}

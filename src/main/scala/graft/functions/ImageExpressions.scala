@@ -54,11 +54,6 @@ object ImageFunctions {
   def image_psnr(a: Column, b: Column): Column =
     CB.column(ImagePsnr(CB.expression(a), CB.expression(b)))
 
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("phash64",
-      es => { require(es.length == 1, "phash64 expects 1 argument"); PHash64(es.head) }, "built-in")
-    reg.createOrReplaceTempFunction("image_psnr",
-      es => { require(es.length == 2, "image_psnr expects 2 arguments"); ImagePsnr(es(0), es(1)) }, "built-in")
-  }
+  def registerAll(spark: SparkSession): Unit =
+    FunctionTable.register(spark, FunctionTable.byName("phash64", "image_psnr"))
 }

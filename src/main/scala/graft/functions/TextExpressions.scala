@@ -57,7 +57,5 @@ object TextFunctions {
   def text_fingerprint(c: Column): Column = CB.column(TextFingerprint(CB.expression(c)))
 
   def registerAll(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("text_fingerprint",
-      es => { require(es.length == 1, "text_fingerprint expects 1 argument"); TextFingerprint(es.head) },
-      "built-in")
+    FunctionTable.register(spark, FunctionTable.byName("text_fingerprint"))
 }

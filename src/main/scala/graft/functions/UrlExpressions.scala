@@ -142,19 +142,7 @@ object UrlFunctions {
   def url_seen_key(c: Column): Column =
     org.apache.spark.sql.functions.xxhash64(normalize_url(c))
 
-  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression)(es: Seq[Expression]): Expression = {
-    require(es.length == n, s"$name expects $n argument(s), got ${es.length}")
-    f(es)
-  }
-
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("normalize_url", arity("normalize_url", 1)(es => NormalizeUrl(es.head)), "built-in")
-    reg.createOrReplaceTempFunction("url_resolve", arity("url_resolve", 2)(es => UrlResolve(es(0), es(1))), "built-in")
-    reg.createOrReplaceTempFunction("url_host", arity("url_host", 1)(es => UrlHost(es.head)), "built-in")
-    reg.createOrReplaceTempFunction("url_path", arity("url_path", 1)(es => UrlPath(es.head)), "built-in")
-    reg.createOrReplaceTempFunction("url_syntactic_valid", arity("url_syntactic_valid", 1)(es => UrlSyntacticValid(es.head)), "built-in")
-    reg.createOrReplaceTempFunction("url_security_valid", arity("url_security_valid", 1)(es => UrlSecurityValid(es.head)), "built-in")
-    reg.createOrReplaceTempFunction("extract_hrefs", arity("extract_hrefs", 1)(es => ExtractHrefs(es.head)), "built-in")
-  }
+  def registerAll(spark: SparkSession): Unit =
+    FunctionTable.register(spark, FunctionTable.byName("normalize_url", "url_resolve",
+      "url_host", "url_path", "url_syntactic_valid", "url_security_valid", "extract_hrefs"))
 }

@@ -74,18 +74,29 @@ final class StateFs(confSer: SerializableConfiguration) extends Serializable {
     * sibling which is then renamed over the target. Concurrent attempts of
     * the same write (task retry / speculative execution) each use their own
     * tmp file and both produce identical content, so whichever rename wins
-    * leaves a complete, correct file. */
+    * leaves a complete, correct file.
+    *
+    * Replace semantics: the rename is tried FIRST — on POSIX-backed
+    * filesystems (raw local) `rename` replaces the target atomically, so a
+    * live file being rewritten (e.g. a snapshot pointer) never has a
+    * missing-window. Only when that rename refuses an existing target
+    * (HDFS semantics) does the delete-then-rename fallback run; stores
+    * built on this class therefore must not depend on replace atomicity
+    * alone for a single point of truth (IceLite derives the current
+    * version from the immutable manifest listing as well). */
   def writeAtomic(target: String)(body: OutputStream => Unit): Unit = {
     val t = new Path(target)
     val f = fs(t)
     val tmp = new Path(t.getParent, s".${t.getName}.$attemptToken.tmp")
     val out = f.create(tmp, true)
     try body(out) finally out.close()
-    f.delete(t, false) // HDFS rename refuses to replace an existing target
     if (!f.rename(tmp, t)) {
-      f.delete(tmp, false)
-      if (!f.exists(t))
-        throw new java.io.IOException(s"statefs: rename failed: $tmp -> $target")
+      f.delete(t, false) // HDFS rename refuses to replace an existing target
+      if (!f.rename(tmp, t)) {
+        f.delete(tmp, false)
+        if (!f.exists(t))
+          throw new java.io.IOException(s"statefs: rename failed: $tmp -> $target")
+      }
     }
   }
 }

@@ -265,4 +265,19 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
 
   def readHostState(round: Int): DataFrame =
     spark.read.schema(hostStateSchema).parquet(hostStatePath(round))
+
+  /** Pre-round-3 checkpoints stored backoff as a `round=K.properties` file
+    * and no manifest pointer; read it (if present) so resume migrates the
+    * state instead of silently dropping every host's Retry-After window. */
+  def loadLegacyHostState(round: Int): Option[Map[String, Int]] = {
+    val path = p("hoststate", s"round=$round.properties")
+    if (!sfs.exists(path)) None
+    else {
+      val props = new Properties()
+      val in = sfs.open(path)
+      try props.load(in) finally in.close()
+      Some(props.stringPropertyNames().asScala
+        .map(k => k -> props.getProperty(k).toInt).toMap)
+    }
+  }
 }

@@ -363,6 +363,14 @@ final class FrontierCrawler(
       else None
     var bloomRound: Int = m.bloomRound
     loadHostBackoff(if (m.round >= 0) m.hostStateRound else -1)
+    // one-time migration: a checkpoint written before the relation-backed
+    // store has no hostStateRound pointer but may hold a legacy properties
+    // file — convert it rather than silently un-throttling every host
+    if (m.round >= 0 && m.hostStateRound < 0)
+      store.loadLegacyHostState(m.round).filter(_.nonEmpty).foreach { legacy =>
+        store.saveHostState(m.round, legacy.toSeq.toDF("host", "notBefore"))
+        loadHostBackoff(m.round)
+      }
 
     var round = m.round + 1
     var done = false
@@ -766,14 +774,22 @@ final class FrontierCrawler(
               else when(coalesce($"disallow", lit(false)),
                 array_union(dis0, array(lit("/")))).otherwise(dis0)
             val allows = if (hasAllow) coalesce($"allowPrefixes", emptyArr) else emptyArr
+            // Frontier URLs are canonicalized (empty path for the bare
+            // host, trailing slash stripped), so the path is re-expanded
+            // for rule matching: "" ≡ "/" (RFC 9309 treats an empty path
+            // as root) and a rule `/a/` must match the URL whose original
+            // `/a/` normalized to `/a` — matching against path + "/" covers
+            // both without ever un-matching a plain prefix (appending to
+            // the subject cannot break an existing prefix match).
             def bestLen(rules: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-              aggregate(filter(rules, p => startswith($"__path", p)),
+              aggregate(filter(rules, p => startswith($"__pathx", p)),
                 lit(0), (acc, p) => greatest(acc, length(p)))
             // keep iff the best matching Allow is at least as specific as
             // the best matching Disallow (no match on either side = 0 ≤ 0)
-            joined.withColumn("__path", graft.functions.UrlFunctions.url_path($"url"))
+            joined.withColumn("__pathx",
+                concat(graft.functions.UrlFunctions.url_path($"url"), lit("/")))
               .filter(bestLen(dis) <= bestLen(allows))
-              .drop("__path")
+              .drop("__pathx")
           }
         val b = when($"crawlDelay".isNotNull && $"crawlDelay" > lit(cfg.delay),
           greatest(lit(1.0), lit(cfg.perHostBudget.toDouble) * lit(cfg.delay) / $"crawlDelay").cast("int"))
@@ -794,7 +810,7 @@ final class FrontierCrawler(
       .withColumn("nextFetchTime",
         lit(round.toLong * math.max(cfg.perHostBudget, 1) * delayMs) + ($"rn2" - 1) * delayMs)
       .drop("rn1", "rn2", "__budget", "disallow", "disallowPrefixes", "allowPrefixes",
-        "crawlDelay", "__path")
+        "crawlDelay")
   }
 
   // Retry-After backoff state: persisted as a `(host, notBefore)` relation

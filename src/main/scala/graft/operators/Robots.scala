@@ -52,9 +52,12 @@ object Robots {
     body.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       if (line.isEmpty) {
-        // blank line = end of record (1994 de-facto standard)
-        closeGroup()
-        inAgentRun = false
+        // blank line = end of record (1994 de-facto standard) — but only
+        // once the record has rules: a blank between the User-agent line(s)
+        // and the first rule stays inside the group (RFC 9309's ABNF allows
+        // emptyline there, and 'User-agent: *\n\nDisallow: /x' is common
+        // real-world formatting whose rule must not be dropped)
+        if (!inAgentRun) closeGroup()
       } else {
         val i = line.indexOf(':')
         if (i > 0) {

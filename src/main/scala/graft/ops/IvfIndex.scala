@@ -126,9 +126,15 @@ final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
     * centroid relation), keep each query's nProbe lists, join the posting
     * lists once on `list`, verify with exact cosine, window-top-k per
     * query. The assignments side shuffles at most once regardless of the
-    * query count. */
+    * query count.
+    *
+    * `excludeQueryIds = true` (the self-query case: qids ARE corpus ids)
+    * drops each query's own vector from its results; pass false when qids
+    * are external labels — a label that happens to collide numerically
+    * with a corpus id must not silently drop that (possibly nearest)
+    * neighbor. */
   def topKBatch(queries: DataFrame, qidCol: String, vecCol: String,
-      k: Int, nProbe: Int = 4): DataFrame = {
+      k: Int, nProbe: Int = 4, excludeQueryIds: Boolean = true): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"),
       col(vecCol).cast("array<double>").as("qe"))
     val cents = spark.read.parquet(sfs.child(dir, "centroids"))
@@ -141,8 +147,8 @@ final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
         Window.partitionBy("qid").orderBy(col("cdist"), col("list"))))
       .filter(col("crank") <= nProbe)
       .select("qid", "qe", "list")
-    probes.join(assignments, Seq("list"))
-      .filter(col("id") =!= col("qid"))
+    val cands = probes.join(assignments, Seq("list"))
+    (if (excludeQueryIds) cands.filter(col("id") =!= col("qid")) else cands)
       .withColumn("cos", round(Similarity.cosine("e", "qe"), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(desc("cos"), col("id"))))

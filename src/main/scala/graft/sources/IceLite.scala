@@ -69,15 +69,26 @@ final class IceLite(spark: SparkSession, val dir: String,
 
   final case class Snapshot(version: Int, batches: Seq[String], rowCount: Long)
 
+  /** Current version = max(pointer file, newest listed manifest). Manifests
+    * are immutable and written before the pointer swap, so the listing is
+    * an equally valid source of truth: a reader that catches the pointer
+    * mid-replace (or a crash that lost it on a filesystem without atomic
+    * replace) still resolves the latest fully-committed snapshot instead
+    * of seeing the table vanish. */
   def currentVersion(): Int = {
     val cur = p("meta", "current.properties")
-    if (!sfs.exists(cur)) 0
-    else {
-      val props = new Properties()
-      val in = sfs.open(cur)
-      try props.load(in) finally in.close()
-      props.getProperty("version").toInt
-    }
+    val pointer =
+      if (!sfs.exists(cur)) 0
+      else {
+        val props = new Properties()
+        val in = sfs.open(cur)
+        try props.load(in) finally in.close()
+        props.getProperty("version").toInt
+      }
+    val listed = sfs.listNames(p("meta"))
+      .collect { case n if n.startsWith("v") && n.endsWith(".properties") =>
+        n.stripPrefix("v").stripSuffix(".properties").toInt }
+    (pointer +: listed).max
   }
 
   def snapshot(version: Int): Option[Snapshot] = {
@@ -143,12 +154,18 @@ final class IceLite(spark: SparkSession, val dir: String,
 
   /** MERGE-INTO … WHEN NOT MATCHED THEN INSERT on `keyCol`: stage rows whose
     * key is absent from the current snapshot (staged side deduped on the key
-    * first), append them. Returns rows inserted. On a partitioned table the
-    * anti-join reads only the partitions the staged rows hash into; a null
-    * partition value maps to the Hive default partition dir (where the
-    * writer puts null-valued rows), so null-keyed rows are pruned and
-    * deduplicated like any other. */
+    * first), append them. Returns rows inserted. The anti-join uses
+    * null-safe equality (`<=>`), so a null-keyed row dedups against an
+    * existing null-keyed row instead of being re-inserted on every merge.
+    * On a partitioned table the anti-join reads only the partitions the
+    * staged rows hash into; a null partition value maps to the Hive default
+    * partition dir (where the writer puts null-valued rows). */
   def mergeInsert(df: DataFrame, keyCol: String): Long = {
+    // null-safe anti-join: plain Seq(keyCol) equi-join would keep null keys
+    // forever (SQL null never equals null)
+    def antiByKey(staged: DataFrame, existing: DataFrame): DataFrame =
+      staged.join(existing.select(col(keyCol).as("__mk")),
+        staged(keyCol) <=> col("__mk"), "left_anti")
     val staged = df.dropDuplicates(keyCol)
     val hasData = currentSnapshot().exists(_.batches.nonEmpty)
     (partition, hasData) match {
@@ -163,12 +180,11 @@ final class IceLite(spark: SparkSession, val dir: String,
           val dirs = partitionDirs(touched)
           val novel =
             if (dirs.isEmpty) stagedP.drop(ps.name)
-            else stagedP.join(spark.read.parquet(dirs: _*).select(keyCol),
-              Seq(keyCol), "left_anti").drop(ps.name)
+            else antiByKey(stagedP, spark.read.parquet(dirs: _*)).drop(ps.name)
           commit(novel)
         } finally stagedP.unpersist()
       case (_, true) =>
-        commit(staged.join(read().select(keyCol), Seq(keyCol), "left_anti"))
+        commit(antiByKey(staged, read()))
       case (_, false) => commit(staged)
     }
   }

@@ -48,6 +48,45 @@ class RobotsSpec extends AnyFunSuite {
       RobotsRules(false, Seq("/only"), Nil, None))
   }
 
+  test("parseBody: blank line between User-agent and its rules keeps the group open") {
+    // very common real-world formatting — the rule must NOT be orphaned
+    assert(Robots.parseBody("User-agent: *\n\nDisallow: /private") ==
+      RobotsRules(false, Seq("/private"), Nil, None))
+    assert(Robots.parseBody("User-agent: *\n\nDisallow: /") ==
+      RobotsRules(true, Nil, Nil, None))
+    // consecutive User-agent lines separated by a blank still share a group
+    assert(Robots.parseBody("User-agent: a\n\nUser-agent: *\nDisallow: /x") ==
+      RobotsRules(false, Seq("/x"), Nil, None))
+  }
+
+  test("canonicalized paths still match rules: bare host and stripped trailing slash") {
+    import graft.model.PageRow
+    def page(url: String, links: Seq[String] = Nil) =
+      PageRow(url, 200, None, links, None, Some("text/html"), None, None)
+    // normalize_url turns http://site0.com/private/ into .../private and a
+    // bare-host URL's path into "" — both must still match their rules
+    val pages = Seq(
+      page("http://site0.com/a", Seq("/private/", "http://site1.com", "/b")),
+      page("http://site0.com/private"),
+      page("http://site0.com/b"),
+      page("http://site1.com"))
+    val robots = Robots.parse(Seq(
+      ("site0.com", "User-agent: *\nDisallow: /private/"),
+      ("site1.com", "User-agent: *\nDisallow: /\nAllow: /public/")).toDS())
+    val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
+      perHostBudget = 4, bloomEnabled = false)
+    val out = new FrontierCrawler(spark, pages.toDS(), cfg, robots = Some(robots))
+      .crawlSeeds(Seq("http://site0.com/a").toDF("url"))
+    val visited = out.sortedFound
+    assert(visited.contains("http://site0.com/a"))
+    assert(visited.contains("http://site0.com/b"))
+    // /private/ rule matches the normalized /private
+    assert(!visited.exists(_.contains("/private")), s"stripped-slash URL escaped: $visited")
+    // site1's bare-host URL (empty path ≡ "/") is covered by Disallow: /
+    // even though Allow rules keep the host alive
+    assert(!visited.contains("http://site1.com"), s"bare-host URL escaped: $visited")
+  }
+
   test("parseBody: Allow rules collected alongside Disallow") {
     assert(Robots.parseBody(
       "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\nCrawl-delay: 1") ==

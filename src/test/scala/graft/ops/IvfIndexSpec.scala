@@ -86,5 +86,13 @@ class IvfIndexSpec extends AnyFunSuite {
         .select("id").as[Long].collect().toSet
       assert(batch(q) == single, s"batch result for query $q diverges")
     }
+
+    // external query labels: a qid that numerically collides with a corpus
+    // id must NOT lose that neighbor when exclusion is off — vector 3's own
+    // row (cosine 1.0) tops its result
+    val ext = idx.topKBatch(queries.filter($"qid" === 3L), "qid", "qe", k,
+      nProbe = 6, excludeQueryIds = false)
+      .filter($"rk" === 1).select("id", "cos").head()
+    assert(ext.getLong(0) == 3L && ext.getDouble(1) == 1.0)
   }
 }
