@@ -70,6 +70,22 @@ class PipelineIntegrationSpec extends AnyFunSuite {
       .withColumn("vid", xxhash64($"image_id"))
     val dupPairs = Similarity.nearDupPairs(rawFeats, "vid", "embedding", threshold = 0.999999)
     assert(dupPairs.count() > 0, "planted duplicates not detected pre-MERGE")
+
+    // 6. the serving path: persist an IVF index over the table's features
+    // and batch-query every stored vector against it — each must find its
+    // exact-ANN neighborhood without any refit (the index is on disk; the
+    // query only reads probed posting lists)
+    val idxDir = Files.createTempDirectory("pipeline-ivf-").toString
+    val idx = graft.ops.IvfIndex.build(spark, idxDir, keyed, "vid", "embedding",
+      nLists = 4)
+    val probeIds = keyed.select($"vid").as[Long].take(3)
+    val queries = keyed.filter($"vid".isin(probeIds: _*))
+      .select($"vid".as("qid"), $"embedding".as("qe"))
+    val served = graft.ops.IvfIndex.load(spark, idxDir)
+      .topKBatch(queries, "qid", "qe", k = 3, nProbe = 2)
+    val perQuery = served.groupBy("qid").count().select("count").as[Long].collect()
+    assert(perQuery.length == 3 && perQuery.forall(_ > 0),
+      "persisted index did not serve all batch queries")
     stored.unpersist()
   }
 }
