@@ -59,6 +59,12 @@ final case class CrawlConfig(
     // built distributively and loaded per task (SCALE.md §2.1 — at 10^10 the
     // filter is GBs and cannot be one broadcast blob); 0 = single broadcast
     bloomBuckets: Int = 0,
+    // seen-filter representation for the partitioned store (north rule:
+    // "Bloom/cuckoo-filter URL-seen set"): "bloom" (default) or "cuckoo"
+    // (16-bit-fingerprint cuckoo filter — ~10x lower FPP at similar space,
+    // supports delete for re-crawl/TTL; requires bloomBuckets > 0, the
+    // single-broadcast path stays Bloom-only)
+    seenFilterKind: String = "bloom",
     // bucket the redirect-resolved pages closure by url (0 = off): the big
     // side of the per-round fetch join then never shuffles
     closureBuckets: Int = 0,

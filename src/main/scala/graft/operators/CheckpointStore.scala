@@ -57,7 +57,12 @@ object CheckpointStore {
       hasBloom: Boolean,
       bloomRound: Int = -1,
       // round whose hoststate/ dir holds the current backoff relation
-      hostStateRound: Int = -1)
+      hostStateRound: Int = -1,
+      // which seen-filter representation the bloomRound snapshot was written
+      // with ("bloom" | "cuckoo") — resuming under a different kind must not
+      // trust the pointer (the other kind's bucket files don't exist, and a
+      // missing bucket reads as "never visited")
+      seenKind: String = "bloom")
 }
 
 final class CheckpointStore(spark: SparkSession, val dir: String,
@@ -115,6 +120,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     props.setProperty("hasBloom", m.hasBloom.toString)
     props.setProperty("bloomRound", m.bloomRound.toString)
     props.setProperty("hostStateRound", m.hostStateRound.toString)
+    props.setProperty("seenKind", m.seenKind)
     sfs.writeAtomic(p("manifest", s"round=${m.round}.properties")) { out =>
       props.store(out, null)
     }
@@ -150,7 +156,8 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       },
       props.getProperty("hasBloom").toBoolean,
       props.getProperty("bloomRound", "-1").toInt,
-      props.getProperty("hostStateRound", "-1").toInt)
+      props.getProperty("hostStateRound", "-1").toInt,
+      props.getProperty("seenKind", "bloom"))
   }
 
   /** The visited set: union of disjoint per-round deltas (no distinct).
@@ -234,6 +241,45 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
         }
         if (n > 0 || hasPrev) {
           val outP = graft.functions.BloomBucketStore.path(dirStr, round, bucket)
+          fsRef.writeAtomic(outP) { out =>
+            val b = new BufferedOutputStream(out)
+            f.writeTo(b); b.flush()
+          }
+        }
+        Iterator.single(n)
+      }.count()
+  }
+
+  /** Distributed build of the partitioned CUCKOO seen-filter snapshot — the
+    * `seenFilterKind = "cuckoo"` twin of [[saveBloomBuckets]]. Same layout
+    * contract (`cuckoobuckets/round=K/bucket=B.bin`, missing bucket = empty);
+    * the previous round's bucket is folded in via entry re-insertion
+    * (cuckoo entries are relocatable (bucket, fingerprint) pairs, see
+    * [[graft.functions.CuckooFilter.mergeInPlace]]). Overload pressure
+    * degrades a bucket to `saturated` (probe-all-true) — correct, never a
+    * false negative. Attempt-unique atomic publishes as in the Bloom build;
+    * two attempts of one bucket may differ in byte layout (insertion order)
+    * but represent the same key set, so either rename winning is correct.
+    */
+  def saveCuckooBuckets(round: Int, prevRound: Int, deltas: DataFrame,
+      nBuckets: Int, expectedPerBucket: Long): Unit = {
+    val dirStr = dir
+    val fsRef = sfs // serializable; do not capture `this` in the task closure
+    deltas.select("urlHash").rdd
+      .map(r => (Math.floorMod(r.getLong(0), nBuckets.toLong).toInt, r.getLong(0)))
+      .partitionBy(new IdentityPartitioner(nBuckets))
+      .mapPartitionsWithIndex { (bucket, it) =>
+        val f = graft.functions.CuckooFilter.create(expectedPerBucket)
+        var n = 0L
+        it.foreach { kv => f.putLong(kv._2); n += 1 }
+        val prevPath = graft.functions.CuckooBucketStore.path(dirStr, prevRound, bucket)
+        val hasPrev = prevRound >= 0 && fsRef.exists(prevPath)
+        if (hasPrev) {
+          val in = new BufferedInputStream(fsRef.open(prevPath))
+          try f.mergeInPlace(graft.functions.CuckooFilter.readFrom(in)) finally in.close()
+        }
+        if (n > 0 || hasPrev) {
+          val outP = graft.functions.CuckooBucketStore.path(dirStr, round, bucket)
           fsRef.writeAtomic(outP) { out =>
             val b = new BufferedOutputStream(out)
             f.writeTo(b); b.flush()

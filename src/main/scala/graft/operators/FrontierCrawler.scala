@@ -355,13 +355,29 @@ final class FrontierCrawler(
     // bucket mode: the filter never exists as one driver/broadcast object —
     // snapshots live per urlHash bucket on disk, probed lazily per task
     val bucketMode = cfg.bloomEnabled && cfg.bloomBuckets > 0
+    require(Set("bloom", "cuckoo")(cfg.seenFilterKind),
+      s"seenFilterKind must be bloom|cuckoo: ${cfg.seenFilterKind}")
+    val cuckooMode = bucketMode && cfg.seenFilterKind == "cuckoo"
+    require(cfg.seenFilterKind == "bloom" || cfg.bloomBuckets > 0,
+      "seenFilterKind=cuckoo requires the partitioned store (bloomBuckets > 0); " +
+        "the single-broadcast path is Bloom-only")
+    // which snapshot representation THIS run writes — a resumed checkpoint
+    // whose snapshot was written under a different representation must not be
+    // trusted (its files live under another layout; a missing bucket file
+    // reads as "never visited", which would be a false negative)
+    val curSeenKind =
+      if (!cfg.bloomEnabled) "none"
+      else if (cuckooMode) "cuckoo-buckets"
+      else if (bucketMode) "bloom-buckets"
+      else "bloom"
+    val snapshotCompatible = m.round < 0 || m.seenKind == curSeenKind
     // seeded from the first round's distributed build — sizing must come
     // from the same code path (stat.bloomFilter) or merges are incompatible
     var bloom: Option[BloomFilter] =
-      if (!cfg.bloomEnabled || bucketMode) None
+      if (!cfg.bloomEnabled || bucketMode || !snapshotCompatible) None
       else if (m.round >= 0 && m.hasBloom && m.bloomRound >= 0) Some(store.loadBloom(m.bloomRound))
       else None
-    var bloomRound: Int = m.bloomRound
+    var bloomRound: Int = if (snapshotCompatible) m.bloomRound else -1
     loadHostBackoff(if (m.round >= 0) m.hostStateRound else -1)
     // one-time migration: a checkpoint written before the relation-backed
     // store has no hostStateRound pointer but may hold a legacy properties
@@ -411,7 +427,11 @@ final class FrontierCrawler(
           val frontierRows = m.liveSegs.map(_.rows).sum
           val probe: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
             if (frontierRows < cfg.bloomMinFrontierRows) None
-            else if (bucketMode && bloomRound >= 0) {
+            else if (cuckooMode && bloomRound >= 0) {
+              val handle =
+                new graft.functions.CuckooBucketHandle(ckptDir, bloomRound, cfg.bloomBuckets, sfs)
+              Some(h => graft.functions.CuckooFunctions.cuckoo_bucket_might_contain(h, handle))
+            } else if (bucketMode && bloomRound >= 0) {
               val handle =
                 new graft.functions.BloomBucketHandle(ckptDir, bloomRound, cfg.bloomBuckets, sfs)
               Some(h => graft.functions.BloomFunctions.bloom_bucket_might_contain(h, handle))
@@ -633,7 +653,11 @@ final class FrontierCrawler(
             if (cfg.bloomEnabled && bloomStale) timed("t_bloom") {
               val deltaRounds = (m.visitedRounds :+ round).filter(_ > bloomRound)
               val deltas = store.readVisited(deltaRounds).get
-              if (bucketMode) {
+              if (cuckooMode) {
+                store.saveCuckooBuckets(round, bloomRound, deltas, cfg.bloomBuckets,
+                  math.max(cfg.bloomExpectedItems / cfg.bloomBuckets, 1024L))
+                bloomRound = round
+              } else if (bucketMode) {
                 store.saveBloomBuckets(round, bloomRound, deltas, cfg.bloomBuckets,
                   math.max(cfg.bloomExpectedItems / cfg.bloomBuckets, 1024L), cfg.bloomFpp)
                 bloomRound = round
@@ -707,7 +731,7 @@ final class FrontierCrawler(
               m.scheduledTotal + batchCnt, m.fetchedTotal + batchCnt,
               m.visitedRounds :+ round, liveSegs,
               bloom.isDefined || (bucketMode && bloomRound >= 0), bloomRound,
-              hostStateRound)
+              hostStateRound, curSeenKind)
             store.saveManifest(m)
 
             f.unpersist()
