@@ -27,7 +27,8 @@ object Bench {
   def crawlBench(spark: SparkSession, nHosts: Int, pagesPerHost: Int,
       budget: Int, maxRounds: Int, cachePages: Boolean = true,
       bloomExpected: Long = 2L * 1000 * 1000,
-      bloomBuckets: Int = 0, warmRounds: Int = 0): (Double, Long) = {
+      bloomBuckets: Int = 0, warmRounds: Int = 0,
+      seenKind: String = "bloom"): (Double, Long) = {
     import spark.implicits._
     val params = SiteGraph.GraphParams(nHosts = nHosts, pagesPerHost = pagesPerHost,
       linksPerPage = 6, redirectFrac = 0.03, errorFrac = 0.03, deadLinkFrac = 0.01,
@@ -52,7 +53,7 @@ object Bench {
     val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
       perHostBudget = budget, saltBuckets = 16, bloomEnabled = true,
       bloomExpectedItems = bloomExpected, bloomBuckets = bloomBuckets,
-      maxRounds = maxRounds,
+      seenFilterKind = seenKind, maxRounds = maxRounds,
       compactEvery = 1000000, checkpointDir = Some(ckpt), // no compaction inside the timed window
       closureBuckets = 32) // big join side never shuffles
     val warmWork =

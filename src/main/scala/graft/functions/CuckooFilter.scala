@@ -254,6 +254,15 @@ object CuckooBucketStore {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), (Int, CuckooFilter)]()
 
+  /** Drop this JVM's cached buckets for `dir` — called after an in-place
+    * snapshot modification (expiry delete). Other executors' caches roll
+    * over at the next snapshot round; until then they serve the pre-delete
+    * filter, which is a superset (false positives only — safe). */
+  def invalidate(dir: String): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == dir) it.remove()
+  }
+
   def load(sfs: graft.io.StateFs, dir: String, round: Int, bucket: Int): CuckooFilter = {
     val key = (dir, bucket)
     val cur = cache.get(key)

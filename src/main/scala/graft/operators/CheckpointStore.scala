@@ -42,6 +42,12 @@ private[operators] final class IdentityPartitioner(n: Int) extends org.apache.sp
 }
 
 object CheckpointStore {
+  /** Per-round discoveryIdx block width in polite mode: round r's new links
+    * get indexes in `[(r+1)*IdxSpan, (r+2)*IdxSpan)` (hash-based within the
+    * block — no global window), so later rounds always sort after earlier
+    * ones and a requeued segment can claim the next block. */
+  val IdxSpan: Long = 1L << 40
+
   final case class SegInfo(seg: Int, minIdx: Long, maxIdx: Long, rows: Long)
 
   final case class Manifest(
@@ -286,6 +292,136 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
           }
         }
         Iterator.single(n)
+      }.count()
+  }
+
+  /** TTL / re-crawl expiry: retire whole visited ROUNDS from the seen set
+    * and (by default) re-queue their URLs for a fresh fetch — the operation
+    * the cuckoo seen-filter representation exists for. Offline op: run it
+    * between crawl sessions on the same checkpoint dir, then resume with a
+    * higher `maxRounds`; the resumed crawl re-fetches exactly the expired
+    * URLs (they are gone from the visited relation AND from the filter, and
+    * live again in the frontier).
+    *
+    * Seen-filter handling is where the two representations diverge:
+    *   - `cuckoo-buckets`: the expired keys are DELETED from the snapshot in
+    *     place (per-bucket read → delete → atomic replace; cost ∝ expired
+    *     keys). Safe because every expired key in a folded round was
+    *     inserted, and cuckoo tables hold duplicate fingerprints as separate
+    *     copies — deleting one copy never erases another key's membership.
+    *     A task/executor that cached the pre-delete bucket serves false
+    *     POSITIVES only (routed through the visited anti-join, where the
+    *     expired rows no longer exist) — never a false negative; the
+    *     driver-side cache is invalidated eagerly, remote caches roll over
+    *     at the next snapshot round.
+    *   - `bloom` / `bloom-buckets`: a Bloom filter cannot delete. The
+    *     snapshot pointer is dropped and the next crawl round rebuilds the
+    *     filter from ALL remaining visited deltas (cost ∝ the whole
+    *     remaining seen set — the asymmetry is the point of offering the
+    *     cuckoo store). Until that rebuild the crawl runs the plain
+    *     anti-join: exact, merely unprefiltered.
+    *
+    * Requeued rows land in a fresh frontier segment under a synthetic round
+    * (`m.round + 1`, so the segment number and polite-mode discoveryIdx
+    * block can never collide with a future crawl round's); depth is
+    * preserved from the visit log, `priority = depth`, `nextFetchTime = 0`.
+    * Totals in the manifest stay cumulative across expiry epochs.
+    *
+    * Construct this store with `visitedFromLog` matching the crawl that
+    * wrote the checkpoint (`!cfg.fifoParity`) — the visited-delta layout
+    * differs between the two modes and the delete pass must read the
+    * deduplicated per-round key set.
+    */
+  def expireAndRequeue(rounds: Seq[Int], requeue: Boolean = true,
+      fifoIdx: Boolean = false, cuckooBuckets: Int = 0): CheckpointStore.Manifest = {
+    import org.apache.spark.sql.functions._
+    val m = latestManifest().getOrElse(
+      throw new IllegalStateException(s"no checkpoint manifest under $dir"))
+    val expireSet = rounds.toSet
+    require(rounds.nonEmpty && expireSet.subsetOf(m.visitedRounds.toSet),
+      s"expire rounds $rounds must be visited rounds ${m.visitedRounds}")
+
+    // cuckoo snapshots support delete; anything else must drop the pointer
+    val canDelete =
+      m.seenKind == "cuckoo-buckets" && cuckooBuckets > 0 && m.bloomRound >= 0
+    val folded = rounds.filter(_ <= m.bloomRound)
+    if (canDelete && folded.nonEmpty) {
+      deleteCuckooKeys(m.bloomRound, readVisited(folded).get, cuckooBuckets)
+      graft.functions.CuckooBucketStore.invalidate(dir)
+    }
+    val keepSnapshot = canDelete || m.bloomRound < 0
+
+    val (newRound, newNextIdx, newSegs) =
+      if (!requeue) (m.round, m.nextIdx, m.liveSegs)
+      else {
+        val src = readVisitLog(rounds)
+          .map(_.select(col("url"), col("urlHash"), col("depth")))
+          .orElse(readVisited(rounds).map(_.withColumn("depth", lit(0))))
+          .getOrElse(throw new IllegalStateException(
+            s"no visit log or visited delta for rounds $rounds under $dir"))
+        val r = m.round + 1
+        val seg = r + 1
+        val entries = src
+          .withColumn("host", graft.functions.UrlFunctions.url_host(col("url")))
+          .withColumn("discoveryIdx",
+            if (fifoIdx)
+              lit(m.nextIdx) +
+                row_number().over(org.apache.spark.sql.expressions.Window
+                  .orderBy(col("url"))).cast("long") - 1
+            else
+              lit((r.toLong + 1) * CheckpointStore.IdxSpan) +
+                pmod(xxhash64(col("url")), lit(CheckpointStore.IdxSpan)))
+          .select(col("url"), col("urlHash"), col("host"), col("depth"),
+            col("depth").as("priority"), col("discoveryIdx"),
+            lit(0L).as("nextFetchTime"))
+        val obs = org.apache.spark.sql.Observation()
+        entries.observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(segPath(seg))
+        val n = obs.get("n").asInstanceOf[Long]
+        val (mn, mx) =
+          if (fifoIdx) (m.nextIdx, m.nextIdx + n - 1)
+          else ((r.toLong + 1) * CheckpointStore.IdxSpan,
+            (r.toLong + 2) * CheckpointStore.IdxSpan - 1)
+        val nx = if (fifoIdx) m.nextIdx + n else (r.toLong + 2) * CheckpointStore.IdxSpan
+        (r, nx, m.liveSegs :+ CheckpointStore.SegInfo(seg, mn, mx, n))
+      }
+
+    val m2 = m.copy(round = newRound, nextIdx = newNextIdx,
+      visitedRounds = m.visitedRounds.filterNot(expireSet),
+      liveSegs = newSegs,
+      hasBloom = m.hasBloom && keepSnapshot,
+      bloomRound = if (keepSnapshot) m.bloomRound else -1)
+    saveManifest(m2)
+    m2
+  }
+
+  /** Distributed in-place delete of `keys` from the round-`snapRound` cuckoo
+    * snapshot: one task per touched bucket, read → delete each key → atomic
+    * replace. Deterministic per bucket, so concurrent task attempts write
+    * identical content and either rename winning is correct. */
+  private def deleteCuckooKeys(snapRound: Int, keys: DataFrame, nBuckets: Int): Unit = {
+    val dirStr = dir
+    val fsRef = sfs // serializable; do not capture `this` in the task closure
+    keys.select("urlHash").rdd
+      .map(r => (Math.floorMod(r.getLong(0), nBuckets.toLong).toInt, r.getLong(0)))
+      .partitionBy(new IdentityPartitioner(nBuckets))
+      .mapPartitionsWithIndex { (bucket, it) =>
+        if (!it.hasNext) Iterator.single(0L)
+        else {
+          val pp = graft.functions.CuckooBucketStore.path(dirStr, snapRound, bucket)
+          if (!fsRef.exists(pp)) Iterator.single(0L)
+          else {
+            val in = new BufferedInputStream(fsRef.open(pp))
+            val f = try graft.functions.CuckooFilter.readFrom(in) finally in.close()
+            var nDel = 0L
+            it.foreach { kv => if (f.delete(kv._2)) nDel += 1 }
+            fsRef.writeAtomic(pp) { out =>
+              val b = new BufferedOutputStream(out)
+              f.writeTo(b); b.flush()
+            }
+            Iterator.single(nDel)
+          }
+        }
       }.count()
   }
 

@@ -207,7 +207,7 @@ final class FrontierCrawler(
     run(seedDf.select(cols.map(col): _*), seedCount = -1L, None)
   }
 
-  private val IdxSpan: Long = 1L << 40
+  private val IdxSpan: Long = CheckpointStore.IdxSpan
 
   /** Redirect-resolved fetch relation, computed ONCE per crawl: the pages
     * table is static, so the chain walk (`redirect_handler.py:76-156`) is a

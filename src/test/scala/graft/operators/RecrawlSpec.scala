@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.TestSpark
+import graft.model.CrawlConfig
+import graft.sources.SiteGraph
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** TTL / re-crawl expiry (`CheckpointStore.expireAndRequeue`): retiring
+  * visited rounds re-queues their URLs and the resumed crawl re-fetches
+  * EXACTLY those URLs — with the cuckoo seen-filter updated by in-place
+  * key deletion (the capability Bloom lacks; there the snapshot pointer is
+  * dropped and rebuilt instead). The reference has no re-crawl; this is the
+  * operational story a production crawl needs (pages go stale) and the
+  * reason `seenFilterKind = "cuckoo"` exists.
+  */
+class RecrawlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val params = SiteGraph.GraphParams(nHosts = 4, pagesPerHost = 40,
+    linksPerPage = 4, redirectFrac = 0.05, errorFrac = 0.1, deadLinkFrac = 0.05,
+    crossHostFrac = 0.3, heavyHostFrac = 0.5, seed = 31L)
+
+  private def seedsOf(pages: Seq[graft.model.PageRow]) =
+    (0 until params.nHosts).flatMap(h =>
+      pages.find(r => r.status == 200 && r.url.startsWith(s"http://site$h.com")).map(_.url))
+
+  private def politeCfg(dir: String, kind: String, buckets: Int) =
+    CrawlConfig(fifoParity = false, sameDomainOnly = false, perHostBudget = 4,
+      saltBuckets = 4, bloomEnabled = true, bloomBuckets = buckets,
+      seenFilterKind = kind, bloomMinFrontierRows = 0L,
+      bloomExpectedItems = 100000L, bloomUpdateEvery = 1,
+      checkpointDir = Some(dir), maxRounds = 1000)
+
+  private def crawlPolite(dir: String, kind: String, buckets: Int = 8) = {
+    val pages = SiteGraph.localPages(params)
+    new FrontierCrawler(spark, pages.toDS(), politeCfg(dir, kind, buckets))
+      .crawlSeeds(seedsOf(pages).toDF("url"))
+  }
+
+  test("cuckoo expiry: in-place key deletion, resume re-fetches exactly the expired URLs") {
+    val dir = Files.createTempDirectory("graft-recrawl-").toString
+    val out1 = crawlPolite(dir, "cuckoo")
+    val store = new CheckpointStore(spark, dir, visitedFromLog = true)
+    val m1 = store.latestManifest().get
+    assert(m1.seenKind == "cuckoo-buckets")
+    val expireRounds = m1.visitedRounds.takeRight(2)
+    val expired = store.readVisited(expireRounds).get
+      .select("url", "urlHash").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val kept = store.readVisited(m1.visitedRounds.filterNot(expireRounds.contains)).get
+      .select("urlHash").collect().map(_.getLong(0)).toSet
+    assert(expired.nonEmpty && kept.nonEmpty)
+
+    val m2 = store.expireAndRequeue(expireRounds, cuckooBuckets = 8)
+    // snapshot kept: delete-in-place, no rebuild needed
+    assert(m2.hasBloom && m2.bloomRound == m1.bloomRound)
+    assert(m2.visitedRounds == m1.visitedRounds.filterNot(expireRounds.contains))
+    // fresh probes: every kept key still present (no false negatives, the
+    // invariant the eligibility split depends on); expired keys gone except
+    // residual 16-bit fingerprint collisions with kept keys (false
+    // positives — safe; bound them instead of demanding zero)
+    val h = new graft.functions.CuckooBucketHandle(dir, m2.bloomRound, 8)
+    kept.foreach(k => assert(h.probe(k), s"false negative on kept key $k"))
+    val ghosts = expired.count(e => h.probe(e._2))
+    assert(ghosts <= math.max(1, expired.size / 10),
+      s"$ghosts of ${expired.size} expired keys still probe true")
+
+    val out2 = crawlPolite(dir, "cuckoo")
+    assert(out2.sortedFound == out1.sortedFound) // converges back to the same set
+    val m3 = store.latestManifest().get
+    val newRounds = (m3.visitedRounds.toSet -- m2.visitedRounds.toSet).toSeq
+    assert(newRounds.nonEmpty, "resume visited nothing")
+    val revisited = store.readVisited(newRounds).get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(revisited == expired.map(_._1), "resume did not re-fetch exactly the expired URLs")
+  }
+
+  test("bloom expiry: pointer dropped (no delete), resume rebuilds and re-fetches exactly") {
+    val dir = Files.createTempDirectory("graft-recrawl-bloom-").toString
+    val out1 = crawlPolite(dir, "bloom")
+    val store = new CheckpointStore(spark, dir, visitedFromLog = true)
+    val m1 = store.latestManifest().get
+    assert(m1.seenKind == "bloom-buckets" && m1.bloomRound >= 0)
+    val expireRounds = Seq(m1.visitedRounds.last)
+    val expired = store.readVisited(expireRounds).get
+      .select("url").collect().map(_.getString(0)).toSet
+
+    val m2 = store.expireAndRequeue(expireRounds)
+    assert(!m2.hasBloom && m2.bloomRound == -1, "a Bloom snapshot cannot delete — pointer must drop")
+
+    val out2 = crawlPolite(dir, "bloom")
+    assert(out2.sortedFound == out1.sortedFound)
+    val m3 = store.latestManifest().get
+    assert(m3.bloomRound >= 0, "resume did not rebuild the filter snapshot")
+    val newRounds = (m3.visitedRounds.toSet -- m2.visitedRounds.toSet).toSeq
+    val revisited = store.readVisited(newRounds).get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(revisited == expired)
+  }
+
+  test("FIFO requeue: sequential idx block, resume re-fetches exactly") {
+    val dir = Files.createTempDirectory("graft-recrawl-fifo-").toString
+    val pages = SiteGraph.localPages(params)
+    val cfg = CrawlConfig(fifoParity = true, sameDomainOnly = false,
+      bloomEnabled = false, checkpointDir = Some(dir), maxRounds = 10000)
+    val out1 = new FrontierCrawler(spark, pages.toDS(), cfg)
+      .crawlSeeds(seedsOf(pages).toDF("url"))
+    val store = new CheckpointStore(spark, dir) // FIFO: visitedFromLog = false
+    val m1 = store.latestManifest().get
+    val expireRounds = Seq(m1.visitedRounds.head)
+    val expired = store.readVisited(expireRounds).get
+      .select("url").collect().map(_.getString(0)).toSet
+
+    val m2 = store.expireAndRequeue(expireRounds, fifoIdx = true)
+    assert(m2.nextIdx > m1.nextIdx, "requeued segment must claim a fresh sequential idx block")
+    val seg = m2.liveSegs.last
+    assert(seg.minIdx == m1.nextIdx && seg.rows > 0)
+
+    val out2 = new FrontierCrawler(spark, pages.toDS(), cfg)
+      .crawlSeeds(seedsOf(pages).toDF("url"))
+    assert(out2.sortedFound == out1.sortedFound)
+    val m3 = store.latestManifest().get
+    val newRounds = (m3.visitedRounds.toSet -- m2.visitedRounds.toSet).toSeq
+    val revisited = store.readVisited(newRounds).get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(revisited == expired)
+  }
+}
