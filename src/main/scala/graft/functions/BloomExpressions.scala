@@ -72,35 +72,16 @@ object BloomFunctions {
   * probes return false via a shared empty filter.
   */
 object BloomBucketStore {
+  // empty filter (all bits zero): `mightContainLong` is always false
+  private val buckets =
+    new BucketCache[BloomFilter]("bloombuckets", BloomFilter.create(1),
+      BloomFilter.readFrom)
+
   def path(dir: String, round: Int, bucket: Int): String =
-    s"$dir/bloombuckets/round=$round/bucket=$bucket.bin"
+    buckets.path(dir, round, bucket)
 
-  /** Empty filter (all bits zero): `mightContainLong` is always false. */
-  private val Empty: BloomFilter = BloomFilter.create(1)
-
-  // JVM-wide cache so concurrent tasks on one executor share each loaded
-  // bucket; keyed by (dir, bucket), replaced when a newer snapshot round
-  // is requested (older rounds are never probed again).
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Int, BloomFilter)]()
-
-  /** Bucket files are read through the Hadoop FileSystem API (StateFs), so
-    * the snapshot lives on whatever distributed store `dir`'s scheme names —
-    * the executor reading a bucket is never assumed to share a disk with
-    * the task that built it. */
-  def load(sfs: graft.io.StateFs, dir: String, round: Int, bucket: Int): BloomFilter = {
-    val key = (dir, bucket)
-    val cur = cache.get(key)
-    if (cur != null && cur._1 == round) return cur._2
-    val pp = path(dir, round, bucket)
-    val f =
-      if (sfs.exists(pp)) {
-        val in = new java.io.BufferedInputStream(sfs.open(pp))
-        try BloomFilter.readFrom(in) finally in.close()
-      } else Empty
-    cache.put(key, (round, f))
-    f
-  }
+  def load(sfs: graft.io.StateFs, dir: String, round: Int, bucket: Int): BloomFilter =
+    buckets.load(sfs, dir, round, bucket)
 }
 
 /** Task-side probe handle for one snapshot round of the bucket store. Ships

@@ -220,7 +220,13 @@ object CuckooFilter {
     val slots = math.max(SlotsPerBucket.toLong * 2, math.ceil(expectedItems / 0.84).toLong)
     val buckets = java.lang.Long.highestOneBit(
       math.max(2L, (slots + SlotsPerBucket - 1) / SlotsPerBucket) * 2 - 1)
-    require(buckets <= (1L << 30), s"cuckoo filter too large: $expectedItems items")
+    // 2^28 buckets × 4 slots = 2^30 shorts (2 GiB, the JVM array ceiling is
+    // the real bound: nBuckets * SlotsPerBucket must stay an Int) ≈ 900M
+    // keys per bucket file — far past where the partitioned store should
+    // have split further anyway
+    require(buckets <= (1L << 28),
+      s"cuckoo filter too large ($expectedItems expected items): " +
+        "raise the partitioned store's bucket count instead")
     new CuckooFilter(buckets.toInt)
   }
 
@@ -246,36 +252,18 @@ object CuckooFilter {
   * `CrawlConfig.seenFilterKind = "cuckoo"`.
   */
 object CuckooBucketStore {
+  private val buckets =
+    new BucketCache[CuckooFilter]("cuckoobuckets", new CuckooFilter(2),
+      CuckooFilter.readFrom)
+
   def path(dir: String, round: Int, bucket: Int): String =
-    s"$dir/cuckoobuckets/round=$round/bucket=$bucket.bin"
+    buckets.path(dir, round, bucket)
 
-  private val Empty: CuckooFilter = new CuckooFilter(2)
+  /** See [[BucketCache.invalidate]]. */
+  def invalidate(dir: String): Unit = buckets.invalidate(dir)
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Int, CuckooFilter)]()
-
-  /** Drop this JVM's cached buckets for `dir` — called after an in-place
-    * snapshot modification (expiry delete). Other executors' caches roll
-    * over at the next snapshot round; until then they serve the pre-delete
-    * filter, which is a superset (false positives only — safe). */
-  def invalidate(dir: String): Unit = {
-    val it = cache.keySet().iterator()
-    while (it.hasNext) if (it.next()._1 == dir) it.remove()
-  }
-
-  def load(sfs: graft.io.StateFs, dir: String, round: Int, bucket: Int): CuckooFilter = {
-    val key = (dir, bucket)
-    val cur = cache.get(key)
-    if (cur != null && cur._1 == round) return cur._2
-    val pp = path(dir, round, bucket)
-    val f =
-      if (sfs.exists(pp)) {
-        val in = new java.io.BufferedInputStream(sfs.open(pp))
-        try CuckooFilter.readFrom(in) finally in.close()
-      } else Empty
-    cache.put(key, (round, f))
-    f
-  }
+  def load(sfs: graft.io.StateFs, dir: String, round: Int, bucket: Int): CuckooFilter =
+    buckets.load(sfs, dir, round, bucket)
 }
 
 /** Task-side probe handle for one snapshot round of the cuckoo bucket store

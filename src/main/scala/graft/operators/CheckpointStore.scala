@@ -65,10 +65,16 @@ object CheckpointStore {
       // round whose hoststate/ dir holds the current backoff relation
       hostStateRound: Int = -1,
       // which seen-filter representation the bloomRound snapshot was written
-      // with ("bloom" | "cuckoo") — resuming under a different kind must not
-      // trust the pointer (the other kind's bucket files don't exist, and a
-      // missing bucket reads as "never visited")
-      seenKind: String = "bloom")
+      // with ("bloom" | "bloom-buckets" | "cuckoo-buckets") — resuming under
+      // a different kind must not trust the pointer (the other kind's bucket
+      // files don't exist, and a missing bucket reads as "never visited")
+      seenKind: String = "bloom",
+      // bucket count the snapshot was written with (0 = single-broadcast or
+      // legacy manifest). Key→bucket routing is floorMod(urlHash, n): probing
+      // or deleting under a DIFFERENT n reads the wrong files, which turns
+      // into false negatives — a resume or expiry must match this count or
+      // distrust the snapshot and rebuild.
+      seenBuckets: Int = 0)
 }
 
 final class CheckpointStore(spark: SparkSession, val dir: String,
@@ -127,6 +133,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     props.setProperty("bloomRound", m.bloomRound.toString)
     props.setProperty("hostStateRound", m.hostStateRound.toString)
     props.setProperty("seenKind", m.seenKind)
+    props.setProperty("seenBuckets", m.seenBuckets.toString)
     sfs.writeAtomic(p("manifest", s"round=${m.round}.properties")) { out =>
       props.store(out, null)
     }
@@ -147,6 +154,15 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       val v = props.getProperty(key, "")
       if (v.isEmpty) Nil else v.split(",").toSeq
     }
+    val bloomRound = props.getProperty("bloomRound", "-1").toInt
+    // legacy manifests (pre-seenKind) recorded neither the representation
+    // nor the bucket count: infer bucket layout from the snapshot dir that
+    // actually exists, so a valid bucketed snapshot is not discarded on
+    // resume (seenBuckets stays 0 = "unknown, trust the resuming config")
+    val seenKindDefault =
+      if (bloomRound >= 0 && sfs.exists(p("bloombuckets", s"round=$bloomRound")))
+        "bloom-buckets"
+      else "bloom"
     Manifest(
       props.getProperty("round").toInt,
       props.getProperty("nextIdx").toLong,
@@ -161,9 +177,10 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
         SegInfo(a.toInt, b.toLong, c.toLong, d.toLong)
       },
       props.getProperty("hasBloom").toBoolean,
-      props.getProperty("bloomRound", "-1").toInt,
+      bloomRound,
       props.getProperty("hostStateRound", "-1").toInt,
-      props.getProperty("seenKind", "bloom"))
+      props.getProperty("seenKind", seenKindDefault),
+      props.getProperty("seenBuckets", "0").toInt)
   }
 
   /** The visited set: union of disjoint per-round deltas (no distinct).
@@ -229,32 +246,14 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     * scheduling, not O(rows).
     */
   def saveBloomBuckets(round: Int, prevRound: Int, deltas: DataFrame,
-      nBuckets: Int, expectedPerBucket: Long, fpp: Double): Unit = {
-    val dirStr = dir
-    val fsRef = sfs // serializable; do not capture `this` in the task closure
-    deltas.select("urlHash").rdd
-      .map(r => (Math.floorMod(r.getLong(0), nBuckets.toLong).toInt, r.getLong(0)))
-      .partitionBy(new IdentityPartitioner(nBuckets))
-      .mapPartitionsWithIndex { (bucket, it) =>
-        val f = BloomFilter.create(expectedPerBucket, fpp)
-        var n = 0L
-        it.foreach { kv => f.putLong(kv._2); n += 1 }
-        val prevPath = graft.functions.BloomBucketStore.path(dirStr, prevRound, bucket)
-        val hasPrev = prevRound >= 0 && fsRef.exists(prevPath)
-        if (hasPrev) {
-          val in = new BufferedInputStream(fsRef.open(prevPath))
-          try f.mergeInPlace(BloomFilter.readFrom(in)) finally in.close()
-        }
-        if (n > 0 || hasPrev) {
-          val outP = graft.functions.BloomBucketStore.path(dirStr, round, bucket)
-          fsRef.writeAtomic(outP) { out =>
-            val b = new BufferedOutputStream(out)
-            f.writeTo(b); b.flush()
-          }
-        }
-        Iterator.single(n)
-      }.count()
-  }
+      nBuckets: Int, expectedPerBucket: Long, fpp: Double): Unit =
+    saveSeenBuckets[BloomFilter](round, prevRound, deltas, nBuckets,
+      () => BloomFilter.create(expectedPerBucket, fpp),
+      (f, h) => f.putLong(h),
+      (f, prev) => { f.mergeInPlace(prev); () },
+      in => BloomFilter.readFrom(in),
+      (f, out) => f.writeTo(out),
+      graft.functions.BloomBucketStore.path)
 
   /** Distributed build of the partitioned CUCKOO seen-filter snapshot — the
     * `seenFilterKind = "cuckoo"` twin of [[saveBloomBuckets]]. Same layout
@@ -268,27 +267,48 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     * but represent the same key set, so either rename winning is correct.
     */
   def saveCuckooBuckets(round: Int, prevRound: Int, deltas: DataFrame,
-      nBuckets: Int, expectedPerBucket: Long): Unit = {
+      nBuckets: Int, expectedPerBucket: Long): Unit =
+    saveSeenBuckets[graft.functions.CuckooFilter](round, prevRound, deltas, nBuckets,
+      () => graft.functions.CuckooFilter.create(expectedPerBucket),
+      (f, h) => f.putLong(h),
+      (f, prev) => { f.mergeInPlace(prev); () },
+      in => graft.functions.CuckooFilter.readFrom(in),
+      (f, out) => f.writeTo(out),
+      graft.functions.CuckooBucketStore.path)
+
+  /** The shared build pipeline of both partitioned snapshot stores:
+    * `deltas.urlHash` identity-partitioned into `nBuckets` by
+    * `floorMod(urlHash, nBuckets)`; each task builds its bucket's delta
+    * filter, folds in the previous snapshot's bucket file, and publishes
+    * `<layout>/round=K/bucket=B.bin` through StateFs's attempt-unique
+    * atomic write — task retries / speculative attempts of one bucket never
+    * interleave on a shared tmp file, and both attempts represent the same
+    * key set (Bloom attempts are byte-identical; cuckoo layouts may differ
+    * with insertion order), so either rename winning is correct. */
+  private def saveSeenBuckets[F](round: Int, prevRound: Int, deltas: DataFrame,
+      nBuckets: Int, create: () => F, put: (F, Long) => Unit,
+      merge: (F, F) => Unit, readFrom: java.io.InputStream => F,
+      writeTo: (F, java.io.OutputStream) => Unit,
+      path: (String, Int, Int) => String): Unit = {
     val dirStr = dir
     val fsRef = sfs // serializable; do not capture `this` in the task closure
     deltas.select("urlHash").rdd
       .map(r => (Math.floorMod(r.getLong(0), nBuckets.toLong).toInt, r.getLong(0)))
       .partitionBy(new IdentityPartitioner(nBuckets))
       .mapPartitionsWithIndex { (bucket, it) =>
-        val f = graft.functions.CuckooFilter.create(expectedPerBucket)
+        val f = create()
         var n = 0L
-        it.foreach { kv => f.putLong(kv._2); n += 1 }
-        val prevPath = graft.functions.CuckooBucketStore.path(dirStr, prevRound, bucket)
+        it.foreach { kv => put(f, kv._2); n += 1 }
+        val prevPath = path(dirStr, prevRound, bucket)
         val hasPrev = prevRound >= 0 && fsRef.exists(prevPath)
         if (hasPrev) {
           val in = new BufferedInputStream(fsRef.open(prevPath))
-          try f.mergeInPlace(graft.functions.CuckooFilter.readFrom(in)) finally in.close()
+          try merge(f, readFrom(in)) finally in.close()
         }
         if (n > 0 || hasPrev) {
-          val outP = graft.functions.CuckooBucketStore.path(dirStr, round, bucket)
-          fsRef.writeAtomic(outP) { out =>
+          fsRef.writeAtomic(path(dirStr, round, bucket)) { out =>
             val b = new BufferedOutputStream(out)
-            f.writeTo(b); b.flush()
+            writeTo(f, b); b.flush()
           }
         }
         Iterator.single(n)
@@ -331,9 +351,17 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     * wrote the checkpoint (`!cfg.fifoParity`) — the visited-delta layout
     * differs between the two modes and the delete pass must read the
     * deduplicated per-round key set.
+    *
+    * `requeue = false` removes the rounds from the seen set without
+    * queueing an explicit re-fetch segment — but it does NOT guarantee the
+    * URLs are forgotten: in polite mode their original frontier rows may
+    * still be live (the watermark never moves; only compaction removes
+    * consumed rows), and once no longer filtered by the visited anti-join
+    * they re-schedule anyway. Use the default for deterministic re-crawl
+    * semantics; `requeue = false` only for measuring the filter update.
     */
   def expireAndRequeue(rounds: Seq[Int], requeue: Boolean = true,
-      fifoIdx: Boolean = false, cuckooBuckets: Int = 0): CheckpointStore.Manifest = {
+      fifoIdx: Boolean = false): CheckpointStore.Manifest = {
     import org.apache.spark.sql.functions._
     val m = latestManifest().getOrElse(
       throw new IllegalStateException(s"no checkpoint manifest under $dir"))
@@ -341,12 +369,15 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     require(rounds.nonEmpty && expireSet.subsetOf(m.visitedRounds.toSet),
       s"expire rounds $rounds must be visited rounds ${m.visitedRounds}")
 
-    // cuckoo snapshots support delete; anything else must drop the pointer
+    // cuckoo snapshots support delete; anything else must drop the pointer.
+    // The bucket count comes from the manifest, never a caller: deleting
+    // under a different floorMod routing would remove kept keys' colliding
+    // fingerprints from the wrong files (false negatives).
     val canDelete =
-      m.seenKind == "cuckoo-buckets" && cuckooBuckets > 0 && m.bloomRound >= 0
+      m.seenKind == "cuckoo-buckets" && m.seenBuckets > 0 && m.bloomRound >= 0
     val folded = rounds.filter(_ <= m.bloomRound)
     if (canDelete && folded.nonEmpty) {
-      deleteCuckooKeys(m.bloomRound, readVisited(folded).get, cuckooBuckets)
+      deleteCuckooKeys(m.bloomRound, readVisited(folded).get, m.seenBuckets)
       graft.functions.CuckooBucketStore.invalidate(dir)
     }
     val keepSnapshot = canDelete || m.bloomRound < 0
@@ -397,8 +428,11 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
 
   /** Distributed in-place delete of `keys` from the round-`snapRound` cuckoo
     * snapshot: one task per touched bucket, read → delete each key → atomic
-    * replace. Deterministic per bucket, so concurrent task attempts write
-    * identical content and either rename winning is correct. */
+    * replace. Two concurrent attempts of one bucket task may write different
+    * BYTES (stash compaction order follows shuffle-read order) but the same
+    * key SET, and writeAtomic publishes exactly one complete file — either
+    * rename winning is correct. A bucket where nothing was deleted (all its
+    * keys saturated away, or none present) is left untouched. */
   private def deleteCuckooKeys(snapRound: Int, keys: DataFrame, nBuckets: Int): Unit = {
     val dirStr = dir
     val fsRef = sfs // serializable; do not capture `this` in the task closure
@@ -415,7 +449,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
             val f = try graft.functions.CuckooFilter.readFrom(in) finally in.close()
             var nDel = 0L
             it.foreach { kv => if (f.delete(kv._2)) nDel += 1 }
-            fsRef.writeAtomic(pp) { out =>
+            if (nDel > 0) fsRef.writeAtomic(pp) { out =>
               val b = new BufferedOutputStream(out)
               f.writeTo(b); b.flush()
             }

@@ -362,15 +362,19 @@ final class FrontierCrawler(
       "seenFilterKind=cuckoo requires the partitioned store (bloomBuckets > 0); " +
         "the single-broadcast path is Bloom-only")
     // which snapshot representation THIS run writes — a resumed checkpoint
-    // whose snapshot was written under a different representation must not be
-    // trusted (its files live under another layout; a missing bucket file
-    // reads as "never visited", which would be a false negative)
+    // whose snapshot was written under a different representation OR bucket
+    // count must not be trusted (another layout's files don't exist / key→
+    // bucket routing differs; a missing or wrong bucket file reads as
+    // "never visited", which would be a false negative)
     val curSeenKind =
       if (!cfg.bloomEnabled) "none"
       else if (cuckooMode) "cuckoo-buckets"
       else if (bucketMode) "bloom-buckets"
       else "bloom"
-    val snapshotCompatible = m.round < 0 || m.seenKind == curSeenKind
+    val curSeenBuckets = if (bucketMode) cfg.bloomBuckets else 0
+    val snapshotCompatible = m.round < 0 || (m.seenKind == curSeenKind &&
+      // seenBuckets == 0 on pre-seenBuckets manifests: unknown, trust cfg
+      (m.seenBuckets == 0 || m.seenBuckets == curSeenBuckets))
     // seeded from the first round's distributed build — sizing must come
     // from the same code path (stat.bloomFilter) or merges are incompatible
     var bloom: Option[BloomFilter] =
@@ -731,7 +735,7 @@ final class FrontierCrawler(
               m.scheduledTotal + batchCnt, m.fetchedTotal + batchCnt,
               m.visitedRounds :+ round, liveSegs,
               bloom.isDefined || (bucketMode && bloomRound >= 0), bloomRound,
-              hostStateRound, curSeenKind)
+              hostStateRound, curSeenKind, curSeenBuckets)
             store.saveManifest(m)
 
             f.unpersist()

@@ -105,4 +105,35 @@ class CuckooSeenFilterSpec extends AnyFunSuite {
     assert(resumed.sortedFound == full.sortedFound)
     assert(resumed.stats == full.stats)
   }
+
+  test("resume across a bucket-count change stays exact") {
+    val p = SiteGraph.GraphParams(nHosts = 3, pagesPerHost = 25, linksPerPage = 4,
+      redirectFrac = 0.05, errorFrac = 0.05, crossHostFrac = 0.25, seed = 67L)
+    val pages = SiteGraph.localPages(p)
+    val seeds = (0 until 3).flatMap(h =>
+      pages.find(r => r.status == 200 && r.url.startsWith(s"http://site$h.com")).map(_.url))
+    def cfg(kind: String, buckets: Int, dir: Option[String], rounds: Int) = CrawlConfig(
+      fifoParity = false, sameDomainOnly = false, perHostBudget = 3,
+      bloomEnabled = true, bloomBuckets = buckets, seenFilterKind = kind,
+      bloomMinFrontierRows = 0L, bloomExpectedItems = 100000L, bloomUpdateEvery = 1,
+      maxRounds = rounds, checkpointDir = dir)
+    for (kind <- Seq("cuckoo", "bloom")) {
+      val full = new FrontierCrawler(spark, pages.toDS(),
+        cfg(kind, 4, None, Int.MaxValue)).crawlSeeds(seeds.toDF("url"))
+      // rounds 0-1 under 4 buckets, the rest under 16: key→bucket routing
+      // differs (floorMod by n), so the old snapshot must be distrusted —
+      // probing the 16-bucket layout against 4-bucket files reads mostly
+      // missing buckets, i.e. false negatives, and visited URLs would be
+      // re-scheduled
+      val dir = Files.createTempDirectory(s"graft-bucketswitch-$kind-").toString
+      new FrontierCrawler(spark, pages.toDS(), cfg(kind, 4, Some(dir), 2))
+        .crawlSeeds(seeds.toDF("url"))
+      val m = new CheckpointStore(spark, dir, visitedFromLog = true).latestManifest().get
+      assert(m.seenBuckets == 4)
+      val resumed = new FrontierCrawler(spark, pages.toDS(),
+        cfg(kind, 16, Some(dir), Int.MaxValue)).crawlSeeds(seeds.toDF("url"))
+      assert(resumed.sortedFound == full.sortedFound, s"kind=$kind")
+      assert(resumed.stats == full.stats, s"kind=$kind")
+    }
+  }
 }

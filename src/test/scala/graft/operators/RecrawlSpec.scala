@@ -44,7 +44,7 @@ class RecrawlSpec extends AnyFunSuite {
     val out1 = crawlPolite(dir, "cuckoo")
     val store = new CheckpointStore(spark, dir, visitedFromLog = true)
     val m1 = store.latestManifest().get
-    assert(m1.seenKind == "cuckoo-buckets")
+    assert(m1.seenKind == "cuckoo-buckets" && m1.seenBuckets == 8)
     val expireRounds = m1.visitedRounds.takeRight(2)
     val expired = store.readVisited(expireRounds).get
       .select("url", "urlHash").collect().map(r => (r.getString(0), r.getLong(1))).toSet
@@ -52,7 +52,7 @@ class RecrawlSpec extends AnyFunSuite {
       .select("urlHash").collect().map(_.getLong(0)).toSet
     assert(expired.nonEmpty && kept.nonEmpty)
 
-    val m2 = store.expireAndRequeue(expireRounds, cuckooBuckets = 8)
+    val m2 = store.expireAndRequeue(expireRounds)
     // snapshot kept: delete-in-place, no rebuild needed
     assert(m2.hasBloom && m2.bloomRound == m1.bloomRound)
     assert(m2.visitedRounds == m1.visitedRounds.filterNot(expireRounds.contains))
