@@ -87,6 +87,42 @@ final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
   private def assignments: DataFrame =
     spark.read.parquet(sfs.child(dir, "assignments"))
 
+  /** Incrementally absorb new vectors (the serving pipeline's path for
+    * freshly crawled embeddings): assign each to its nearest EXISTING
+    * centroid and append into the `list=` posting-list partitions. The
+    * assignment is a per-row argmin over the quantizer shipped as a literal
+    * (nLists rows) — a map-only job: no shuffle, no KMeans refit, no corpus
+    * scan, so appending N vectors costs O(N) regardless of index size.
+    * Probes and partition pruning work unchanged on the grown index.
+    *
+    * The quantizer stays frozen at build time: after sustained distribution
+    * drift (append volume on the order of the built corpus) rebuild the
+    * index. Appending an id that is already indexed adds a second posting
+    * entry — dedup upstream (e.g. [[Dedup.exact]]).
+    */
+  def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
+    // same metric and tie-break as the build's KMeans transform: squared
+    // euclidean, lowest list id wins ties (struct ordering on (d, list))
+    val centsLit = typedLit(centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)
+    val assigned = emb
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("e"))
+      .withColumn("__cents", centsLit)
+      .withColumn("list", expr(
+        "array_min(transform(__cents, c -> named_struct(" +
+          "'d', aggregate(zip_with(c._2, e, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as double), (acc, v) -> acc + v), 'list', c._1))).list"))
+      .select(col("id"), col("e"), col("list"))
+    val obs = org.apache.spark.sql.Observation()
+    assigned.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("list").parquet(sfs.child(dir, "assignments"))
+    val n = obs.get("n").asInstanceOf[Long]
+    val props = new Properties()
+    val in = sfs.open(sfs.child(dir, "_meta.properties"))
+    try props.load(in) finally in.close()
+    props.setProperty("rows", (props.getProperty("rows", "0").toLong + n).toString)
+    sfs.writeAtomic(sfs.child(dir, "_meta.properties"))(out => props.store(out, null))
+  }
+
   /** The `nProbe` lists whose centroids are nearest (squared euclidean)
     * to `q` — driver-side over the tiny centroid set. */
   def probeLists(q: Array[Double], nProbe: Int): Seq[Int] =

@@ -95,4 +95,57 @@ class IvfIndexSpec extends AnyFunSuite {
       .filter($"rk" === 1).select("id", "cos").head()
     assert(ext.getLong(0) == 3L && ext.getDouble(1) == 1.0)
   }
+
+  test("append: frozen-quantizer assignment, no refit, pruning and recall on the grown index") {
+    val dir = Files.createTempDirectory("graft-ivfa-").toString
+    val n = emb.count()
+    val half = n / 2
+    IvfIndex.build(spark, dir, emb.filter($"vec_id" < half), "vec_id", "embedding",
+      nLists = 16)
+    val idx = IvfIndex.load(spark, dir)
+    val centsBefore = idx.centroids.map { case (i, c) => (i, c.toSeq) }.sortBy(_._1).toSeq
+
+    idx.append(emb.filter($"vec_id" >= half), "vec_id", "embedding")
+
+    // quantizer frozen: centroids byte-identical, meta row count grew
+    val reloaded = IvfIndex.load(spark, dir)
+    assert(reloaded.centroids.map { case (i, c) => (i, c.toSeq) }.sortBy(_._1).toSeq
+      == centsBefore)
+    val props = new java.util.Properties()
+    val metaIn = new java.io.FileInputStream(s"$dir/_meta.properties")
+    try props.load(metaIn) finally metaIn.close()
+    assert(props.getProperty("rows").toLong == n)
+
+    // every appended vector sits in its argmin list (same metric/tie-break
+    // as the build assignment) — recomputed here from the raw vectors
+    val stored = spark.read.parquet(s"$dir/assignments")
+    assert(stored.count() == n)
+    val appended = stored.filter($"id" >= half)
+      .select($"id", $"e", $"list").as[(Long, Seq[Double], Int)].collect()
+    assert(appended.length == (n - half))
+    appended.take(50).foreach { case (id, e, list) =>
+      val want = idx.centroids.map { case (i, c) =>
+        (c.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.min._2
+      assert(list == want, s"vector $id assigned to $list, nearest centroid is $want")
+    }
+
+    // the grown index still prunes to probed partitions and still recalls:
+    // query an APPENDED vector against the full corpus's exact answer
+    val qid = half + 3
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", queryId = qid, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = idx.topKById(emb, "vec_id", "embedding", qid, 10, nProbe = 6)
+      .select("id").as[Long].collect().toSet
+    val recall = exact.intersect(got).size.toDouble / 10
+    assert(recall >= 0.5, s"post-append recall too low: $recall")
+    val qvec = emb.filter($"vec_id" === qid)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val scanned = idx.probeScan(idx.probeLists(qvec, 6))
+    val planned = scanned.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val partFilters = planned.head.metadata.getOrElse("PartitionFilters", "")
+    assert(partFilters.contains("list"), s"no partition filter on list: $partFilters")
+    assert(scanned.count() < n)
+  }
 }
