@@ -86,6 +86,29 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     val perQuery = served.groupBy("qid").count().select("count").as[Long].collect()
     assert(perQuery.length == 3 && perQuery.forall(_ > 0),
       "persisted index did not serve all batch queries")
+
+    // 7. incremental epoch: a later crawl delivers new images — their
+    // features go into the SAME index via append (frozen quantizer, no
+    // refit, no rebuild) and are immediately servable: an appended vector
+    // queried with self-inclusion finds itself at cosine 1.0
+    val epoch2 = (0 until 12).map(i =>
+      ImageGen.imageFor(500L + i, seed = 77L, dupEvery = 1000)
+        .copy(image_id = s"epoch2-$i"))
+    val epoch2Feats = Multimodal.extractFeatures(
+        epoch2.toDS().select("image_id", "bytes").as[(String, Array[Byte])]
+          .map { case (id, bytes) => MediaRow(id, "image", bytes, Map.empty) })
+      .map(f => (f.media_id, f.feature.map(_.toDouble))).toDF("image_id", "embedding")
+      .withColumn("vid", xxhash64($"image_id"))
+    val grown = graft.ops.IvfIndex.load(spark, idxDir)
+    grown.append(epoch2Feats, "vid", "embedding")
+    val newQid = epoch2Feats.select($"vid").head().getLong(0)
+    val self = grown.topKBatch(
+        epoch2Feats.filter($"vid" === newQid)
+          .select($"vid".as("qid"), $"embedding".as("qe")),
+        "qid", "qe", k = 1, nProbe = 2, excludeQueryIds = false)
+      .filter($"rk" === 1).select("id", "cos").head()
+    assert(self.getLong(0) == newQid && self.getDouble(1) == 1.0,
+      "appended epoch's vector not servable from the grown index")
     stored.unpersist()
   }
 }
