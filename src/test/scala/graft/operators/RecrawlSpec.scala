@@ -99,6 +99,26 @@ class RecrawlSpec extends AnyFunSuite {
     assert(revisited == expired)
   }
 
+  test("ExpireCli: flag parsing and end-to-end expiry") {
+    import graft.ExpireCli
+    val dir = Files.createTempDirectory("graft-recrawl-cli-").toString
+    val out1 = crawlPolite(dir, "cuckoo")
+    intercept[ExpireCli.CliUsageError](ExpireCli.run(spark, Array.empty))
+    intercept[ExpireCli.CliUsageError](ExpireCli.run(spark, Array(dir)))
+    intercept[ExpireCli.CliUsageError](
+      ExpireCli.run(spark, Array(dir, "--rounds", "1", "--last", "1")))
+    intercept[ExpireCli.CliUsageError](ExpireCli.run(spark, Array(dir, "--rounds", "x")))
+    intercept[ExpireCli.CliUsageError](ExpireCli.run(spark, Array(dir, "--last")))
+    intercept[ExpireCli.CliUsageError](ExpireCli.run(spark, Array(dir, "--bogus")))
+
+    val store = new CheckpointStore(spark, dir, visitedFromLog = true)
+    val m1 = store.latestManifest().get
+    val expected = Seq(m1.visitedRounds.last)
+    assert(ExpireCli.run(spark, Array(dir, "--last", "1")) == expected)
+    val out2 = crawlPolite(dir, "cuckoo")
+    assert(out2.sortedFound == out1.sortedFound)
+  }
+
   test("FIFO requeue: sequential idx block, resume re-fetches exactly") {
     val dir = Files.createTempDirectory("graft-recrawl-fifo-").toString
     val pages = SiteGraph.localPages(params)
