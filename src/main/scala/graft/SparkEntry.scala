@@ -62,7 +62,12 @@ object SparkEntry {
     "q28_hot_tokens" -> ContractQueries.q28HotTokens _,
     "q29_simhash_near_dup" -> ContractQueries.q29SimhashNearDup _,
     "q30_bigram_jaccard" -> ContractQueries.q30BigramJaccard _,
-    "q31_hot_bigrams" -> ContractQueries.q31HotBigrams _)
+    "q31_hot_bigrams" -> ContractQueries.q31HotBigrams _,
+    "q32_dedup_components" -> ContractQueries.q32DedupComponents _,
+    "q33_repetition" -> ContractQueries.q33Repetition _,
+    "q34_pii_redact" -> ContractQueries.q34PiiRedact _,
+    "q35_phash_components" -> ContractQueries.q35PhashComponents _,
+    "q36_semantic_dedup" -> ContractQueries.q36SemanticDedup _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -399,5 +404,107 @@ object SparkEntry {
       """SELECT doc_id,
         |  'http://' || lower(source) || '.com/p/' || doc_id || '?a=9&b=2' AS url,
         |  lower(source) || '.com' AS host
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_dedup_components" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS token
+        |  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS r(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) >= 0.2),
+        |edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS id FROM edges),
+        |comp AS (
+        |  WITH RECURSIVE reach(id, r) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT rr.id, e.v FROM reach rr JOIN edges e ON e.u = rr.r)
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |  CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_kept
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q33_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top1 AS (SELECT doc_id, max(c) AS top_c, sum(c)::BIGINT AS n_tokens
+        |         FROM tf GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS bgram
+        |  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS r(i)),
+        |bf AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id, max(c) AS top_bc, sum(c)::BIGINT AS n_bigrams
+        |         FROM bf GROUP BY doc_id)
+        |SELECT t1.doc_id, t1.n_tokens,
+        |  round(t1.top_c::DOUBLE / t1.n_tokens::DOUBLE, 6) AS top_token_frac,
+        |  t2.n_bigrams,
+        |  round(t2.top_bc::DOUBLE / t2.n_bigrams::DOUBLE, 6) AS top_bigram_frac,
+        |  CASE WHEN round(t1.top_c::DOUBLE / t1.n_tokens::DOUBLE, 6) <= 0.12
+        |        AND (t2.doc_id IS NULL
+        |             OR round(t2.top_bc::DOUBLE / t2.n_bigrams::DOUBLE, 6) <= 0.08)
+        |       THEN 1 ELSE 0 END AS repetition_ok
+        |FROM top1 t1 LEFT JOIN top2 t2 ON t1.doc_id = t2.doc_id
+        |ORDER BY t1.doc_id""".stripMargin,
+
+    "q34_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' contact ' || source || doc_id || '@mail.example' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' cc bot' || doc_id || '@spam.example' ELSE '' END ||
+        |    ' call 555-01' || (doc_id % 90 + 10) ||
+        |    ' host 10.0.' || (doc_id % 256) || '.7' AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(ptext, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(s1, '555-[0-9]{4}'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(s2, '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ips,
+        |  md5(regexp_replace(s2,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+        |FROM (
+        |  SELECT doc_id, ptext, s1,
+        |    regexp_replace(s1, '555-[0-9]{4}', '<PHONE>', 'g') AS s2
+        |  FROM (
+        |    SELECT doc_id, ptext,
+        |      regexp_replace(ptext,
+        |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS s1
+        |    FROM p))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q35_phash_components" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 8 = 7 THEN 7 ELSE doc_id END AS component,
+        |  CASE WHEN doc_id % 8 = 7 AND doc_id <> 7 THEN 0 ELSE 1 END AS is_kept
+        |FROM documents WHERE doc_id < 48 ORDER BY doc_id""".stripMargin,
+
+    "q36_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ee
+        |           FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.ee, b.ee)
+        |    / (sqrt(list_dot_product(a.ee, a.ee)) * sqrt(list_dot_product(b.ee, b.ee))), 6) >= 0.35),
+        |edges AS (SELECT v1 AS u, v2 AS v FROM pairs UNION SELECT v2, v1 FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS id FROM edges),
+        |comp AS (
+        |  WITH RECURSIVE reach(id, r) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT rr.id, e2.v FROM reach rr JOIN edges e2 ON e2.u = rr.r)
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component,
+        |  CASE WHEN coalesce(c.component, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS is_kept
+        |FROM e LEFT JOIN comp c ON c.id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin)
 }

@@ -119,24 +119,26 @@ object Dedup {
     withSums.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs within a hamming radius, bucketed by
-    * pigeonhole: the signature's bits split into `maxHamming + 1` blocks —
-    * two signatures within the radius must agree EXACTLY on at least one
-    * block — so candidates join on (block index, block value), never
-    * all-pairs, and are verified with an exact popcount. The standard
-    * hamming-LSH construction for near-dup mining at corpus scale.
+  /** Near-duplicate pairs of any int64 signature column within a hamming
+    * radius, bucketed by pigeonhole: the signature's bits split into
+    * `maxHamming + 1` blocks — two signatures within the radius must agree
+    * EXACTLY on at least one block — so candidates join on (block index,
+    * block value), never all-pairs, and are verified with an exact
+    * popcount. The standard hamming-LSH construction for near-dup mining at
+    * corpus scale; works over any precomputed signature (SimHash, image
+    * phash, fingerprints).
     */
-  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bits: Int = 16,
+  def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, bits: Int = 64,
       maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
-    val sig = simhash(df, idCol, textCol, bits)
     val nBlocks = maxHamming + 1
     val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
     val blocks0 = (0 until nBlocks).map { b =>
       val lo = bounds(b)
       val w = bounds(b + 1) - lo
-      sig.select(col(idCol), col("simhash"), lit(b).as("blk"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("bval"))
+      val mask = if (w >= 64) lit(-1L) else lit((1L << w) - 1)
+      sig.select(col(idCol), col(sigCol).as("__sig"), lit(b).as("blk"),
+        shiftright(col(sigCol), lo).bitwiseAND(mask).as("bval"))
     }.reduce(_ unionByName _)
     // same skew guard as the other pair generators: a block value shared by
     // n documents emits O(n²) candidates — drop over-populated buckets whole
@@ -147,13 +149,21 @@ object Dedup {
           .filter(col("__n") <= maxBlockPopulation).select("blk", "bval")
         blocks0.join(keep, Seq("blk", "bval"))
       }
-    val l = blocks.select(col("blk"), col("bval"), col(idCol).as("d1"), col("simhash").as("s1"))
-    val r = blocks.select(col("blk"), col("bval"), col(idCol).as("d2"), col("simhash").as("s2"))
+    val l = blocks.select(col("blk"), col("bval"), col(idCol).as("d1"), col("__sig").as("s1"))
+    val r = blocks.select(col("blk"), col("bval"), col(idCol).as("d2"), col("__sig").as("s2"))
     l.join(r, Seq("blk", "bval")).filter(col("d1") < col("d2"))
       .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("hamming") <= maxHamming)
       .select("d1", "d2", "hamming").distinct()
   }
+
+  /** SimHash near-duplicate pairs within a hamming radius — [[simhash]]
+    * signatures fed through the generic [[hammingPairs]] pigeonhole join. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 16,
+      maxBlockPopulation: Long = Long.MaxValue): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol, bits), idCol, "simhash",
+      maxHamming, bits, maxBlockPopulation)
 
   /** Token-set Jaccard similarity for all pairs sharing ≥1 token; rounded to
     * 6 places. Candidate generation is by token co-occurrence (shuffle on
@@ -206,4 +216,81 @@ object Dedup {
     shingleTokens(df, idCol, textCol, ngram)
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") > maxDf)
+
+  /** Connected components over an undirected pair relation — the stage that
+    * turns near-dup PAIRS into dedup GROUPS (a↔b and b↔c must collapse into
+    * one cluster even though (a,c) was never emitted as a pair).
+    *
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round is two
+    * grouped aggregations + joins that reattach every edge to the minimum
+    * id of a neighborhood, converging in O(log n) rounds regardless of
+    * component diameter — the property that matters at corpus scale, where
+    * plain min-label propagation needs O(diameter) rounds and a single
+    * 10^6-long chain of boilerplate near-dups would stall it. Per-round
+    * state is truncated with `localCheckpoint` so plans stay constant-size
+    * across iterations (a durable `checkpoint` dir is the cluster-grade
+    * swap-in).
+    *
+    * Returns `(id, component)` for every id appearing in `pairs`, where
+    * `component` is the minimum id in the connected component. Self-pairs
+    * are ignored; duplicate/reversed pairs are fine.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "d1",
+      bCol: String = "d2", maxIterations: Int = 64): DataFrame = {
+    val vertices = pairs
+      .select(explode(array(col(aCol).cast("long"), col(bCol).cast("long"))).as("id"))
+      .distinct()
+    // canonical orientation (u > v), self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
+        least(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIterations) {
+      // large-star: every neighbor v > u re-attaches to min(Γ(u) ∪ {u})
+      val nbrs = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(min("v").as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      val large = nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star: every smaller neighbor (and u itself) re-attaches to
+      // the minimum of u's smaller neighborhood
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(minsS, "u")
+        .filter(col("v") =!= col("m")).select(col("v").as("n"), col("m"))
+        .unionByName(minsS.select(col("u").as("n"), col("m")))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIterations rounds")
+    // fixpoint is a star forest: leaves point at their component root
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+    vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Canonical-document selection over a corpus: joins [[connectedComponents]]
+    * of the near-dup `pairs` back onto every corpus id — ids in no pair form
+    * their own singleton component — and keeps exactly one document (the
+    * minimum id) per component. Output: `(idCol, component, is_kept)`. */
+  def dedupComponents(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "d1", bCol: String = "d2"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component"))
+    corpus.select(col(idCol)).join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol).cast("long")).as("component"))
+      .withColumn("is_kept", (col(idCol) === col("component")).cast("int"))
+  }
 }

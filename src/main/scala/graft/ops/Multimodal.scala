@@ -157,6 +157,16 @@ object Multimodal {
     MediaRow(id.toString, "image", im.bytes, Map("fmt" -> im.fmt))
   }
 
+  /** Near-duplicate image pairs by perceptual-hash hamming distance: the
+    * 64-bit phash column fed through [[Dedup.hammingPairs]]' pigeonhole
+    * join — identical images collapse at hamming 0 (the MERGE dedup key),
+    * re-encoded / lightly edited variants within the radius. Feed the
+    * result to [[Dedup.dedupComponents]] for canonical-image selection. */
+  def phashNearDup(images: DataFrame, idCol: String, maxHamming: Int = 3,
+      maxBlockPopulation: Long = Long.MaxValue): DataFrame =
+    Dedup.hammingPairs(images, idCol, "phash", maxHamming, bits = 64,
+      maxBlockPopulation = maxBlockPopulation)
+
   /** Sample `n` frames per video row (1→N expansion); stub decode. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

@@ -124,6 +124,19 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication: embedding near-dup pairs
+    * (LSH-bucketed candidates verified by exact cosine) clustered into
+    * connected components, exactly one representative kept per cluster.
+    * Output `(idCol, component, is_kept)` over the whole corpus — the
+    * composition a training-data pipeline runs after embedding documents.
+    * The exact-pair variant ([[nearDupPairs]] edges) is the bounded
+    * verification baseline; this form scales because candidates come from
+    * buckets, never all-pairs. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dims: Int, threshold: Double): DataFrame =
+    graft.ops.Dedup.dedupComponents(emb, idCol,
+      lshNearDupPairs(emb, idCol, vecCol, planes, dims, threshold), "v1", "v2")
+
   /** Exact cosine near-dup pairs (bounded input — the verification
     * baseline for [[lshNearDupPairs]]). */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

@@ -69,4 +69,70 @@ object TextOps {
     * the equivalent SQL HOF formulation runs ~100× slower interpreted. */
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp", graft.functions.TextFunctions.text_fingerprint(col(textCol)))
+
+  /** Gopher-style repetition filters: the fraction of a document occupied
+    * by its single most frequent token and most frequent word bigram —
+    * the standard signals for boilerplate / degenerate generation in
+    * training-data curation (Rae et al. 2021 §A1.1 use the same family of
+    * top-n-gram-fraction thresholds). Relational shape, not per-row HOFs:
+    * token and bigram frequencies are two grouped aggregations (hash-
+    * partitioned by document), so the most frequent term of a 10^6-token
+    * outlier document never materializes per-row quadratic work.
+    *
+    * Output per id: n_tokens, top_token_frac, n_bigrams, top_bigram_frac,
+    * repetition_ok (1 iff both fractions are at or below their caps; a
+    * sub-2-token document has no bigrams and passes the bigram gate).
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+      maxTopTokenFrac: Double = 0.12, maxTopBigramFrac: Double = 0.08): DataFrame = {
+    val t = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val tok = t.select(col(idCol), explode(col("__toks")).as("token"))
+    val top1 = tok.groupBy(idCol, "token").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max("c").as("__top_c"), sum("c").as("n_tokens"))
+    val bg = t.filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__toks) - 1), " +
+          "i -> array_join(slice(__toks, i, 2), ' '))")).as("bgram"))
+    val top2 = bg.groupBy(idCol, "bgram").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max("c").as("__top_bc"), sum("c").as("n_bigrams"))
+    top1.join(top2, Seq(idCol), "left")
+      .withColumn("top_token_frac",
+        round(col("__top_c").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("top_bigram_frac",
+        round(col("__top_bc").cast("double") / col("n_bigrams").cast("double"), 6))
+      .withColumn("repetition_ok",
+        (col("top_token_frac") <= maxTopTokenFrac &&
+          (col("top_bigram_frac").isNull ||
+            col("top_bigram_frac") <= maxTopBigramFrac)).cast("int"))
+      .select(col(idCol), col("n_tokens"), col("top_token_frac"),
+        col("n_bigrams"), col("top_bigram_frac"), col("repetition_ok"))
+  }
+
+  /** PII detection + redaction patterns: email addresses, (fictional-range)
+    * phone numbers, dotted-quad IPv4 — each a lowest-common-denominator
+    * regex that parses identically under Java regex (Spark) and RE2
+    * (DuckDB/engines): no lookaround, no backreferences. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "555-[0-9]{4}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrub for training corpora: counts and redacts emails, phone
+    * numbers, and IPv4 addresses. A pure column program (codegen'd regex
+    * kernels) — one projection, no shuffle. Stages run email → phone → IP,
+    * and each stage counts matches in the PREVIOUS stage's output, so each
+    * count is exactly the number of replacements that stage performed (a
+    * phone-shaped digit run inside an email local part is redacted as part
+    * of the email, never double-counted as a phone). Appends n_emails /
+    * n_phones / n_ips and the redacted text. */
+  def piiRedact(df: DataFrame, textCol: String, outCol: String = "redacted"): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("__s1", regexp_replace(col(textCol), EmailPattern, "<EMAIL>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("__s1"), lit(PhonePattern), lit(0))).cast("long"))
+      .withColumn("__s2", regexp_replace(col("__s1"), PhonePattern, "<PHONE>"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("__s2"), lit(Ipv4Pattern), lit(0))).cast("long"))
+      .withColumn(outCol, regexp_replace(col("__s2"), Ipv4Pattern, "<IP>"))
+      .drop("__s1", "__s2")
 }

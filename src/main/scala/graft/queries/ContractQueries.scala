@@ -312,4 +312,75 @@ object ContractQueries {
       .select("doc_id", "url", "host")
       .orderBy("doc_id")
   }
+
+  // ---- dedup clustering / curation (round 3) --------------------------
+
+  /** Near-dup pairs → dedup GROUPS: bigram-Jaccard pairs over the whole
+    * corpus clustered by [[Dedup.connectedComponents]] (alternating
+    * large/small-star), then canonical-document selection — transitive
+    * chains (a↔b, b↔c) must collapse into one component even though (a,c)
+    * was never a pair. Every corpus doc appears; isolated docs keep
+    * themselves. */
+  def q32DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.2, ngram = 2)
+    Dedup.dedupComponents(docs, "doc_id", pairs).orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition quality gates: top-token and top-bigram
+    * document fractions with curation thresholds. */
+  def q33Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionMetrics(t(spark, dir, "documents"), "doc_id", "text",
+      maxTopTokenFrac = 0.12, maxTopBigramFrac = 0.08)
+      .orderBy("doc_id")
+
+  /** PII scrub over a deterministically PII-seeded corpus: the query plants
+    * an email (two for every third doc), a fictional phone number, and an
+    * IPv4 per document, then counts and redacts them; the oracle replays
+    * the construction and the same regex pipeline, and the md5 of the
+    * redacted text pins replacement order and completeness. */
+  def q34PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact "), col("source"), col("doc_id"), lit("@mail.example"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc bot"), col("doc_id"), lit("@spam.example")))
+          .otherwise(lit("")),
+        lit(" call 555-01"), (col("doc_id") % 90 + 10),
+        lit(" host 10.0."), (col("doc_id") % 256), lit(".7")).as("ptext"))
+    TextOps.piiRedact(planted, "ptext")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Image near-dup clustering on the payload axis: 64-bit perceptual
+    * hashes of the deterministic image corpus fed through the pigeonhole
+    * hamming join ([[Multimodal.phashNearDup]]) and clustered — planted
+    * byte-identical duplicates (every 8th image repeats content 7) collapse
+    * at hamming 0, while the nearest DISTINCT gradient pair sits at
+    * hamming 2 (asserted in PhashNearDupSpec), so at radius 1 the expected
+    * grouping is closed-form: exactly the planted dup groups. */
+  def q35PhashComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ImageGen
+    val ids = t(spark, dir, "documents")
+      .filter(col("doc_id") < 48).select(col("doc_id")).as[Long]
+    val imgs = ids.mapPartitions(_.map { id =>
+      (id, ImageGen.imageFor(id, seed = 42L, dupEvery = 8).phash)
+    }).toDF("doc_id", "phash")
+    val pairs = Multimodal.phashNearDup(imgs, "doc_id", maxHamming = 1)
+    Dedup.dedupComponents(imgs, "doc_id", pairs).orderBy("doc_id")
+  }
+
+  /** SemDeDup-style semantic dedup over embeddings (bounded exact-pair
+    * variant): cosine near-dup pairs clustered into components, one vector
+    * kept per cluster. The LSH-bucketed scale path is
+    * [[Similarity.semanticDedup]] (SimilaritySpec). */
+  def q36SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35)
+    Dedup.dedupComponents(emb, "vec_id", pairs, "v1", "v2").orderBy("vec_id")
+  }
 }

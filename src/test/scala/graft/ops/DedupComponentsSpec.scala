@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.functions.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components clustering (alternating large-star/small-star) vs an
+  * in-test union-find oracle, on graph shapes chosen to break weak
+  * implementations: long chains (diameter ≫ log n — where naive min-label
+  * propagation stalls), random graphs, planted cliques with isolated
+  * vertices, and degenerate pair inputs (duplicates, reversed orientation,
+  * self-loops, empty).
+  */
+class DedupComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Union-find oracle: component = min id reachable. */
+  private def unionFind(n: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(n.map(v => v -> v): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress everything, then label by root min (roots are minima
+    // because unions always point the larger root at the smaller)
+    n.map(v => v -> find(v)).toMap
+  }
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("long chain: one component rooted at the minimum (log-round convergence)") {
+    // 0-1-2-...-299: diameter 299; star rounds must converge well under the
+    // 64-iteration guard (naive propagation would need 299 rounds)
+    val pairs = (0L until 299L).map(i => (i, i + 1))
+    val got = run(pairs)
+    assert(got.size == 300)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("random graph equals union-find") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (0L until 400L)
+    val pairs = Seq.fill(300)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+    val expected = unionFind(pairs.flatMap(p => Seq(p._1, p._2)).distinct, pairs)
+    assert(run(pairs) == expected)
+  }
+
+  test("reversed, duplicated, and self pairs are harmless") {
+    val pairs = Seq((5L, 2L), (2L, 5L), (5L, 2L), (3L, 3L), (2L, 9L))
+    val got = run(pairs)
+    assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 3L -> 3L))
+  }
+
+  test("empty pair relation yields empty components") {
+    assert(run(Seq.empty) == Map.empty)
+  }
+
+  test("dedupComponents: planted cliques collapse, isolated docs keep themselves") {
+    val corpus = (0L until 30L).toDF("doc_id")
+    // cliques {1,4,7}, {10,20}, chain 21-22-23; rest isolated
+    val pairs = Seq((4L, 1L), (7L, 4L), (1L, 7L), (20L, 10L), (21L, 22L), (22L, 23L))
+      .toDF("d1", "d2")
+    val got = Dedup.dedupComponents(corpus, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList.sortBy(_._1)
+    val comp = got.map(t => t._1 -> t._2).toMap
+    assert(comp(1L) == 1L && comp(4L) == 1L && comp(7L) == 1L)
+    assert(comp(10L) == 10L && comp(20L) == 10L)
+    assert(comp(21L) == 21L && comp(22L) == 21L && comp(23L) == 21L)
+    // isolated: own component
+    assert((0L until 30L).filterNot(Set(1L, 4L, 7L, 10L, 20L, 21L, 22L, 23L))
+      .forall(i => comp(i) == i))
+    // exactly one kept per component, and it is the minimum
+    val kept = got.filter(_._3 == 1).map(_._1).toSet
+    assert(got.forall { case (id, c, k) => (k == 1) == (id == c) })
+    assert(kept.size == got.map(_._2).distinct.size)
+  }
+
+  test("two disjoint cliques stay separate") {
+    val a = for (i <- 100L to 104L; j <- (i + 1) to 104L) yield (i, j)
+    val b = for (i <- 200L to 204L; j <- (i + 1) to 204L) yield (i, j)
+    val got = run(a ++ b)
+    assert((100L to 104L).forall(got(_) == 100L))
+    assert((200L to 204L).forall(got(_) == 200L))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.functions.TestSpark
+import graft.sources.ImageGen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Image near-dup clustering on perceptual hashes, against a brute-force
+  * in-test oracle over the deterministic q25/q35 image corpus. Also pins the
+  * closed-form validity of the q35 oracle: planted byte-identical duplicates
+  * sit at hamming 0 while the nearest DISTINCT pair of gradients stays well
+  * outside the radius-3 join. */
+class PhashNearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ids = (0L until 48L).toSeq
+  private lazy val hashes: Map[Long, Long] =
+    ids.map(id => id -> ImageGen.imageFor(id, seed = 42L, dupEvery = 8).phash).toMap
+
+  test("planted duplicates collide at hamming 0; distinct images keep a margin") {
+    val dups = ids.filter(_ % 8 == 7)
+    assert(dups.map(hashes).distinct.size == 1)
+    val nonDupMin = (for {
+      a <- ids; b <- ids if a < b && !(a % 8 == 7 && b % 8 == 7)
+    } yield java.lang.Long.bitCount(hashes(a) ^ hashes(b))).min
+    // q35 joins at radius 1; the nearest DISTINCT gradient pair in this
+    // fixed corpus is (44,45) at hamming 2, so the closed-form oracle
+    // (dup groups only) is valid exactly because this margin holds
+    assert(nonDupMin > 1, s"nearest non-dup pair at hamming $nonDupMin")
+  }
+
+  test("phashNearDup + dedupComponents equals the brute-force grouping") {
+    val imgs = ids.map(id => (id, hashes(id))).toDF("doc_id", "phash")
+    val pairs = Multimodal.phashNearDup(imgs, "doc_id", maxHamming = 1)
+    val got = Dedup.dedupComponents(imgs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = ids.map { id =>
+      val comp = if (id % 8 == 7) 7L else id
+      (id, comp, if (comp == id) 1 else 0)
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("pigeonhole pair set equals brute force at radius 3 over 64 bits") {
+    val imgs = ids.map(id => (id, hashes(id))).toDF("doc_id", "phash")
+    val got = Multimodal.phashNearDup(imgs, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == expected)
+  }
+}

@@ -40,4 +40,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(lsh.size.toDouble / exact.size >= 0.2,
         s"LSH found ${lsh.size} of ${exact.size} pairs")
   }
+
+  test("semanticDedup: LSH-found clusters collapse to their minimum, nothing invents edges") {
+    val bounded = emb.filter($"vec_id" < 120)
+    val got = Similarity.semanticDedup(bounded, "vec_id", "embedding",
+      planes = 4, dims = 64, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // one row per corpus vector; every component label is a member's min
+    assert(got.length == bounded.count())
+    val byComp = got.groupBy(_._2)
+    byComp.foreach { case (c, members) =>
+      assert(members.map(_._1).min == c)
+      assert(members.count(_._3 == 1) == 1)
+    }
+    // components refine the EXACT near-dup components: any two vectors the
+    // semantic dedup merged really are connected by verified-cosine pairs
+    val exactPairs = Similarity.nearDupPairs(bounded, "vec_id", "embedding", 0.3)
+      .select("v1", "v2").as[(Long, Long)].collect()
+    val exactComp = Dedup.connectedComponents(
+        exactPairs.toSeq.toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, c, _) =>
+      if (id != c) assert(exactComp.getOrElse(id, id) == exactComp.getOrElse(c, c),
+        s"semanticDedup merged $id into $c but exact components disagree")
+    }
+  }
 }

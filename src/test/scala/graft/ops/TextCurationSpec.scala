@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.functions.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed expectations for the round-3 curation operators:
+  * Gopher-style repetition fractions and PII redaction. */
+class TextCurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetitionMetrics: hand-computed fractions and gates") {
+    val docs = Seq(
+      // 1: "a a a a b" — top token 4/5, top bigram "a a" 3/4 → degenerate
+      (1L, "a a a a b"),
+      // 2: 10 distinct tokens — top token 1/10, top bigram 1/9 → passes
+      (2L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      // 3: single token — no bigrams; bigram gate must not veto
+      (3L, "solo"),
+      // 4: "x y x y x y" — top token 3/6 = .5, bigram "x y" 3/5 = .6
+      (4L, "x y x y x y")
+    ).toDF("doc_id", "text")
+    val m = TextOps.repetitionMetrics(docs, "doc_id", "text",
+      maxTopTokenFrac = 0.2, maxTopBigramFrac = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]), r.getInt(5))).toMap
+
+    assert(m(1L) == ((5L, 0.8, Some(4L), Some(0.75), 0)))
+    assert(m(2L) == ((10L, 0.1, Some(9L), Some(0.111111), 1)))
+    assert(m(3L) == ((1L, 1.0, None, None, 0))) // top token frac 1.0 > cap
+    assert(m(4L) == ((6L, 0.5, Some(5L), Some(0.6), 0)))
+  }
+
+  test("repetitionMetrics: single-token doc passes when the token gate allows") {
+    val docs = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = TextOps.repetitionMetrics(docs, "doc_id", "text",
+      maxTopTokenFrac = 1.0, maxTopBigramFrac = 0.0).collect().head
+    assert(r.getInt(5) == 1) // null bigram frac must not fail the gate
+  }
+
+  test("piiRedact: counts and redaction order") {
+    val docs = Seq(
+      (1L, "write to alice.smith@corp.example or call 555-0147 from 192.168.1.77 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io and c.d@e-f.org one ip 10.0.0.1")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiRedact(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(got(1L) == ((1L, 1L, 1L,
+      "write to <EMAIL> or call <PHONE> from <IP> now")))
+    assert(got(2L) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(got(3L) == ((2L, 0L, 1L, "two mails <EMAIL> and <EMAIL> one ip <IP>")))
+  }
+
+  test("piiRedact: email is redacted before its digits can match other patterns") {
+    val docs = Seq((1L, "mail 555-0123@digits.example end")).toDF("doc_id", "text")
+    val r = TextOps.piiRedact(docs, "text").collect().head
+    // the whole token is one email; the phone pattern must not fire afterwards
+    assert(r.getString(5) == "mail <EMAIL> end")
+    assert((r.getLong(2), r.getLong(3)) == ((1L, 0L)))
+  }
+}
