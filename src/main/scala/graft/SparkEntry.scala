@@ -407,7 +407,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q32_dedup_components" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents WHERE doc_id < 1000),
         |sh AS (
         |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS token
         |  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS r(i)),
@@ -432,6 +433,7 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
         |  CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_kept
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |WHERE d.doc_id < 1000
         |ORDER BY d.doc_id""".stripMargin,
 
     "q33_repetition" ->

@@ -238,13 +238,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "d1",
       bCol: String = "d2", maxIterations: Int = 64): DataFrame = {
-    val vertices = pairs
-      .select(explode(array(col(aCol).cast("long"), col(bCol).cast("long"))).as("id"))
-      .distinct()
+    // materialize the pair relation ONCE: `pairs` is typically the output of
+    // an expensive candidate generator (token co-occurrence, LSH buckets,
+    // cosine verification) and is consumed twice below (vertices + edges) —
+    // without this the whole upstream pipeline would execute twice
+    val p = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .localCheckpoint(true)
+    val vertices = p.select(explode(array(col("a"), col("b"))).as("id")).distinct()
     // canonical orientation (u > v), self-loops dropped
-    var edges = pairs
-      .select(greatest(col(aCol), col(bCol)).cast("long").as("u"),
-        least(col(aCol), col(bCol)).cast("long").as("v"))
+    var edges = p
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
     var converged = edges.isEmpty

@@ -315,14 +315,18 @@ object ContractQueries {
 
   // ---- dedup clustering / curation (round 3) --------------------------
 
-  /** Near-dup pairs → dedup GROUPS: bigram-Jaccard pairs over the whole
-    * corpus clustered by [[Dedup.connectedComponents]] (alternating
-    * large/small-star), then canonical-document selection — transitive
-    * chains (a↔b, b↔c) must collapse into one component even though (a,c)
-    * was never a pair. Every corpus doc appears; isolated docs keep
-    * themselves. */
+  /** Near-dup pairs → dedup GROUPS: bigram-Jaccard pairs clustered by
+    * [[Dedup.connectedComponents]] (alternating large/small-star), then
+    * canonical-document selection — transitive chains (a↔b, b↔c) must
+    * collapse into one component even though (a,c) was never a pair. Every
+    * corpus doc appears; isolated docs keep themselves. Bounded to
+    * doc_id < 1000 for the same reason as q12: the synthetic corpus's
+    * ~31-token vocabulary makes bigram co-occurrence near-quadratic by
+    * construction, and the bound keeps the demo's candidate join O(10^5)
+    * at every scale factor (at the sf0.001/sf0.01 gate the bound is the
+    * whole corpus). */
   def q32DedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 1000)
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.2, ngram = 2)
     Dedup.dedupComponents(docs, "doc_id", pairs).orderBy("doc_id")
