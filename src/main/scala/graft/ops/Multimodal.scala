@@ -174,7 +174,7 @@ object Multimodal {
       it.flatMap { m =>
         stubFrames(m.bytes, n).zipWithIndex.map { case (frame, i) =>
           MediaRow(s"${m.media_id}#f$i", "image", frame,
-            m.meta + ("frame" -> i.toString, "source" -> m.media_id))
+            m.meta ++ Map("frame" -> i.toString, "source" -> m.media_id))
         }
       }
     }

@@ -27,6 +27,8 @@ object IceLite {
 
   /** The directory name Spark writes null partition values to. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  final case class Snapshot(version: Int, batches: Seq[String], rowCount: Long)
 }
 
 /** `icelite` — a minimal Iceberg-style snapshot table (SURVEY.md §7.4).
@@ -67,7 +69,7 @@ final class IceLite(spark: SparkSession, val dir: String,
   sfs.mkdirs(p("meta"))
   sfs.mkdirs(p("data"))
 
-  final case class Snapshot(version: Int, batches: Seq[String], rowCount: Long)
+  import IceLite.Snapshot
 
   /** Current version = max(pointer file, newest listed manifest). Manifests
     * are immutable and written before the pointer swap, so the listing is

@@ -78,8 +78,8 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     val idxDir = Files.createTempDirectory("pipeline-ivf-").toString
     val idx = graft.ops.IvfIndex.build(spark, idxDir, keyed, "vid", "embedding",
       nLists = 4)
-    val probeIds = keyed.select($"vid").as[Long].take(3)
-    val queries = keyed.filter($"vid".isin(probeIds: _*))
+    val probeIds = keyed.select($"vid").as[Long].take(3).toSeq
+    val queries = keyed.filter($"vid".isInCollection(probeIds))
       .select($"vid".as("qid"), $"embedding".as("qe"))
     val served = graft.ops.IvfIndex.load(spark, idxDir)
       .topKBatch(queries, "qid", "qe", k = 3, nProbe = 2)
@@ -109,6 +109,19 @@ class PipelineIntegrationSpec extends AnyFunSuite {
       .filter($"rk" === 1).select("id", "cos").head()
     assert(self.getLong(0) == newQid && self.getDouble(1) == 1.0,
       "appended epoch's vector not servable from the grown index")
+
+    // 8. group-level dedup as the relational twin of the MERGE: phash
+    // hamming components over the RAW (pre-MERGE) payload rows must keep
+    // exactly as many canonical images as the MERGE stored — the same
+    // planted duplicates collapse whether dedup runs as MERGE-INTO on the
+    // table or as pairs → components → keep-one on the corpus
+    val rawHashed = raw.select($"image_id", $"phash")
+      .withColumn("iid", xxhash64($"image_id"))
+    val groups = graft.ops.Dedup.dedupComponents(rawHashed, "iid",
+      Multimodal.phashNearDup(rawHashed, "iid", maxHamming = 0))
+    assert(groups.count() == raw.count())
+    assert(groups.filter($"is_kept" === 1).count() == stored.count(),
+      "components keep-one disagrees with MERGE-on-phash dedup")
     stored.unpersist()
   }
 }
