@@ -106,11 +106,10 @@ final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
     val centsLit = typedLit(centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)
     val assigned = emb
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("e"))
-      .withColumn("__cents", centsLit)
-      .withColumn("list", expr(
-        "array_min(transform(__cents, c -> named_struct(" +
-          "'d', aggregate(zip_with(c._2, e, (a, b) -> (a - b) * (a - b)), " +
-          "cast(0 as double), (acc, v) -> acc + v), 'list', c._1))).list"))
+      .withColumn("list",
+        array_min(transform(centsLit, c => struct(
+          graft.functions.VectorFunctions.array_sqdist(c.getField("_2"), col("e")).as("d"),
+          c.getField("_1").as("list")))).getField("list"))
       .select(col("id"), col("e"), col("list"))
     val obs = org.apache.spark.sql.Observation()
     assigned.observe(obs, count(lit(1)).as("n"))
@@ -174,9 +173,7 @@ final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
     val q = queries.select(col(qidCol).as("qid"),
       col(vecCol).cast("array<double>").as("qe"))
     val cents = spark.read.parquet(sfs.child(dir, "centroids"))
-    val dist = expr(
-      "aggregate(zip_with(centroid, qe, (a, b) -> (a - b) * (a - b)), " +
-        "cast(0 as double), (acc, v) -> acc + v)")
+    val dist = graft.functions.VectorFunctions.array_sqdist(col("centroid"), col("qe"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("cdist", dist)
       .withColumn("crank", row_number().over(

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * baseline, random-hyperplane LSH bucketing as the scale path (candidate
   * generation inside a bucket instead of all-pairs), and cosine near-dup
   * pair mining. Dot products fold the vector sequentially in index order
-  * (`aggregate` over `zip_with`) in double precision — deterministic and
-  * engine-portable. Plane weights are integer-derived, so bucket
-  * assignment is exactly reproducible anywhere.
+  * in double precision — deterministic and engine-portable (bit-identical
+  * to the SQL `aggregate`-over-`zip_with` fold), computed by the codegen'd
+  * [[graft.functions.ArrayDot]] expression so the inner loop JITs instead
+  * of interpreting two lambdas per element. Plane weights are
+  * integer-derived, so bucket assignment is exactly reproducible anywhere.
   */
 object Similarity {
 
   /** Sequential-fold dot product of two array<double> columns. */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+    graft.functions.VectorFunctions.array_dot(col(a), col(b))
 
   def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -34,17 +36,20 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic integer plane weight for (plane p, dimension d). */
-  private def planeWeightExpr(p: Int, dims: Int): String =
-    s"zip_with(e, sequence(0, ${dims - 1}), " +
-      s"(x, d) -> x * cast(($p * 1000003 + d * 7919) % 2001 - 1000 as double))"
+  /** Deterministic integer-derived weights of hyperplane `p` (same values
+    * the SQL formulation computes per element: `(p*1000003 + d*7919) % 2001
+    * - 1000`, cast to double — exactly representable). */
+  private def planeWeights(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(d => ((p.toLong * 1000003L + d.toLong * 7919L) % 2001L - 1000L).toDouble)
 
-  /** Random-hyperplane LSH signature (`planes` bits) per vector. */
+  /** Random-hyperplane LSH signature (`planes` bits) per vector — one
+    * codegen'd dot against each plane's literal weight vector. */
   def lshSignature(emb: DataFrame, idCol: String, vecCol: String,
       planes: Int, dims: Int): DataFrame = {
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
     val sig = (0 until planes).map { p =>
-      val d = expr(s"aggregate(${planeWeightExpr(p, dims)}, cast(0 as double), (acc, v) -> acc + v)")
+      val d = graft.functions.VectorFunctions.array_dot(
+        col("e"), typedLit(planeWeights(p, dims)))
       when(d > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
     e.select(col(idCol), col("e"), sig.as("sig"))
