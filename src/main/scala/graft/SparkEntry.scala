@@ -67,7 +67,10 @@ object SparkEntry {
     "q33_repetition" -> ContractQueries.q33Repetition _,
     "q34_pii_redact" -> ContractQueries.q34PiiRedact _,
     "q35_phash_components" -> ContractQueries.q35PhashComponents _,
-    "q36_semantic_dedup" -> ContractQueries.q36SemanticDedup _)
+    "q36_semantic_dedup" -> ContractQueries.q36SemanticDedup _,
+    "q37_mixture_sample" -> ContractQueries.q37MixtureSample _,
+    "q38_decontamination" -> ContractQueries.q38Decontamination _,
+    "q39_sequence_packing" -> ContractQueries.q39SequencePacking _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -508,5 +511,43 @@ object SparkEntry {
         |SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component,
         |  CASE WHEN coalesce(c.component, e.vec_id) = e.vec_id THEN 1 ELSE 0 END AS is_kept
         |FROM e LEFT JOIN comp c ON c.id = e.vec_id
-        |ORDER BY e.vec_id""".stripMargin)
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "q37_mixture_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 10000 AS bucket,
+        |    (CASE WHEN source = 'src0' THEN 0.2
+        |          WHEN source = 'src1' THEN 0.8
+        |          ELSE 0.5 END)::DOUBLE AS keep_rate
+        |  FROM documents)
+        |SELECT doc_id, source, bucket, keep_rate FROM h
+        |WHERE bucket < keep_rate * 10000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q38_decontamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS token
+        |  FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS r(i)),
+        |ev AS (SELECT doc_id AS eval_id, token FROM sh WHERE doc_id % 50 = 0),
+        |co AS (SELECT doc_id, token FROM sh WHERE doc_id % 50 <> 0),
+        |shared AS (
+        |  SELECT co.doc_id, ev.eval_id, count(*) AS n_shared
+        |  FROM co JOIN ev USING (token)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_id, max(n_shared) AS max_shared, count(*) AS n_eval_hits
+        |FROM shared GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q39_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 512 AS pack_id
+        |FROM d ORDER BY doc_id""".stripMargin)
 }

@@ -116,6 +116,67 @@ object TextOps {
   val PhonePattern = "555-[0-9]{4}"
   val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
+  /** Deterministic hash-bucket mixture sampling — the data-mixing stage of
+    * a training pipeline: each stratum (source/domain) keeps a configured
+    * fraction of its documents, selected by a salted md5 bucket of the id
+    * so the SAME rows are kept on any engine, at any parallelism, on any
+    * re-run (and a different `salt` draws an independent sample, e.g. a
+    * held-out split). A pure narrow projection + filter: no shuffle, no
+    * sampling state, works identically on a 10^10-row corpus. Appends
+    * `bucket` (0–9999) and `keep_rate`, keeps rows with
+    * `bucket < keep_rate · 10000`. */
+  def hashSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "mix"): DataFrame = {
+    val h = conv(substring(md5(concat_ws(":", lit(salt), col(idCol))), 1, 15), 16, 10)
+      .cast("long")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", pmod(h, lit(10000L)))
+      .withColumn("keep_rate", rate)
+      .filter(col("bucket") < col("keep_rate") * 10000)
+  }
+
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-grams with any document of the evaluation
+    * set are flagged (with their worst-offending overlap and how many eval
+    * docs they hit). The join is on shingle tokens with the EVAL side as
+    * the posting-list build side — benchmarks are tiny relative to a
+    * training corpus, so Catalyst broadcasts them and the corpus side
+    * streams map-only; the corpus is never shuffled. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, ngram: Int = 3, minShared: Long = 2): DataFrame = {
+    val c = Dedup.shingleTokens(corpus, idCol, textCol, ngram)
+    val e = Dedup.shingleTokens(evalSet, idCol, textCol, ngram)
+      .withColumnRenamed(idCol, "eval_id")
+    c.join(e, Seq("token"))
+      .groupBy(idCol, "eval_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy(idCol).agg(
+        max("n_shared").as("max_shared"),
+        count(lit(1)).as("n_eval_hits"))
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget packs,
+    * contiguously in id order within each partition column value (language,
+    * source shard, …) — the pre-tokenization batching step of a training
+    * run, made deterministic so pack membership is reproducible. Packing is
+    * inherently sequential per stream; the window is partitioned by the
+    * stream key, so streams pack in parallel and no stream's documents
+    * cross executors out of order. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      partitionCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", size(toks(textCol)).cast("long"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .select(col(idCol), col(partitionCol), col("n_tokens"),
+        col("cum_before"), col("pack_id"))
+  }
+
   /** PII scrub for training corpora: counts and redacts emails, phone
     * numbers, and IPv4 addresses. A pure column program (codegen'd regex
     * kernels) — one projection, no shuffle. Stages run email → phone → IP,

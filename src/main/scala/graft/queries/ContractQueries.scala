@@ -378,6 +378,33 @@ object ContractQueries {
     Dedup.dedupComponents(imgs, "doc_id", pairs).orderBy("doc_id")
   }
 
+  /** Deterministic mixture sampling: per-source keep rates applied by
+    * salted hash bucket — the same rows are kept on every engine (the
+    * oracle replays the md5 bucketing exactly). */
+  def q37MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    TextOps.hashSample(t(spark, dir, "documents"), "doc_id", "source",
+      rates = Map("src0" -> 0.2, "src1" -> 0.8), defaultRate = 0.5, salt = "mix")
+      .select("doc_id", "source", "bucket", "keep_rate")
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: corpus docs sharing ≥2 distinct trigrams
+    * with the pseudo-benchmark (every 50th doc). */
+  def q38Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    TextOps.contamination(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", ngram = 3, minShared = 2)
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: contiguous fixed-budget (512-token) packs per
+    * language in doc order. */
+  def q39SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(t(spark, dir, "documents"), "doc_id", "text",
+      "lang", budget = 512L)
+      .orderBy("doc_id")
+
   /** SemDeDup-style semantic dedup over embeddings (bounded exact-pair
     * variant): cosine near-dup pairs clustered into components, one vector
     * kept per cluster. The LSH-bucketed scale path is

@@ -62,4 +62,55 @@ class TextCurationSpec extends AnyFunSuite {
     assert(r.getString(5) == "mail <EMAIL> end")
     assert((r.getLong(2), r.getLong(3)) == ((1L, 0L)))
   }
+
+  test("hashSample: keeps exactly the md5-bucket rows; independent salts differ") {
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 0.0, "src1" -> 1.0)
+    def expectedBucket(salt: String, id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10000
+    }
+    val kept = TextOps.hashSample(docs, "doc_id", "source", rates,
+      defaultRate = 0.3, salt = "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (0L until 400L).filter { i =>
+      val rate = i % 4 match { case 0 => 0.0; case 1 => 1.0; case _ => 0.3 }
+      expectedBucket("s1", i) < rate * 10000
+    }.toSet
+    assert(kept == expected)
+    assert((0L until 400L).filter(_ % 4 == 0).forall(!kept.contains(_))) // rate 0
+    assert((0L until 400L).filter(_ % 4 == 1).forall(kept.contains(_)))  // rate 1
+    val kept2 = TextOps.hashSample(docs, "doc_id", "source", rates,
+      defaultRate = 0.3, salt = "s2").select("doc_id").as[Long].collect().toSet
+    assert(kept2 != kept, "independent salts must draw different samples")
+  }
+
+  test("contamination: trigram overlap vs a tiny benchmark, hand-checked") {
+    val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d x"),   // shares trigrams "a b c", "b c d" → 2
+      (2L, "x a b c y"),   // shares only "a b c" → 1, below minShared
+      (3L, "p q r s t")    // disjoint
+    ).toDF("doc_id", "text")
+    val got = TextOps.contamination(corpus, evalSet, "doc_id", "text",
+      ngram = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
+  test("packSequences: contiguous budget packing per stream") {
+    val docs = Seq(
+      (1L, "en", Seq.fill(300)("t").mkString(" ")),
+      (2L, "en", Seq.fill(300)("t").mkString(" ")), // cum_before 300 → pack 0
+      (3L, "en", Seq.fill(10)("t").mkString(" ")),  // cum_before 600 → pack 1
+      (4L, "de", Seq.fill(700)("t").mkString(" ")), // own stream, pack 0
+      (5L, "de", "x")                               // cum_before 700 → pack 1
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.packSequences(docs, "doc_id", "text", "lang", budget = 512L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L)), 2L -> ((300L, 0L)), 3L -> ((600L, 1L)),
+      4L -> ((0L, 0L)), 5L -> ((700L, 1L))))
+  }
 }
