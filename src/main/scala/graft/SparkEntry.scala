@@ -70,7 +70,8 @@ object SparkEntry {
     "q36_semantic_dedup" -> ContractQueries.q36SemanticDedup _,
     "q37_mixture_sample" -> ContractQueries.q37MixtureSample _,
     "q38_decontamination" -> ContractQueries.q38Decontamination _,
-    "q39_sequence_packing" -> ContractQueries.q39SequencePacking _)
+    "q39_sequence_packing" -> ContractQueries.q39SequencePacking _,
+    "q40_link_rank" -> ContractQueries.q40LinkRank _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -549,5 +550,35 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before,
         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 512 AS pack_id
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q40_link_rank" -> {
+      // fixed-point integer PageRank, 5 unrolled iterations (base term
+      // 150000 = scale·(1−0.85); all divisions on non-negative ints, so
+      // DuckDB's floor // ≡ Spark's truncating div)
+      val head =
+        """WITH n AS (SELECT count(*) AS cnt FROM documents),
+          |edges0 AS (
+          |  SELECT doc_id AS src,
+          |    (doc_id * 7 + j * 13 + 1) % (SELECT cnt FROM n) AS dst
+          |  FROM documents, unnest([0, 1, 2]) AS t(j)),
+          |edges AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges
+          |          UNION SELECT dst FROM edges),
+          |outdeg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+          |r0 AS (SELECT id, 1000000::BIGINT AS rank FROM nodes)""".stripMargin
+      val steps = (1 to 5).map(i =>
+        s""",
+           |c$i AS (
+           |  SELECT e.dst AS id, sum(r.rank // o.deg)::BIGINT AS contrib
+           |  FROM edges e
+           |  JOIN r${i - 1} r ON r.id = e.src
+           |  JOIN outdeg o ON o.id = e.src
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT nd.id,
+           |    (150000 + (850000 * coalesce(c.contrib, 0)) // 1000000)::BIGINT AS rank
+           |  FROM nodes nd LEFT JOIN c$i c ON c.id = nd.id)""".stripMargin).mkString
+      head + steps + "\nSELECT id, rank FROM r5 ORDER BY id"
+    })
 }

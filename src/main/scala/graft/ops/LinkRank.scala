@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring for crawl prioritization — the signal the
+  * north rule's priority queue consumes: pages (or hosts) with high
+  * incoming-link authority are fetched first, which is how production
+  * frontiers allocate budget at web scale (OPIC/PageRank-ordered crawling).
+  *
+  * The rank is FIXED-POINT INTEGER PageRank: ranks live in int64 scaled by
+  * `scale`, the damping factor in parts-per-million, every per-edge
+  * contribution is an integer division, and every combine is an integer
+  * sum. Integer addition is associative and commutative, so the result is
+  * bit-identical regardless of partitioning, aggregation order, or engine —
+  * floating-point PageRank cannot make that promise (sum order varies by
+  * shuffle), and a priority that flickers across runs would make crawl
+  * ordering irreproducible. Dangling-node mass leaks (standard
+  * simplification); ranks order pages, they need not sum to 1.
+  *
+  * Each iteration is one shuffle-on-dst aggregation plus a broadcast-sized
+  * join back to the node set — the textbook Spark PageRank shape; per-round
+  * state is truncated with `localCheckpoint` like
+  * [[Dedup.connectedComponents]].
+  */
+object LinkRank {
+
+  /** `iterations` rounds of damped PageRank over `edges(srcCol, dstCol)`.
+    * Returns `(id, rank)` for every node appearing in the edge relation,
+    * rank in units of 1/`scale`. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampingPpm: Long = 850000L,
+      scale: Long = 1000000L): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val baseTerm = (scale * (1000000L - dampingPpm)) / 1000000L
+    var rank = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(rank.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(outdeg.select(col("id").as("src"), col("deg")), Seq("src"))
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("contrib"))
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(baseTerm) +
+            expr(s"($dampingPpm * coalesce(contrib, 0L)) div 1000000")).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
+}

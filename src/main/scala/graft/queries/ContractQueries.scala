@@ -123,7 +123,7 @@ object ContractQueries {
   // tables — the library surface is Dedup/TextOps/Similarity; these named
   // queries pin each operator to its DuckDB oracle.
 
-  import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+  import graft.ops.{Dedup, LinkRank, Multimodal, Similarity, TextOps}
 
   /** Exact dedup: group documents by content hash, keep min doc_id. */
   def q10DedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -404,6 +404,21 @@ object ContractQueries {
     TextOps.packSequences(t(spark, dir, "documents"), "doc_id", "text",
       "lang", budget = 512L)
       .orderBy("doc_id")
+
+  /** Crawl-priority authority: fixed-point integer PageRank over a
+    * deterministic synthetic link graph (3 out-links per doc, modular
+    * targets — both engines construct it identically). Integer ranks are
+    * bit-exact under any aggregation order, which is what lets an
+    * iterative graph computation hash-match a different engine at all. */
+  def q40LinkRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs
+      .withColumn("j", explode(sequence(lit(0), lit(2))))
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + col("j") * 13 + 1) % n).as("dst"))
+    LinkRank.pageRank(edges, "src", "dst", iterations = 5).orderBy("id")
+  }
 
   /** SemDeDup-style semantic dedup over embeddings (bounded exact-pair
     * variant): cosine near-dup pairs clustered into components, one vector

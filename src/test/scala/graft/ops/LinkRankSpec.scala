@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.functions.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixed-point integer PageRank vs an in-test reference implementation
+  * (plain Scala loops), plus the determinism property the integer design
+  * exists for: identical output under different partitionings. */
+class LinkRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference: same fixed-point recurrence, sequential. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.filter(t => t._1 != t._2).distinct
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      e.foreach { case (s, d) => contrib(d) += rank(s) / outdeg(s) }
+      rank = nodes.map(v => v -> (150000L + 850000L * contrib(v) / 1000000L)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], parts: Int): Map[Long, Long] =
+    LinkRank.pageRank(edges.toDF("src", "dst").repartition(parts), "src", "dst",
+      iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("random graph equals the sequential reference exactly") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(400)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    assert(run(edges, 8) == reference(edges, 5))
+  }
+
+  test("star graph: the hub outranks every leaf") {
+    val edges = (1L to 20L).flatMap(i => Seq((i, 0L), (0L, i)))
+    val got = run(edges, 4)
+    assert(got == reference(edges, 5))
+    assert((1L to 20L).forall(i => got(0L) > got(i)))
+  }
+
+  test("bit-identical across partitionings (the integer-arithmetic guarantee)") {
+    val rnd = new scala.util.Random(9)
+    val edges = Seq.fill(600)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+    assert(run(edges, 1) == run(edges, 17))
+  }
+
+  test("duplicate and self edges are ignored") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 2L), (2L, 1L))
+    assert(run(edges, 2) == reference(edges, 5))
+  }
+}
