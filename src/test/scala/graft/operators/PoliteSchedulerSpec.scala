@@ -130,4 +130,41 @@ class PoliteSchedulerSpec extends AnyFunSuite {
       s"host resumed too early: ${laterRounds.toSeq.sorted} after throttle at $throttleRound")
     assert(out.stats.errorCount >= 1) // the 503 itself is an error event
   }
+
+  test("seed priorities drive the schedule; LinkRank authority maps onto the priority queue") {
+    import org.apache.spark.sql.expressions.Window
+    // 12 linkless pages on one host — scheduling order is purely the
+    // priority queue (no discovery traffic can jump the line)
+    val pages = (0 until 12).map(i => PageRow(s"http://prio.com/p/$i", 200,
+      None, Seq.empty, Some("<html></html>"), Some("text/html"), None, None))
+    // authority graph over the page ids: 0 is the hub every page cites,
+    // 1→2→…→11 a citation chain — LinkRank must send the crawler to the
+    // hub first (north-rule wiring: rank DESC becomes priority ASC)
+    val edges = ((1L until 12L).map(i => (i, 0L)) ++
+      (1L until 11L).map(i => (i, i + 1))).toDF("src", "dst")
+    val rank = graft.ops.LinkRank.pageRank(edges, "src", "dst")
+    val prio = rank.withColumn("priority",
+      row_number().over(Window.orderBy(desc("rank"), $"id")).cast("int"))
+    val seeds = prio.select(
+      concat(lit("http://prio.com/p/"), $"id").as("url"), $"priority")
+
+    val budget = 3
+    val out = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(fifoParity = false, sameDomainOnly = false,
+        perHostBudget = budget, saltBuckets = 4, bloomEnabled = false))
+      .crawlSeeds(seeds)
+
+    // fetch round of every page = its authority position ÷ budget, exactly
+    val pos = prio.select($"id", $"priority").collect()
+      .map(r => s"http://prio.com/p/${r.getLong(0)}" -> r.getInt(1)).toMap
+    val rounds = out.visitLog.select($"url", $"round").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rounds.size == 12)
+    pos.foreach { case (url, p) =>
+      assert(rounds(url) == (p - 1) / budget,
+        s"$url with priority $p fetched in round ${rounds(url)}")
+    }
+    // and the hub (max in-degree) is in the very first batch
+    assert(rounds("http://prio.com/p/0") == 0)
+  }
 }
