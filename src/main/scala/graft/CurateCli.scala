@@ -1,0 +1,195 @@
+package graft
+
+import graft.ops.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry for the training-data curation pipeline — the
+  * document-side counterpart of `CrawlCli`: one command takes a crawled
+  * corpus (parquet) through the canonical curation order
+  *
+  *   quality gates → dedup (exact + optional near-dup clustering) →
+  *   PII redaction → mixture sampling → sequence packing
+  *
+  * and writes the curated corpus plus per-stage audit relations. Every
+  * stage is one of the engine's oracle-verified operators; this entry only
+  * composes them and records what each stage dropped (a curation run that
+  * cannot explain its drops is unusable for dataset governance).
+  *
+  * Exit codes follow the CrawlCli convention: 0 success, 2 bad usage,
+  * 1 runtime failure.
+  */
+object CurateCli {
+
+  private val Usage =
+    """usage: CurateCli <input-parquet> <output-dir>
+      |       [--id-col doc_id] [--text-col text]
+      |       [--min-tokens 10] [--min-distinct-ratio 0.3]
+      |       [--max-top-token-frac 0.3] [--max-top-bigram-frac 0.2]
+      |       [--near-dup THRESHOLD] [--ngram 2] [--max-df N]
+      |       [--no-pii] [--sample RATE] [--strata-col COL] [--salt mix]
+      |       [--pack-budget TOKENS] [--pack-col COL]
+      |
+      |  <input-parquet>  Corpus with (id, text, ...) columns (any FS scheme)
+      |  <output-dir>     Writes curated/ plus audit/ relations
+      |  --near-dup T     Also collapse bigram-Jaccard >= T clusters
+      |  --max-df N       Drop shingles with document frequency > N before
+      |                   the near-dup join (stopword/skew cap)
+      |  --sample R       Deterministic hash sample at rate R (0..1];
+      |                   per-stratum when --strata-col is given
+      |  --pack-budget N  Assign fixed-N-token pack ids (per --pack-col
+      |                   stream when given)""".stripMargin
+
+  private[graft] final case class CliUsageError(msg: String) extends Exception(msg)
+
+  final case class CurateSummary(
+      input: Long,
+      droppedQuality: Long,
+      droppedDup: Long,
+      droppedSample: Long,
+      kept: Long)
+
+  private[graft] def run(spark: SparkSession, args: Array[String]): CurateSummary = {
+    var pos = Vector.empty[String]
+    var idCol = "doc_id"; var textCol = "text"
+    var minTokens = 10; var minDistinct = 0.3
+    var maxTopTok = 0.3; var maxTopBig = 0.2
+    var nearDup: Option[Double] = None; var ngram = 2
+    var maxDf = Long.MaxValue
+    var pii = true
+    var sample: Option[Double] = None; var strataCol: Option[String] = None
+    var salt = "mix"
+    var packBudget: Option[Long] = None; var packCol: Option[String] = None
+    var i = 0
+    def value(flag: String): String = {
+      i += 1
+      if (i >= args.length) throw CliUsageError(s"$flag requires a value")
+      args(i)
+    }
+    def num[T](flag: String, parse: String => T): T = {
+      val v = value(flag)
+      try parse(v)
+      catch { case _: NumberFormatException =>
+        throw CliUsageError(s"$flag: not a number: '$v'") }
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "--id-col" => idCol = value("--id-col")
+        case "--text-col" => textCol = value("--text-col")
+        case "--min-tokens" => minTokens = num("--min-tokens", _.toInt)
+        case "--min-distinct-ratio" => minDistinct = num("--min-distinct-ratio", _.toDouble)
+        case "--max-top-token-frac" => maxTopTok = num("--max-top-token-frac", _.toDouble)
+        case "--max-top-bigram-frac" => maxTopBig = num("--max-top-bigram-frac", _.toDouble)
+        case "--near-dup" => nearDup = Some(num("--near-dup", _.toDouble))
+        case "--ngram" => ngram = num("--ngram", _.toInt)
+        case "--max-df" => maxDf = num("--max-df", _.toLong)
+        case "--no-pii" => pii = false
+        case "--sample" => sample = Some(num("--sample", _.toDouble))
+        case "--strata-col" => strataCol = Some(value("--strata-col"))
+        case "--salt" => salt = value("--salt")
+        case "--pack-budget" => packBudget = Some(num("--pack-budget", _.toLong))
+        case "--pack-col" => packCol = Some(value("--pack-col"))
+        case flag if flag.startsWith("--") => throw CliUsageError(s"unknown flag: $flag")
+        case p => pos :+= p
+      }
+      i += 1
+    }
+    if (pos.length != 2) throw CliUsageError("input-parquet and output-dir are required")
+    sample.foreach(r => if (r <= 0 || r > 1) throw CliUsageError("--sample must be in (0, 1]"))
+    val Seq(in, outDir) = pos.toSeq
+    def audit(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/audit/$name")
+
+    val docs = spark.read.parquet(in)
+    val nInput = docs.count()
+
+    // 1. quality gates — per-row metrics plus grouped repetition fractions
+    val gates = TextOps.repetitionMetrics(docs, idCol, textCol, maxTopTok, maxTopBig)
+      .withColumn("tokens_ok", (col("n_tokens") >= minTokens).cast("int"))
+    val passCond = col("repetition_ok") === 1 && col("tokens_ok") === 1 &&
+      col("__dr") >= minDistinct
+    val withGates = docs
+      .withColumn("__dr", size(array_distinct(split(col(textCol), " "))).cast("double") /
+        size(split(col(textCol), " ")).cast("double"))
+      .join(gates.select(col(idCol), col("repetition_ok"), col("tokens_ok")), Seq(idCol))
+    val qualityOk = withGates.filter(passCond)
+    audit(withGates.filter(!passCond).select(idCol), "dropped_quality")
+    val afterQuality = qualityOk.drop("__dr", "repetition_ok", "distinct_ok").cache()
+    val nQuality = afterQuality.count()
+
+    // 2. dedup: exact always; near-dup clustering when requested
+    val exactKeep = Dedup.exact(afterQuality, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exactDeduped = afterQuality.join(exactKeep, Seq(idCol))
+    val deduped = nearDup match {
+      case None => exactDeduped
+      case Some(t) =>
+        val pairs = Dedup.jaccardPairs(exactDeduped, idCol, textCol, t, maxDf, ngram)
+        val groups = Dedup.dedupComponents(exactDeduped, idCol, pairs)
+        audit(groups.filter(col("is_kept") === 0), "dropped_near_dup")
+        exactDeduped.join(groups.filter(col("is_kept") === 1).select(idCol), Seq(idCol))
+    }
+    val nDedup = deduped.count()
+
+    // 3. PII redaction — the curated text IS the redacted text
+    val redacted =
+      if (!pii) deduped
+      else {
+        val r = TextOps.piiRedact(deduped, textCol)
+        audit(r.filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+          .select(col(idCol), col("n_emails"), col("n_phones"), col("n_ips")), "pii_hits")
+        r.drop(textCol, "n_emails", "n_phones", "n_ips")
+          .withColumnRenamed("redacted", textCol)
+      }
+
+    // 4. deterministic mixture sampling
+    val sampled = sample match {
+      case None => redacted
+      case Some(rate) =>
+        // uniform sampling = one synthetic stratum
+        val strata = strataCol.getOrElse("__stratum")
+        val base = if (strataCol.isDefined) redacted
+          else redacted.withColumn("__stratum", lit("all"))
+        TextOps.hashSample(base, idCol, strata, Map.empty, rate, salt)
+          .drop("bucket", "keep_rate", "__stratum")
+    }
+    val nSampled = sampled.count()
+
+    // 5. sequence packing
+    val packed = packBudget match {
+      case None => sampled
+      case Some(budget) =>
+        // single global stream when no partition column is given
+        val pcol = packCol.getOrElse("__stream")
+        val base = if (packCol.isDefined) sampled
+          else sampled.withColumn("__stream", lit("all"))
+        sampled.join(
+          TextOps.packSequences(base, idCol, textCol, pcol, budget)
+            .select(col(idCol), col("pack_id")), Seq(idCol))
+    }
+
+    packed.write.mode("overwrite").parquet(s"$outDir/curated")
+    afterQuality.unpersist()
+    val s = CurateSummary(nInput, nInput - nQuality, nQuality - nDedup,
+      nDedup - nSampled, nSampled)
+    println(s"""{"input":${s.input},"dropped_quality":${s.droppedQuality},""" +
+      s""""dropped_dup":${s.droppedDup},"dropped_sample":${s.droppedSample},""" +
+      s""""kept":${s.kept}}""")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .getOrCreate()
+    try run(spark, args)
+    catch {
+      case e: CliUsageError =>
+        System.err.println(s"${e.getMessage}\n$Usage"); sys.exit(2)
+      case e: Exception =>
+        System.err.println(s"Error: ${e.getMessage}"); sys.exit(1)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The curation pipeline entry end-to-end on a planted corpus: quality
+  * drops, exact + near-dup collapse, PII redaction, sampling, packing, and
+  * the audit relations that explain every drop. Plus the usage matrix. */
+class CurateCliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def corpusDir(): String = {
+    val good = (w: Int) => (0 until 20).map(i => s"w${(i * w + 3) % 17} t$i").mkString(" ")
+    val rows = Seq(
+      (1L, good(2), "a"),
+      (2L, good(2), "a"),                          // exact dup of 1
+      (3L, good(2) + " tail", "b"),                // near-dup of 1 (bigram)
+      (4L, good(5), "b"),                          // distinct good doc
+      (5L, "spam spam spam spam spam spam spam spam spam spam spam spam", "c"), // repetition fail
+      (6L, "short one", "c"),                      // token floor fail
+      (7L, good(7) + " mail boss@corp.example now", "d")) // PII carrier
+    val dir = Files.createTempDirectory("curate-in-").toString
+    rows.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("end-to-end: gates, dedup chain, redaction, packing, audits") {
+    val in = corpusDir()
+    val out = Files.createTempDirectory("curate-out-").toString
+    val s = CurateCli.run(spark, Array(in, out,
+      "--min-tokens", "10", "--min-distinct-ratio", "0.3",
+      "--near-dup", "0.5", "--ngram", "2",
+      "--pack-budget", "64"))
+    assert(s.input == 7)
+    assert(s.droppedQuality == 2)       // 5 (repetition), 6 (token floor)
+    assert(s.droppedDup == 2)           // 2 (exact), 3 (near-dup cluster)
+    assert(s.kept == 3)                 // 1, 4, 7
+
+    val curated = spark.read.parquet(s"$out/curated")
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L, 7L))
+    // PII redacted in the surviving text
+    val t7 = curated.filter($"doc_id" === 7).select("text").as[String].head()
+    assert(t7.endsWith("mail <EMAIL> now"), t7)
+    // packing assigned
+    assert(curated.columns.contains("pack_id"))
+    assert(curated.select("pack_id").distinct().count() >= 1)
+
+    // audits explain the drops
+    val dq = spark.read.parquet(s"$out/audit/dropped_quality")
+      .as[Long].collect().toSet
+    assert(dq == Set(5L, 6L))
+    val dn = spark.read.parquet(s"$out/audit/dropped_near_dup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dn == Set(3L))
+    val pii = spark.read.parquet(s"$out/audit/pii_hits")
+      .select("doc_id").as[Long].collect().toSet
+    assert(pii == Set(7L))
+  }
+
+  test("uniform sampling drops a deterministic subset") {
+    val in = corpusDir()
+    val out = Files.createTempDirectory("curate-out-").toString
+    val s1 = CurateCli.run(spark, Array(in, out, "--min-tokens", "1",
+      "--min-distinct-ratio", "0.0", "--max-top-token-frac", "1.0",
+      "--max-top-bigram-frac", "1.0", "--no-pii", "--sample", "0.5"))
+    val kept1 = spark.read.parquet(s"$out/curated").select("doc_id").as[Long].collect().toSet
+    // deterministic: same command, same sample
+    val s2 = CurateCli.run(spark, Array(in, out, "--min-tokens", "1",
+      "--min-distinct-ratio", "0.0", "--max-top-token-frac", "1.0",
+      "--max-top-bigram-frac", "1.0", "--no-pii", "--sample", "0.5"))
+    val kept2 = spark.read.parquet(s"$out/curated").select("doc_id").as[Long].collect().toSet
+    assert(kept1 == kept2 && s1.kept == s2.kept)
+    assert(s1.droppedSample > 0 && s1.kept > 0) // rate 0.5 splits 6 survivors
+  }
+
+  test("usage errors exit the parse, not the engine") {
+    val cases = Seq(
+      Array.empty[String],                       // missing positionals
+      Array("/tmp/x"),                           // one positional
+      Array("/tmp/x", "/tmp/y", "--bogus"),      // unknown flag
+      Array("/tmp/x", "/tmp/y", "--sample", "2"), // out of range
+      Array("/tmp/x", "/tmp/y", "--min-tokens", "abc"), // not a number
+      Array("/tmp/x", "/tmp/y", "--near-dup"))   // missing value
+    cases.foreach { a =>
+      assertThrows[CurateCli.CliUsageError](CurateCli.run(spark, a))
+    }
+  }
+}
