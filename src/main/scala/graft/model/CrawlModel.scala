@@ -80,6 +80,14 @@ final case class CrawlConfig(
     // ~500 MB cache must not be broadcast; it shuffles on the same key the
     // scheduler windows partition by, so the join composes cleanly)
     robotsBroadcast: Boolean = true,
+    // global per-round fetch cap (polite mode): when the eligible frontier
+    // exceeds it, the round keeps the `roundBudget` best rows by
+    // (priority, nextFetchTime, discoveryIdx) BEFORE per-host budgeting —
+    // this is where authority-derived priorities (LinkRank → hostPriority)
+    // decide WHICH hosts get crawl budget, mirroring how production
+    // frontiers ration fetch capacity. Int.MaxValue = uncapped (every
+    // eligible host gets its per-host budget each round)
+    roundBudget: Int = Int.MaxValue,
     checkpointDir: Option[String] = None) {
 
   /** The request headers a live HTTP fetcher sends at the fetch boundary

@@ -110,7 +110,14 @@ final class FrontierCrawler(
     spark: SparkSession,
     pages: Dataset[PageRow],
     cfg: CrawlConfig = CrawlConfig(),
-    robots: Option[DataFrame] = None) { // host, disallow: boolean, crawlDelay: double
+    robots: Option[DataFrame] = None, // host, disallow: boolean, crawlDelay: double
+    // optional (host, priority:int) authority relation — e.g. LinkRank
+    // output mapped to per-host priorities. Applied at link ADMISSION in
+    // polite mode: a discovered URL inherits its host's priority instead
+    // of BFS depth, so with a `roundBudget` cap the frontier drains
+    // authority-first. Seed rows keep their own priority column. Joined
+    // without a broadcast hint: at 10^7 hosts AQE picks the right side.
+    hostPriority: Option[DataFrame] = None) {
 
   import spark.implicits._
 
@@ -611,8 +618,17 @@ final class FrontierCrawler(
               }
               // deterministic window-free idx: post-dedup there is one row
               // per URL, so hash(url) alone is stable across reruns
-              unseen.select($"url", $"urlHash", url_host($"url").as("host"),
-                ($"depth" + 1).as("depth"), ($"depth" + 1).as("priority"),
+              val hosted = unseen.withColumn("host", url_host($"url"))
+              val prioed = hostPriority match {
+                case None => hosted.withColumn("__prio", ($"depth" + 1).cast("int"))
+                case Some(hp) =>
+                  hosted.join(hp.select($"host", $"priority".as("__hostPrio")),
+                      Seq("host"), "left_outer")
+                    .withColumn("__prio",
+                      coalesce($"__hostPrio", $"depth" + 1).cast("int"))
+              }
+              prioed.select($"url", $"urlHash", $"host",
+                ($"depth" + 1).as("depth"), $"__prio".as("priority"),
                 (lit((round.toLong + 1) * IdxSpan) + pmod(xxhash64($"url"), lit(IdxSpan)))
                   .as("discoveryIdx"),
                 lit(0L).as("nextFetchTime"))
@@ -830,7 +846,15 @@ final class FrontierCrawler(
     val w1 = Window.partitionBy($"host", salt).orderBy(ord: _*)
     val w2 = Window.partitionBy($"host").orderBy(ord: _*)
     val delayMs = (cfg.delay * 1000).toLong
-    el.withColumn("__budget", budgetCol)
+    // global authority ration (cfg.roundBudget): keep the N best eligible
+    // rows by priority BEFORE per-host budgeting, so when the frontier
+    // outgrows the round, authority (not host arrival order) decides which
+    // hosts fetch. Physical plan is TakeOrderedAndProject — O(n log N),
+    // no full sort materialization.
+    val rationed =
+      if (cfg.roundBudget == Int.MaxValue) el
+      else el.orderBy(ord: _*).limit(cfg.roundBudget)
+    rationed.withColumn("__budget", budgetCol)
       .withColumn("rn1", row_number().over(w1)).filter($"rn1" <= $"__budget")
       .withColumn("rn2", row_number().over(w2)).filter($"rn2" <= $"__budget")
       .dropDuplicates("url")

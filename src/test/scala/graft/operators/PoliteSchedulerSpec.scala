@@ -167,4 +167,38 @@ class PoliteSchedulerSpec extends AnyFunSuite {
     // and the hub (max in-degree) is in the very first batch
     assert(rounds("http://prio.com/p/0") == 0)
   }
+
+  test("roundBudget + hostPriority: authority decides which host gets crawl capacity") {
+    // two hosts, each a seed page linking to 6 more; authority says b.com
+    // (priority 1) over a.com (priority 9). With a global round budget of 4
+    // the b.com links must fully drain before any a.com link is fetched.
+    def site(h: String) = PageRow(s"http://$h/root", 200, None,
+      (1 to 6).map(i => s"/p$i"), Some("<html></html>"), Some("text/html"), None, None) +:
+      (1 to 6).map(i => PageRow(s"http://$h/p$i", 200, None, Seq.empty,
+        Some("<html></html>"), Some("text/html"), None, None))
+    val pages = site("a.com") ++ site("b.com")
+    val hp = Seq(("a.com", 9), ("b.com", 1)).toDF("host", "priority")
+    val out = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(fifoParity = false, sameDomainOnly = false,
+        perHostBudget = 4, saltBuckets = 4, bloomEnabled = false,
+        roundBudget = 4),
+      hostPriority = Some(hp))
+      .crawlSeeds(Seq(("http://a.com/root", 0), ("http://b.com/root", 0))
+        .toDF("url", "priority"))
+
+    val rounds = out.visitLog.select($"url", $"round").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rounds.size == 14) // everything crawled eventually
+    val bLinkRounds = (1 to 6).map(i => rounds(s"http://b.com/p$i"))
+    val aLinkRounds = (1 to 6).map(i => rounds(s"http://a.com/p$i"))
+    // authority-first drain: the ration never grants a.com a slot while a
+    // b.com link could have taken it — every b link round precedes or ties
+    // the earliest a round (ties = b's leftovers didn't fill the budget),
+    // and b completes strictly before a does
+    assert(bLinkRounds.max <= aLinkRounds.min && bLinkRounds.max < aLinkRounds.max,
+      s"authority host not drained first: b=$bLinkRounds a=$aLinkRounds")
+    // the global cap held every round
+    val perRound = rounds.values.groupBy(identity).view.mapValues(_.size)
+    assert(perRound.forall(_._2 <= 4), s"round budget exceeded: ${perRound.toMap}")
+  }
 }
