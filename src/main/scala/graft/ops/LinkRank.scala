@@ -56,4 +56,32 @@ object LinkRank {
     }
     rank
   }
+
+  /** Host-level authority from a crawled link relation, packaged as the
+    * `(host, priority)` table [[graft.operators.FrontierCrawler]] consumes:
+    * hosts are keyed by `xxhash64`, host→host edges come from the page→link
+    * relation, and rank DESCENDING maps onto priority ASCENDING (dense,
+    * 1-based) so the most authoritative host schedules first. One extra
+    * shuffle beyond [[pageRank]] (the host-pair projection); the final
+    * rank→priority window is over the HOST relation (10^7 rows, not the
+    * corpus). */
+  def hostRank(links: DataFrame, srcUrlCol: String, dstUrlCol: String,
+      iterations: Int = 5): DataFrame = {
+    import graft.functions.UrlFunctions.url_host
+    import org.apache.spark.sql.expressions.Window
+    val hosts = links.select(
+      url_host(col(srcUrlCol)).as("srcHost"),
+      url_host(col(dstUrlCol)).as("dstHost"))
+      .filter(col("srcHost") =!= col("dstHost"))
+    val edges = hosts.select(
+      xxhash64(col("srcHost")).as("src"), xxhash64(col("dstHost")).as("dst"))
+    val names = hosts.select(col("srcHost").as("host"))
+      .unionByName(hosts.select(col("dstHost").as("host"))).distinct()
+      .withColumn("id", xxhash64(col("host")))
+    pageRank(edges, "src", "dst", iterations)
+      .join(names, Seq("id"))
+      .withColumn("priority",
+        row_number().over(Window.orderBy(desc("rank"), col("host"))).cast("int"))
+      .select("host", "priority", "rank")
+  }
 }

@@ -52,4 +52,22 @@ class LinkRankSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (1L, 2L), (2L, 2L), (2L, 1L))
     assert(run(edges, 2) == reference(edges, 5))
   }
+
+  test("hostRank: hub host gets priority 1; same-host links are not authority") {
+    // h1..h5 each cite hub h0; h1 also cites h2; heavy SELF-linking on h3
+    // must not inflate h3 (intra-host edges dropped — h3 keeps only its
+    // outbound citation of the hub, so it has zero incoming authority)
+    val links = ((1 to 5).map(i => (s"http://h$i.com/a", "http://h0.com/x")) ++
+      Seq(("http://h1.com/b", "http://h2.com/y")) ++
+      (1 to 50).map(i => (s"http://h3.com/p$i", s"http://h3.com/p${i + 1}")))
+      .toDF("src", "dst")
+    val got = LinkRank.hostRank(links, "src", "dst")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got("h0.com")._1 == 1, s"hub not first: $got")
+    assert(got("h0.com")._2 > got("h2.com")._2)
+    assert(got("h2.com")._2 > got("h3.com")._2,
+      s"self-linking host outranked a cited host: $got")
+    // the table is directly consumable by the crawler: (host, priority)
+    assert(got.values.map(_._1).toSeq.sorted == (1 to got.size).toSeq)
+  }
 }

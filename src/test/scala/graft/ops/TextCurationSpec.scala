@@ -86,6 +86,21 @@ class TextCurationSpec extends AnyFunSuite {
     assert(kept2 != kept, "independent salts must draw different samples")
   }
 
+  test("hashSample: samples are NESTED across rates (same salt)") {
+    // bucket < rate·10000 is monotone in rate, so growing a dataset mix
+    // from 10% to 30% only ADDS rows — the property that makes staged
+    // data ablations comparable (the smaller mix is a subset of the larger)
+    val docs = (0L until 500L).map(i => (i, "s")).toDF("doc_id", "source")
+    def kept(rate: Double) =
+      TextOps.hashSample(docs, "doc_id", "source", Map.empty, rate, salt = "mix")
+        .select("doc_id").as[Long].collect().toSet
+    val (k10, k30, k100) = (kept(0.1), kept(0.3), kept(1.0))
+    assert(k10.subsetOf(k30) && k30.subsetOf(k100))
+    assert(k100.size == 500)
+    // rates land near their expectation (md5 buckets are uniform)
+    assert(math.abs(k30.size - 150) < 50, s"${k30.size}")
+  }
+
   test("contamination: trigram overlap vs a tiny benchmark, hand-checked") {
     val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
     val corpus = Seq(
