@@ -201,4 +201,46 @@ class PoliteSchedulerSpec extends AnyFunSuite {
     val perRound = rounds.values.groupBy(identity).view.mapValues(_.size)
     assert(perRound.forall(_._2 <= 4), s"round budget exceeded: ${perRound.toMap}")
   }
+
+  test("epoch loop: crawl → hostRank from the observed link graph → rationed re-crawl") {
+    import graft.functions.UrlFunctions.url_resolve
+    // cite.com is the web's hub: every other host links to it
+    def host(h: String, extra: Seq[String]) =
+      PageRow(s"http://$h/root", 200, None, (1 to 5).map(i => s"/p$i") ++ extra,
+        Some("<html></html>"), Some("text/html"), None, None) +:
+        (1 to 5).map(i => PageRow(s"http://$h/p$i", 200, None, Seq.empty,
+          Some("<html></html>"), Some("text/html"), None, None))
+    val pages = host("cite.com", Seq.empty) ++
+      host("m1.com", Seq("http://cite.com/root")) ++
+      host("m2.com", Seq("http://cite.com/root"))
+    val seeds = Seq("http://cite.com/root", "http://m1.com/root", "http://m2.com/root")
+
+    // epoch 1: flat crawl, no authority — this OBSERVES the link graph
+    val e1 = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(fifoParity = false, sameDomainOnly = false,
+        perHostBudget = 8, saltBuckets = 4, bloomEnabled = false))
+      .crawlSeeds(seeds.toDF("url"))
+    assert(e1.sortedFound.size == 18)
+
+    // authority from the crawled pages' own link relation
+    val linkRel = pages.toDS().toDF()
+      .select($"url", explode($"links").as("href"))
+      .select($"url".as("src"), url_resolve($"url", $"href").as("dst"))
+    val hp = graft.ops.LinkRank.hostRank(linkRel, "src", "dst")
+    val prio = hp.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(prio("cite.com") == 1, s"hub not ranked first: $prio")
+
+    // epoch 2 (fresh state): the ration sends the budget to the hub first
+    val e2 = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(fifoParity = false, sameDomainOnly = false,
+        perHostBudget = 5, saltBuckets = 4, bloomEnabled = false, roundBudget = 5),
+      hostPriority = Some(hp.select("host", "priority")))
+      .crawlSeeds(seeds.toDF("url"))
+    val rounds = e2.visitLog.select($"url", $"round").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    def linkRounds(h: String) = (1 to 5).map(i => rounds(s"http://$h/p$i"))
+    val hub = linkRounds("cite.com"); val rest = linkRounds("m1.com") ++ linkRounds("m2.com")
+    assert(hub.max <= rest.min && hub.max < rest.max,
+      s"hub not crawled first under the ration: hub=$hub rest=$rest")
+  }
 }
