@@ -94,4 +94,42 @@ object CrawlReport {
       b.result()
     }
   }
+
+  /** A run folder read back as relations — the report SOURCE completing
+    * the sink's round trip: the reference (and this engine) persists crawl
+    * results only as these text files, so downstream analysis over past
+    * runs starts here. Stats parse from `run_details.txt`'s fixed 9-line
+    * contract; each URL file loads as a sorted one-column relation. */
+  final case class RunReport(
+      baseUrl: String,
+      stats: Map[String, String],
+      found: DataFrame,
+      errors: DataFrame,
+      redirects: DataFrame)
+
+  def read(spark: org.apache.spark.sql.SparkSession, runFolder: String): RunReport = {
+    val lines = Files.readAllLines(Paths.get(runFolder, "run_details.txt"))
+      .asScalaSeqList
+    val kv = lines.filter(_.contains(": "))
+      .map { l => val i = l.indexOf(": "); l.substring(0, i) -> l.substring(i + 2) }
+      .toMap
+    def urls(name: String) =
+      spark.read.text(Paths.get(runFolder, name).toString)
+        .toDF("url").filter(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("url")) > 0)
+    RunReport(
+      baseUrl = kv.getOrElse("Base URL", ""),
+      stats = kv,
+      found = urls("all_found_urls.txt"),
+      errors = urls("all_error_urls.txt"),
+      redirects = urls("all_redirect_urls.txt"))
+  }
+
+  private implicit class ListOps[A](l: java.util.List[A]) {
+    def asScalaSeqList: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      l.forEach(a => b += a)
+      b.result()
+    }
+  }
 }

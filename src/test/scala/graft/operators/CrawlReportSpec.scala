@@ -53,5 +53,15 @@ class CrawlReportSpec extends AnyFunSuite {
     assert(lines("all_found_urls.txt") == oracle.found.toSeq.sorted)
     assert(lines("all_error_urls.txt") == oracle.errorUrls.toSeq.sorted)
     assert(lines("all_redirect_urls.txt") == oracle.redirectUrls.toSeq.sorted)
+
+    // round trip: the report SOURCE reads the folder back into the same
+    // relations and stats the sink wrote
+    val rr = CrawlReport.read(spark, folder)
+    assert(rr.baseUrl == "http://r.com")
+    assert(rr.stats("URLs Found/Visited") == oracle.found.size.toString)
+    assert(rr.stats("Total Time") == "0:01:05")
+    assert(rr.found.as[String].collect().toSet == oracle.found)
+    assert(rr.errors.as[String].collect().toSet == oracle.errorUrls)
+    assert(rr.redirects.as[String].collect().toSet == oracle.redirectUrls)
   }
 }
