@@ -254,6 +254,9 @@ object ContractQueries {
     import graft.sources.ImageGen
     val ids = t(spark, dir, "documents")
       .filter(col("doc_id") < 24).select(col("doc_id")).as[Long]
+      // the parquet is one file → one input partition; spread the
+      // render/encode/decode work (the query's entire cost) across cores
+      .repartition(8)
     val rows = ids.mapPartitions { it =>
       it.map { id =>
         val im = ImageGen.imageFor(id, seed = 42L, dupEvery = 8)
@@ -371,6 +374,7 @@ object ContractQueries {
     import graft.sources.ImageGen
     val ids = t(spark, dir, "documents")
       .filter(col("doc_id") < 48).select(col("doc_id")).as[Long]
+      .repartition(8) // parallelize image generation (single-file input)
     val imgs = ids.mapPartitions(_.map { id =>
       (id, ImageGen.imageFor(id, seed = 42L, dupEvery = 8).phash)
     }).toDF("doc_id", "phash")

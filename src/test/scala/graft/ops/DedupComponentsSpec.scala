@@ -65,6 +65,12 @@ class DedupComponentsSpec extends AnyFunSuite {
     assert(run(Seq.empty) == Map.empty)
   }
 
+  test("non-convergence within maxIterations fails loudly, never silently partial") {
+    assertThrows[IllegalArgumentException] {
+      Dedup.connectedComponents(Seq((1L, 2L)).toDF("d1", "d2"), maxIterations = 0)
+    }
+  }
+
   test("dedupComponents: planted cliques collapse, isolated docs keep themselves") {
     val corpus = (0L until 30L).toDF("doc_id")
     // cliques {1,4,7}, {10,20}, chain 21-22-23; rest isolated
