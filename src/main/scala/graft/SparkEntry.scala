@@ -71,7 +71,8 @@ object SparkEntry {
     "q37_mixture_sample" -> ContractQueries.q37MixtureSample _,
     "q38_decontamination" -> ContractQueries.q38Decontamination _,
     "q39_sequence_packing" -> ContractQueries.q39SequencePacking _,
-    "q40_link_rank" -> ContractQueries.q40LinkRank _)
+    "q40_link_rank" -> ContractQueries.q40LinkRank _,
+    "q41_incremental_dedup" -> ContractQueries.q41IncrementalDedup _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -580,5 +581,25 @@ object SparkEntry {
            |    (150000 + (850000 * coalesce(c.contrib, 0)) // 1000000)::BIGINT AS rank
            |  FROM nodes nd LEFT JOIN c$i c ON c.id = nd.id)""".stripMargin).mkString
       head + steps + "\nSELECT id, rank FROM r5 ORDER BY id"
-    })
+    },
+
+    "q41_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |          FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS token
+        |  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS r(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) >= 0.2
+        |  AND (d1 < 100 OR d2 < 100)
+        |ORDER BY d1, d2""".stripMargin)
 }

@@ -205,6 +205,48 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Incremental near-dup pairs: exactly the [[jaccardPairs]] of
+    * `corpus ∪ delta` that TOUCH the delta — computed without ever joining
+    * corpus×corpus. The operational shape at 100 TB: a daily crawl
+    * increment dedups against an already-deduped corpus, so candidate
+    * generation joins delta-side posting lists against the full relation
+    * (cost ∝ |delta| × list length, not |corpus|²), while set sizes, the
+    * document-frequency cap, and the Jaccard denominator are all computed
+    * over the FULL universe so scores equal the batch recompute bit-exactly
+    * (delta–delta pairs appear under both join orientations and are
+    * canonicalized before counting). Ids must be distinct across the two
+    * inputs. */
+  def jaccardPairsIncremental(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxDf: Long = Long.MaxValue, ngram: Int = 1): DataFrame = {
+    val allToks0 = shingleTokens(corpus, idCol, textCol, ngram)
+      .unionByName(shingleTokens(delta, idCol, textCol, ngram))
+    val allToks =
+      if (maxDf == Long.MaxValue) allToks0
+      else {
+        val keep = allToks0.groupBy("token").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("token")
+        allToks0.join(keep, Seq("token"))
+      }
+    val deltaIds = delta.select(col(idCol)).distinct()
+    val deltaToks = allToks.join(deltaIds, Seq(idCol)) // capped delta side
+    val sizes = allToks.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val l = deltaToks.select(col("token"), col(idCol).as("x"))
+    val r = allToks.select(col("token"), col(idCol).as("y"))
+    val inter = l.join(r, Seq("token")).filter(col("x") =!= col("y"))
+      .select(col("token"), least(col("x"), col("y")).as("d1"),
+        greatest(col("x"), col("y")).as("d2"))
+      .distinct() // delta–delta pairs arrive in both orientations
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
   /** Audit relation for [[jaccardPairs]]' cap: the hot (stopword-like)
     * tokens that were dropped, with their document frequencies. `ngram` must
     * match the `jaccardPairs` call being audited — both build their token

@@ -424,6 +424,19 @@ object ContractQueries {
     LinkRank.pageRank(edges, "src", "dst", iterations = 5).orderBy("id")
   }
 
+  /** Incremental dedup: bigram-Jaccard pairs of the daily delta
+    * (doc_id < 100) against the standing corpus — the Spark side never
+    * joins corpus×corpus, while the oracle computes the FULL bounded pair
+    * relation and filters to delta-touching pairs; equality proves the
+    * incremental path returns exactly the batch answer. */
+  def q41IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 1000)
+    Dedup.jaccardPairsIncremental(
+      docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+      "doc_id", "text", threshold = 0.2, ngram = 2)
+      .orderBy("d1", "d2")
+  }
+
   /** SemDeDup-style semantic dedup over embeddings (bounded exact-pair
     * variant): cosine near-dup pairs clustered into components, one vector
     * kept per cluster. The LSH-bucketed scale path is

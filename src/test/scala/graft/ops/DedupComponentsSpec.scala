@@ -71,6 +71,23 @@ class DedupComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental jaccard == batch jaccard restricted to delta-touching pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (corpus, delta) = (docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+    for (maxDf <- Seq(Long.MaxValue, 8L)) {
+      val inc = Dedup.jaccardPairsIncremental(corpus, delta, "doc_id", "text",
+        threshold = 0.1, maxDf = maxDf, ngram = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = Dedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.1, maxDf = maxDf, ngram = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        .filter(p => p._1 < 20 || p._2 < 20)
+      assert(inc == batch, s"maxDf=$maxDf: ${inc.size} vs ${batch.size}")
+      assert(inc.nonEmpty, "fixture produced no delta-touching pairs")
+    }
+  }
+
   test("dedupComponents: planted cliques collapse, isolated docs keep themselves") {
     val corpus = (0L until 30L).toDF("doc_id")
     // cliques {1,4,7}, {10,20}, chain 21-22-23; rest isolated
