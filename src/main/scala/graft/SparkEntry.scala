@@ -72,7 +72,8 @@ object SparkEntry {
     "q38_decontamination" -> ContractQueries.q38Decontamination _,
     "q39_sequence_packing" -> ContractQueries.q39SequencePacking _,
     "q40_link_rank" -> ContractQueries.q40LinkRank _,
-    "q41_incremental_dedup" -> ContractQueries.q41IncrementalDedup _)
+    "q41_incremental_dedup" -> ContractQueries.q41IncrementalDedup _,
+    "q42_incremental_minhash" -> ContractQueries.q42IncrementalMinhash _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -601,5 +602,24 @@ object SparkEntry {
         |JOIN sizes s2 ON s2.doc_id = d2
         |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter)::DOUBLE, 6) >= 0.2
         |  AND (d1 < 100 OR d2 < 100)
-        |ORDER BY d1, d2""".stripMargin)
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q42_incremental_minhash" -> {
+      val ab = Seq((370248451L, 55229L), (414606793L, 94727L),
+        (173961109L, 13873L), (873191981L, 71339L))
+      val mins = ab.zipWithIndex.map { case ((a, b), i) =>
+        s"min(((h % $P) * $a + $b) % $P) AS m$i" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE doc_id < 1000),
+         |hs AS (SELECT doc_id, $H AS h FROM toks),
+         |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, m0 || ':' || m1 AS band FROM sig
+         |  UNION ALL SELECT doc_id, m2 || ':' || m3 AS band FROM sig)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |WHERE a.doc_id < 100 OR b.doc_id < 100
+         |ORDER BY d1, d2""".stripMargin
+    })
 }

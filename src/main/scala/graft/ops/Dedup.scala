@@ -99,6 +99,34 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
+  /** Incremental LSH candidates: the [[minhashCandidatePairs]] of
+    * `corpus ∪ delta` that touch the delta, generated by joining only the
+    * DELTA's band buckets against the full band relation (cost ∝ delta ×
+    * bucket size, never corpus²) — the daily-increment counterpart of
+    * [[jaccardPairsIncremental]]. The band-population cap is evaluated over
+    * the full relation so capped results equal the batch recompute. Ids
+    * must be distinct across the inputs. */
+  def minhashCandidatePairsIncremental(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      perms: Seq[(Long, Long)] = DefaultPerms, p: Long = DefaultP,
+      maxBandPopulation: Long = Long.MaxValue): DataFrame = {
+    val bands0 = bandBuckets(corpus, idCol, textCol, perms, p)
+      .unionByName(bandBuckets(delta, idCol, textCol, perms, p))
+    val bands =
+      if (maxBandPopulation == Long.MaxValue) bands0
+      else {
+        val keep = bands0.groupBy("band").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBandPopulation).select("band")
+        bands0.join(keep, Seq("band"))
+      }
+    val deltaIds = delta.select(col(idCol)).distinct()
+    val l = bands.join(deltaIds, Seq(idCol)).select(col("band"), col(idCol).as("x"))
+    val r = bands.select(col("band"), col(idCol).as("y"))
+    l.join(r, Seq("band")).filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("d1"), greatest(col("x"), col("y")).as("d2"))
+      .distinct()
+  }
+
   /** Audit relation for [[minhashCandidatePairs]]' cap: the over-populated
     * band buckets that were dropped, with their populations. */
   def hotBands(df: DataFrame, idCol: String, textCol: String,

@@ -437,6 +437,16 @@ object ContractQueries {
       .orderBy("d1", "d2")
   }
 
+  /** Incremental MinHash candidates: delta band buckets joined against the
+    * full band relation (same Spark-vs-oracle path split as q41). */
+  def q42IncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 1000)
+    Dedup.minhashCandidatePairsIncremental(
+      docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100),
+      "doc_id", "text")
+      .orderBy("d1", "d2")
+  }
+
   /** SemDeDup-style semantic dedup over embeddings (bounded exact-pair
     * variant): cosine near-dup pairs clustered into components, one vector
     * kept per cluster. The LSH-bucketed scale path is

@@ -88,6 +88,22 @@ class DedupComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental minhash candidates == batch candidates touching the delta") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (corpus, delta) = (docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+    for (cap <- Seq(Long.MaxValue, 12L)) {
+      val inc = Dedup.minhashCandidatePairsIncremental(corpus, delta,
+        "doc_id", "text", maxBandPopulation = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        maxBandPopulation = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .filter(p => p._1 < 20 || p._2 < 20)
+      assert(inc == batch, s"cap=$cap: ${inc.size} vs ${batch.size}")
+    }
+  }
+
   test("dedupComponents: planted cliques collapse, isolated docs keep themselves") {
     val corpus = (0L until 30L).toDF("doc_id")
     // cliques {1,4,7}, {10,20}, chain 21-22-23; rest isolated
