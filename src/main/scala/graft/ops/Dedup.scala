@@ -354,6 +354,21 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Incremental clustering: fold NEW near-dup pairs (e.g. from
+    * [[jaccardPairsIncremental]]) into an EXISTING `(id, component)`
+    * labeling without re-deriving pairs for the standing corpus. The
+    * existing labels are a star forest, so re-used as edges they encode
+    * exactly the established equivalences; union with the delta pairs and
+    * one more star run converges in a handful of rounds (the input is
+    * already mostly stars). Components can only merge, never split —
+    * matching the semantics of accumulating evidence. */
+  def connectedComponentsIncremental(labels: DataFrame, pairs: DataFrame,
+      aCol: String = "d1", bCol: String = "d2"): DataFrame =
+    connectedComponents(
+      labels.select(col("id").as("d1"), col("component").as("d2"))
+        .unionByName(pairs.select(col(aCol).cast("long").as("d1"),
+          col(bCol).cast("long").as("d2"))))
+
   /** Canonical-document selection over a corpus: joins [[connectedComponents]]
     * of the near-dup `pairs` back onto every corpus id — ids in no pair form
     * their own singleton component — and keeps exactly one document (the
