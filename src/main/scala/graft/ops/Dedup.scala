@@ -185,6 +185,47 @@ object Dedup {
       .select("d1", "d2", "hamming").distinct()
   }
 
+  /** Incremental hamming near-dup pairs: the [[hammingPairs]] of
+    * `corpusSig ∪ deltaSig` that touch the delta, generated by joining only
+    * the DELTA's pigeonhole blocks against the full block relation — the
+    * daily-increment form for any int64 signature (a new image batch's
+    * phashes against the standing table, a text increment's SimHashes).
+    * The block-population cap is evaluated over the full relation so capped
+    * results equal the batch recompute. Ids must be distinct across the
+    * inputs. */
+  def hammingPairsIncremental(corpusSig: DataFrame, deltaSig: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int = 3, bits: Int = 64,
+      maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
+    val all = corpusSig.select(col(idCol), col(sigCol))
+      .unionByName(deltaSig.select(col(idCol), col(sigCol)))
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
+    val blocks0 = (0 until nBlocks).map { b =>
+      val lo = bounds(b)
+      val w = bounds(b + 1) - lo
+      val mask = if (w >= 64) lit(-1L) else lit((1L << w) - 1)
+      all.select(col(idCol), col(sigCol).as("__sig"), lit(b).as("blk"),
+        shiftright(col(sigCol), lo).bitwiseAND(mask).as("bval"))
+    }.reduce(_ unionByName _)
+    val blocks =
+      if (maxBlockPopulation == Long.MaxValue) blocks0
+      else {
+        val keep = blocks0.groupBy("blk", "bval").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBlockPopulation).select("blk", "bval")
+        blocks0.join(keep, Seq("blk", "bval"))
+      }
+    val deltaIds = deltaSig.select(col(idCol)).distinct()
+    val l = blocks.join(deltaIds, Seq(idCol))
+      .select(col("blk"), col("bval"), col(idCol).as("x"), col("__sig").as("s1"))
+    val r = blocks.select(col("blk"), col("bval"), col(idCol).as("y"), col("__sig").as("s2"))
+    l.join(r, Seq("blk", "bval")).filter(col("x") =!= col("y"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("x"), col("y")).as("d1"),
+        greatest(col("x"), col("y")).as("d2"), col("hamming"))
+      .distinct() // delta–delta pairs arrive in both orientations
+  }
+
   /** SimHash near-duplicate pairs within a hamming radius — [[simhash]]
     * signatures fed through the generic [[hammingPairs]] pigeonhole join. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,

@@ -51,4 +51,19 @@ class PhashNearDupSpec extends AnyFunSuite {
     } yield (a, b, h)).toSet
     assert(got == expected)
   }
+
+  test("incremental phash pairs == batch pairs touching the new image batch") {
+    // a daily increment: images 32..47 arrive against standing 0..31
+    val corpus = ids.filter(_ < 32).map(id => (id, hashes(id))).toDF("doc_id", "phash")
+    val delta = ids.filter(_ >= 32).map(id => (id, hashes(id))).toDF("doc_id", "phash")
+    val inc = Dedup.hammingPairsIncremental(corpus, delta, "doc_id", "phash",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (for {
+      a <- ids; b <- ids if a < b && (a >= 32 || b >= 32)
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(inc == expected)
+    assert(inc.nonEmpty) // planted dups span the epoch split (39, 47 vs 7…)
+  }
 }
