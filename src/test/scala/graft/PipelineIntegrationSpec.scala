@@ -122,6 +122,48 @@ class PipelineIntegrationSpec extends AnyFunSuite {
     assert(groups.count() == raw.count())
     assert(groups.filter($"is_kept" === 1).count() == stored.count(),
       "components keep-one disagrees with MERGE-on-phash dedup")
+
+    // 9. incremental epoch through the DEDUP path (the daily-increment
+    // loop): epoch-2 images — half genuinely new, half byte-duplicates of
+    // epoch-1 content — pair against the STANDING corpus via
+    // hammingPairsIncremental (no corpus×corpus), fold into the epoch-1
+    // labels via connectedComponentsIncremental, and only unmatched
+    // epoch-2 images survive a MERGE into the table
+    val labels1 = graft.ops.Dedup.connectedComponents(
+      Multimodal.phashNearDup(rawHashed, "iid", maxHamming = 0))
+    val epoch2Imgs = (0 until 8).map { i =>
+      // even i: duplicate of epoch-1 content i (even ⇒ never folded by the
+      // dupEvery=6 rule itself); odd i: genuinely fresh content, generated
+      // with a non-folding dupEvery so 905 % 6 == 5 can't alias content 5
+      if (i % 2 == 0)
+        ImageGen.imageFor(i.toLong, seed = 9L, dupEvery = 6).copy(image_id = s"e2-$i")
+      else
+        ImageGen.imageFor(900L + i, seed = 9L, dupEvery = 1000).copy(image_id = s"e2-$i")
+    }
+    val e2Hashed = epoch2Imgs.toDF().select($"image_id", $"phash")
+      .withColumn("iid", xxhash64($"image_id"))
+    val incPairs = graft.ops.Dedup.hammingPairsIncremental(
+      rawHashed.select($"iid", $"phash"), e2Hashed.select($"iid", $"phash"),
+      "iid", "phash", maxHamming = 0)
+    val labels2 = graft.ops.Dedup.connectedComponentsIncremental(labels1, incPairs)
+    // every duplicate epoch-2 image landed in an epoch-1 cluster; every
+    // fresh one is absent from the pair-derived labels (own singleton)
+    val e2ids = e2Hashed.select($"image_id", $"iid")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lab2 = labels2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e1ids = rawHashed.select($"iid").as[Long].collect().toSet
+    val members = lab2.toSeq.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    (0 until 8).foreach { i =>
+      val id = e2ids(s"e2-$i")
+      if (i % 2 == 0)
+        assert(lab2.contains(id) &&
+          members(lab2(id)).exists(e1ids.contains),
+          s"e2-$i's cluster holds no epoch-1 member")
+      else assert(!lab2.contains(id), s"fresh e2-$i wrongly clustered")
+    }
+    // and the table-level path agrees: MERGE inserts exactly the fresh ones
+    val insertedE2 = table.mergeInsert(epoch2Imgs.toDF(), "phash")
+    assert(insertedE2 == 4, s"MERGE inserted $insertedE2, expected the 4 fresh images")
     stored.unpersist()
   }
 }
