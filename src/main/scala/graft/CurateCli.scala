@@ -103,18 +103,23 @@ object CurateCli {
     val docs = spark.read.parquet(in)
     val nInput = docs.count()
 
-    // 1. quality gates — per-row metrics plus grouped repetition fractions
+    // 1. quality gates — per-row metrics plus grouped repetition fractions.
+    // LEFT join: a doc with null/empty text produces no repetition row, and
+    // it must be DROPPED AND AUDITED, never silently lost (the coalesce
+    // turns a missing gate into a failing one)
     val gates = TextOps.repetitionMetrics(docs, idCol, textCol, maxTopTok, maxTopBig)
       .withColumn("tokens_ok", (col("n_tokens") >= minTokens).cast("int"))
-    val passCond = col("repetition_ok") === 1 && col("tokens_ok") === 1 &&
-      col("__dr") >= minDistinct
+    val passCond = coalesce(col("repetition_ok"), lit(0)) === 1 &&
+      coalesce(col("tokens_ok"), lit(0)) === 1 &&
+      coalesce(col("__dr"), lit(0.0)) >= minDistinct
     val withGates = docs
       .withColumn("__dr", size(array_distinct(split(col(textCol), " "))).cast("double") /
         size(split(col(textCol), " ")).cast("double"))
-      .join(gates.select(col(idCol), col("repetition_ok"), col("tokens_ok")), Seq(idCol))
+      .join(gates.select(col(idCol), col("repetition_ok"), col("tokens_ok")),
+        Seq(idCol), "left_outer")
     val qualityOk = withGates.filter(passCond)
     audit(withGates.filter(!passCond).select(idCol), "dropped_quality")
-    val afterQuality = qualityOk.drop("__dr", "repetition_ok", "distinct_ok").cache()
+    val afterQuality = qualityOk.drop("__dr", "repetition_ok", "tokens_ok").cache()
     val nQuality = afterQuality.count()
 
     // 2. dedup: exact always; near-dup clustering when requested

@@ -156,13 +156,20 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     }
     val bloomRound = props.getProperty("bloomRound", "-1").toInt
     // legacy manifests (pre-seenKind) recorded neither the representation
-    // nor the bucket count: infer bucket layout from the snapshot dir that
-    // actually exists, so a valid bucketed snapshot is not discarded on
-    // resume (seenBuckets stays 0 = "unknown, trust the resuming config")
+    // nor the bucket count: infer BOTH from the snapshot dir that actually
+    // exists. The count must come from the files, never from the resuming
+    // config — probes route urlHash by floorMod(h, count), so trusting a
+    // changed cfg.bloomBuckets would read the wrong (or missing) bucket
+    // per key and false-negative visited URLs back into the frontier.
+    val legacyBucketDir =
+      if (bloomRound >= 0) Some(p("bloombuckets", s"round=$bloomRound")) else None
     val seenKindDefault =
-      if (bloomRound >= 0 && sfs.exists(p("bloombuckets", s"round=$bloomRound")))
-        "bloom-buckets"
-      else "bloom"
+      if (legacyBucketDir.exists(sfs.exists)) "bloom-buckets" else "bloom"
+    val seenBucketsDefault =
+      if (seenKindDefault == "bloom-buckets")
+        legacyBucketDir.map(d => sfs.listNames(d)
+          .count(n => n.startsWith("bucket=") && n.endsWith(".bin"))).getOrElse(0)
+      else 0
     Manifest(
       props.getProperty("round").toInt,
       props.getProperty("nextIdx").toLong,
@@ -180,7 +187,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       bloomRound,
       props.getProperty("hostStateRound", "-1").toInt,
       props.getProperty("seenKind", seenKindDefault),
-      props.getProperty("seenBuckets", "0").toInt)
+      props.getProperty("seenBuckets", seenBucketsDefault.toString).toInt)
   }
 
   /** The visited set: union of disjoint per-round deltas (no distinct).
@@ -423,29 +430,64 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       hasBloom = m.hasBloom && keepSnapshot,
       bloomRound = if (keepSnapshot) m.bloomRound else -1)
     saveManifest(m2)
+    // only now is the expiry durable — sweep the pre-delete copies that a
+    // rerun would otherwise (correctly) restart from
+    if (canDelete && folded.nonEmpty) cleanupCuckooPreCopies(m.bloomRound)
     m2
   }
 
-  /** Distributed in-place delete of `keys` from the round-`snapRound` cuckoo
-    * snapshot: one task per touched bucket, read → delete each key → atomic
-    * replace. Two concurrent attempts of one bucket task may write different
-    * BYTES (stash compaction order follows shuffle-read order) but the same
-    * key SET, and writeAtomic publishes exactly one complete file — either
-    * rename winning is correct. A bucket where nothing was deleted (all its
-    * keys saturated away, or none present) is left untouched. */
+  /** Distributed delete of `keys` from the round-`snapRound` cuckoo
+    * snapshot, one task per touched bucket — in TWO passes over an
+    * immutable copy so it is idempotent under task retry, speculation, AND
+    * a crashed-and-rerun expiry:
+    *
+    *  1. copy pass: each touched bucket's CURRENT file is copied aside to
+    *     `bucket=B.bin.pre` unless that copy already exists (a leftover
+    *     `.pre` is the pre-delete original of an interrupted run and must
+    *     win). Within the pass the source is unmodified, so concurrent
+    *     attempts copy identical bytes.
+    *  2. delete pass: every attempt reads the `.pre` copy — never the
+    *     possibly-already-published target — deletes the keys, and
+    *     publishes via attempt-unique atomic replace. All attempts compute
+    *     the same post-delete key SET from the same input, so a repeated
+    *     delete can never strip a kept key's colliding (bucket,
+    *     fingerprint) entry (the false-negative hazard of re-deleting from
+    *     an already-updated file).
+    *
+    * The `.pre` copies are swept by the caller only AFTER the expiry
+    * manifest commits; until then a rerun restarts from the originals.
+    * Copy cost ∝ touched buckets ∝ expired keys — the economy that makes
+    * cuckoo expiry cheaper than a Bloom rebuild is preserved. */
   private def deleteCuckooKeys(snapRound: Int, keys: DataFrame, nBuckets: Int): Unit = {
     val dirStr = dir
     val fsRef = sfs // serializable; do not capture `this` in the task closure
-    keys.select("urlHash").rdd
+    val bucketed = keys.select("urlHash").rdd
       .map(r => (Math.floorMod(r.getLong(0), nBuckets.toLong).toInt, r.getLong(0)))
       .partitionBy(new IdentityPartitioner(nBuckets))
-      .mapPartitionsWithIndex { (bucket, it) =>
+    bucketed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1 (job barrier before pass 2): immutable copies aside
+      bucketed.mapPartitionsWithIndex { (bucket, it) =>
+        if (it.hasNext) {
+          val pp = graft.functions.CuckooBucketStore.path(dirStr, snapRound, bucket)
+          val pre = pp + ".pre"
+          if (fsRef.exists(pp) && !fsRef.exists(pre))
+            fsRef.writeAtomic(pre) { out =>
+              val in = new BufferedInputStream(fsRef.open(pp))
+              try in.transferTo(out) finally in.close()
+            }
+        }
+        Iterator.single(0L)
+      }.count()
+      // pass 2: read the copy, delete, publish
+      bucketed.mapPartitionsWithIndex { (bucket, it) =>
         if (!it.hasNext) Iterator.single(0L)
         else {
           val pp = graft.functions.CuckooBucketStore.path(dirStr, snapRound, bucket)
-          if (!fsRef.exists(pp)) Iterator.single(0L)
+          val pre = pp + ".pre"
+          if (!fsRef.exists(pre)) Iterator.single(0L)
           else {
-            val in = new BufferedInputStream(fsRef.open(pp))
+            val in = new BufferedInputStream(fsRef.open(pre))
             val f = try graft.functions.CuckooFilter.readFrom(in) finally in.close()
             var nDel = 0L
             it.foreach { kv => if (f.delete(kv._2)) nDel += 1 }
@@ -457,6 +499,16 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
           }
         }
       }.count()
+    } finally bucketed.unpersist(blocking = false)
+  }
+
+  /** Sweep the `.pre` copies left by [[deleteCuckooKeys]] — called only
+    * after the expiry manifest has committed. */
+  private def cleanupCuckooPreCopies(snapRound: Int): Unit = {
+    val roundDir = p("cuckoobuckets", s"round=$snapRound")
+    if (sfs.exists(roundDir))
+      sfs.listNames(roundDir).filter(_.endsWith(".pre"))
+        .foreach(n => sfs.delete(sfs.child(roundDir, n)))
   }
 
   /** Round-local fetch metrics (lineage + fetch metrics per north rule). */

@@ -113,10 +113,14 @@ final class FrontierCrawler(
     robots: Option[DataFrame] = None, // host, disallow: boolean, crawlDelay: double
     // optional (host, priority:int) authority relation — e.g. LinkRank
     // output mapped to per-host priorities. Applied at link ADMISSION in
-    // polite mode: a discovered URL inherits its host's priority instead
-    // of BFS depth, so with a `roundBudget` cap the frontier drains
-    // authority-first. Seed rows keep their own priority column. Joined
-    // without a broadcast hint: at 10^7 hosts AQE picks the right side.
+    // polite mode: a discovered URL inherits its host's priority; hosts
+    // ABSENT from the table get Int.MaxValue (authority unknown = schedule
+    // last), never the BFS depth fallback — rank scales (1..N) and depth
+    // scales (1..diameter) are incomparable, and mixing them would let
+    // every newly discovered zero-authority host outrank the 2nd..Nth most
+    // authoritative ones under a `roundBudget` ration. Seed rows keep
+    // their own priority column. Joined without a broadcast hint: at 10^7
+    // hosts AQE picks the right side.
     hostPriority: Option[DataFrame] = None) {
 
   import spark.implicits._
@@ -136,6 +140,14 @@ final class FrontierCrawler(
     s"$ckptDir/fetchclosure/t${cfg.timeout}_r${cfg.maxRedirects}"
 
   private val ContentTypes = Seq("text/html", "text/plain", "application/xhtml+xml")
+
+  /** The authority relation evaluated ONCE: callers typically hand in an
+    * unmaterialized plan (hostRank = a join + global window over the host
+    * relation) which would otherwise re-execute inside every round's
+    * admission join. */
+  private lazy val hostPriorityRel: Option[DataFrame] =
+    hostPriority.map(hp =>
+      hp.select(hp("host"), hp("priority")).localCheckpoint(true))
 
   /** The fetch-boundary view of the web: a page whose synthetic latency
     * exceeds the total fetch timeout is indistinguishable from a network
@@ -619,13 +631,13 @@ final class FrontierCrawler(
               // deterministic window-free idx: post-dedup there is one row
               // per URL, so hash(url) alone is stable across reruns
               val hosted = unseen.withColumn("host", url_host($"url"))
-              val prioed = hostPriority match {
+              val prioed = hostPriorityRel match {
                 case None => hosted.withColumn("__prio", ($"depth" + 1).cast("int"))
                 case Some(hp) =>
                   hosted.join(hp.select($"host", $"priority".as("__hostPrio")),
                       Seq("host"), "left_outer")
                     .withColumn("__prio",
-                      coalesce($"__hostPrio", $"depth" + 1).cast("int"))
+                      coalesce($"__hostPrio", lit(Int.MaxValue)).cast("int"))
               }
               prioed.select($"url", $"urlHash", $"host",
                 ($"depth" + 1).as("depth"), $"__prio".as("priority"),
@@ -809,10 +821,16 @@ final class FrontierCrawler(
         // exist. Path computed once per row; the per-host rule arrays are
         // tiny, so the fold is register work inside codegen. Optional
         // columns — hand-built caches without them skip the filter.
+        // run whenever EITHER rule column exists: a hand-built cache with
+        // allowPrefixes but no disallowPrefixes column still needs the
+        // longest-match pass (its `Disallow: /` hosts were exempted from
+        // hostKill above precisely so Allow carve-outs could re-admit
+        // paths — skipping the filter would admit the whole host)
         val prefixed =
-          if (!hasDis) joined
+          if (!hasDis && !hasAllow) joined
           else {
-            val dis0 = coalesce($"disallowPrefixes", emptyArr)
+            val dis0 =
+              if (hasDis) coalesce($"disallowPrefixes", emptyArr) else emptyArr
             val dis =
               if (!hasAllow) dis0
               else when(coalesce($"disallow", lit(false)),

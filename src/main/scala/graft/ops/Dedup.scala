@@ -73,6 +73,17 @@ object Dedup {
       sig.select(col(idCol), col(s"band$b").as("band"))).reduce(_ unionByName _)
   }
 
+  /** Shared skew guard of both minhash forms: buckets whose population
+    * exceeds the cap are dropped whole (one shared implementation so the
+    * incremental path can never diverge from the batch semantics). */
+  private def capBands(bands0: DataFrame, maxBandPopulation: Long): DataFrame =
+    if (maxBandPopulation == Long.MaxValue) bands0
+    else {
+      val keep = bands0.groupBy("band").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBandPopulation).select("band")
+      bands0.join(keep, Seq("band")) // AQE broadcasts the small keep side
+    }
+
   /** LSH candidate pairs: documents sharing any MinHash band bucket.
     * The join is per-bucket (shuffle on band), not all-pairs.
     *
@@ -85,14 +96,7 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       perms: Seq[(Long, Long)] = DefaultPerms, p: Long = DefaultP,
       maxBandPopulation: Long = Long.MaxValue): DataFrame = {
-    val bands0 = bandBuckets(df, idCol, textCol, perms, p)
-    val bands =
-      if (maxBandPopulation == Long.MaxValue) bands0
-      else {
-        val keep = bands0.groupBy("band").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBandPopulation).select("band")
-        bands0.join(keep, Seq("band")) // AQE broadcasts the small keep side
-      }
+    val bands = capBands(bandBuckets(df, idCol, textCol, perms, p), maxBandPopulation)
     val l = bands.select(col("band"), col(idCol).as("d1"))
     val r = bands.select(col("band"), col(idCol).as("d2"))
     l.join(r, Seq("band")).filter(col("d1") < col("d2"))
@@ -110,15 +114,10 @@ object Dedup {
       idCol: String, textCol: String,
       perms: Seq[(Long, Long)] = DefaultPerms, p: Long = DefaultP,
       maxBandPopulation: Long = Long.MaxValue): DataFrame = {
-    val bands0 = bandBuckets(corpus, idCol, textCol, perms, p)
-      .unionByName(bandBuckets(delta, idCol, textCol, perms, p))
-    val bands =
-      if (maxBandPopulation == Long.MaxValue) bands0
-      else {
-        val keep = bands0.groupBy("band").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBandPopulation).select("band")
-        bands0.join(keep, Seq("band"))
-      }
+    val bands = capBands(
+      bandBuckets(corpus, idCol, textCol, perms, p)
+        .unionByName(bandBuckets(delta, idCol, textCol, perms, p)),
+      maxBandPopulation)
     val deltaIds = delta.select(col(idCol)).distinct()
     val l = bands.join(deltaIds, Seq(idCol)).select(col("band"), col(idCol).as("x"))
     val r = bands.select(col("band"), col(idCol).as("y"))
@@ -147,6 +146,30 @@ object Dedup {
     withSums.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Shared pigeonhole-block construction + skew cap of both hamming
+    * forms: the signature splits into maxHamming+1 bit blocks, and block
+    * values shared by more than the cap are dropped whole (a block value
+    * shared by n documents emits O(n²) candidates). One implementation so
+    * the incremental path stays bit-identical to the batch semantics. */
+  private def sigBlocks(sig: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, bits: Int, maxBlockPopulation: Long): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
+    val blocks0 = (0 until nBlocks).map { b =>
+      val lo = bounds(b)
+      val w = bounds(b + 1) - lo
+      val mask = if (w >= 64) lit(-1L) else lit((1L << w) - 1)
+      sig.select(col(idCol), col(sigCol).as("__sig"), lit(b).as("blk"),
+        shiftright(col(sigCol), lo).bitwiseAND(mask).as("bval"))
+    }.reduce(_ unionByName _)
+    if (maxBlockPopulation == Long.MaxValue) blocks0
+    else {
+      val keep = blocks0.groupBy("blk", "bval").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBlockPopulation).select("blk", "bval")
+      blocks0.join(keep, Seq("blk", "bval"))
+    }
+  }
+
   /** Near-duplicate pairs of any int64 signature column within a hamming
     * radius, bucketed by pigeonhole: the signature's bits split into
     * `maxHamming + 1` blocks — two signatures within the radius must agree
@@ -159,24 +182,7 @@ object Dedup {
   def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, bits: Int = 64,
       maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
-    val nBlocks = maxHamming + 1
-    val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
-    val blocks0 = (0 until nBlocks).map { b =>
-      val lo = bounds(b)
-      val w = bounds(b + 1) - lo
-      val mask = if (w >= 64) lit(-1L) else lit((1L << w) - 1)
-      sig.select(col(idCol), col(sigCol).as("__sig"), lit(b).as("blk"),
-        shiftright(col(sigCol), lo).bitwiseAND(mask).as("bval"))
-    }.reduce(_ unionByName _)
-    // same skew guard as the other pair generators: a block value shared by
-    // n documents emits O(n²) candidates — drop over-populated buckets whole
-    val blocks =
-      if (maxBlockPopulation == Long.MaxValue) blocks0
-      else {
-        val keep = blocks0.groupBy("blk", "bval").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBlockPopulation).select("blk", "bval")
-        blocks0.join(keep, Seq("blk", "bval"))
-      }
+    val blocks = sigBlocks(sig, idCol, sigCol, maxHamming, bits, maxBlockPopulation)
     val l = blocks.select(col("blk"), col("bval"), col(idCol).as("d1"), col("__sig").as("s1"))
     val r = blocks.select(col("blk"), col("bval"), col(idCol).as("d2"), col("__sig").as("s2"))
     l.join(r, Seq("blk", "bval")).filter(col("d1") < col("d2"))
@@ -198,22 +204,7 @@ object Dedup {
       maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
     val all = corpusSig.select(col(idCol), col(sigCol))
       .unionByName(deltaSig.select(col(idCol), col(sigCol)))
-    val nBlocks = maxHamming + 1
-    val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
-    val blocks0 = (0 until nBlocks).map { b =>
-      val lo = bounds(b)
-      val w = bounds(b + 1) - lo
-      val mask = if (w >= 64) lit(-1L) else lit((1L << w) - 1)
-      all.select(col(idCol), col(sigCol).as("__sig"), lit(b).as("blk"),
-        shiftright(col(sigCol), lo).bitwiseAND(mask).as("bval"))
-    }.reduce(_ unionByName _)
-    val blocks =
-      if (maxBlockPopulation == Long.MaxValue) blocks0
-      else {
-        val keep = blocks0.groupBy("blk", "bval").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBlockPopulation).select("blk", "bval")
-        blocks0.join(keep, Seq("blk", "bval"))
-      }
+    val blocks = sigBlocks(all, idCol, sigCol, maxHamming, bits, maxBlockPopulation)
     val deltaIds = deltaSig.select(col(idCol)).distinct()
     val l = blocks.join(deltaIds, Seq(idCol))
       .select(col("blk"), col("bval"), col(idCol).as("x"), col("__sig").as("s1"))
@@ -234,6 +225,17 @@ object Dedup {
     hammingPairs(simhash(df, idCol, textCol, bits), idCol, "simhash",
       maxHamming, bits, maxBlockPopulation)
 
+  /** Shared stopword/skew cap of both jaccard forms: tokens with document
+    * frequency above the cap leave the universe BEFORE sizes are computed
+    * (one implementation so the incremental path can never diverge). */
+  private def capTokensByDf(toks0: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf == Long.MaxValue) toks0
+    else {
+      val keep = toks0.groupBy("token").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("token")
+      toks0.join(keep, Seq("token")) // AQE broadcasts the small keep side
+    }
+
   /** Token-set Jaccard similarity for all pairs sharing ≥1 token; rounded to
     * 6 places. Candidate generation is by token co-occurrence (shuffle on
     * token) — quadratic only within a token's posting list.
@@ -252,14 +254,7 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Long = Long.MaxValue, ngram: Int = 1): DataFrame = {
-    val toks0 = shingleTokens(df, idCol, textCol, ngram)
-    val toks =
-      if (maxDf == Long.MaxValue) toks0
-      else {
-        val keep = toks0.groupBy("token").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf).select("token")
-        toks0.join(keep, Seq("token")) // AQE broadcasts the small keep side
-      }
+    val toks = capTokensByDf(shingleTokens(df, idCol, textCol, ngram), maxDf)
     val sizes = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val l = toks.select(col("token"), col(idCol).as("d1"))
     val r = toks.select(col("token"), col(idCol).as("d2"))
@@ -288,15 +283,9 @@ object Dedup {
   def jaccardPairsIncremental(corpus: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       maxDf: Long = Long.MaxValue, ngram: Int = 1): DataFrame = {
-    val allToks0 = shingleTokens(corpus, idCol, textCol, ngram)
-      .unionByName(shingleTokens(delta, idCol, textCol, ngram))
-    val allToks =
-      if (maxDf == Long.MaxValue) allToks0
-      else {
-        val keep = allToks0.groupBy("token").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf).select("token")
-        allToks0.join(keep, Seq("token"))
-      }
+    val allToks = capTokensByDf(
+      shingleTokens(corpus, idCol, textCol, ngram)
+        .unionByName(shingleTokens(delta, idCol, textCol, ngram)), maxDf)
     val deltaIds = delta.select(col(idCol)).distinct()
     val deltaToks = allToks.join(deltaIds, Seq(idCol)) // capped delta side
     val sizes = allToks.groupBy(idCol).agg(count(lit(1)).as("sz"))

@@ -77,6 +77,31 @@ class CurateCliSpec extends AnyFunSuite {
     assert(s1.droppedSample > 0 && s1.kept > 0) // rate 0.5 splits 6 survivors
   }
 
+  test("null-text docs are dropped AND audited, never silently lost") {
+    val rows = Seq((1L, "a good enough document with plenty of distinct tokens here", "a"),
+      (2L, null.asInstanceOf[String], "b"))
+    val in = Files.createTempDirectory("curate-null-").toString
+    rows.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("curate-null-out-").toString
+    val s = CurateCli.run(spark, Array(in, out, "--min-tokens", "3",
+      "--min-distinct-ratio", "0.1", "--no-pii"))
+    assert(s.input == 2 && s.droppedQuality == 1 && s.kept == 1)
+    val audited = spark.read.parquet(s"$out/audit/dropped_quality").as[Long].collect().toSet
+    assert(audited == Set(2L), "null-text doc missing from the audit")
+    assert(spark.read.parquet(s"$out/curated").select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
+  }
+
+  test("curated schema carries no internal gating columns") {
+    val in = corpusDir()
+    val out = Files.createTempDirectory("curate-schema-").toString
+    CurateCli.run(spark, Array(in, out, "--min-tokens", "1",
+      "--min-distinct-ratio", "0.0", "--max-top-token-frac", "1.0",
+      "--max-top-bigram-frac", "1.0", "--no-pii"))
+    val cols = spark.read.parquet(s"$out/curated").columns.toSet
+    assert(cols == Set("doc_id", "text", "source"), s"leaked columns: $cols")
+  }
+
   test("usage errors exit the parse, not the engine") {
     val cases = Seq(
       Array.empty[String],                       // missing positionals

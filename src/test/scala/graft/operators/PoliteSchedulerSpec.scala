@@ -202,6 +202,30 @@ class PoliteSchedulerSpec extends AnyFunSuite {
     assert(perRound.forall(_._2 <= 4), s"round budget exceeded: ${perRound.toMap}")
   }
 
+  test("hand-built robots cache: allowPrefixes without a disallowPrefixes column") {
+    // a deny-all host with an Allow carve-out, in a cache that has the
+    // allowPrefixes column but NOT disallowPrefixes — the longest-match
+    // filter must still run (Disallow:/ synthesized as the "/" rule), so
+    // only the carved-out path is fetched, never the whole host
+    val pages = Seq(
+      PageRow("http://x.com/public", 200, None, Seq("/public/a", "/secret"),
+        Some("<html></html>"), Some("text/html"), None, None),
+      PageRow("http://x.com/public/a", 200, None, Seq.empty,
+        Some("<html></html>"), Some("text/html"), None, None),
+      PageRow("http://x.com/secret", 200, None, Seq.empty,
+        Some("<html></html>"), Some("text/html"), None, None))
+    val robots = Seq(("x.com", true, Seq("/public"),
+        null.asInstanceOf[java.lang.Double]))
+      .toDF("host", "disallow", "allowPrefixes", "crawlDelay")
+    val out = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(fifoParity = false, sameDomainOnly = false,
+        perHostBudget = 4, bloomEnabled = false), robots = Some(robots))
+      .crawlSeeds(Seq("http://x.com/public", "http://x.com/secret").toDF("url"))
+    val got = out.visitLog.select("url").as[String].collect().toSet
+    assert(got == Set("http://x.com/public", "http://x.com/public/a"),
+      s"Allow carve-out mis-scoped: $got")
+  }
+
   test("epoch loop: crawl → hostRank from the observed link graph → rationed re-crawl") {
     import graft.functions.UrlFunctions.url_resolve
     // cite.com is the web's hub: every other host links to it
