@@ -76,6 +76,47 @@ class RecrawlSpec extends AnyFunSuite {
     assert(revisited == expired.map(_._1), "resume did not re-fetch exactly the expired URLs")
   }
 
+  test("interrupted expiry rerun restarts from the .pre originals; copies swept on commit") {
+    val dir = Files.createTempDirectory("graft-recrawl-pre-").toString
+    crawlPolite(dir, "cuckoo")
+    val store = new CheckpointStore(spark, dir, visitedFromLog = true)
+    val m1 = store.latestManifest().get
+    val expireRounds = m1.visitedRounds.takeRight(1)
+    val kept = store.readVisited(m1.visitedRounds.filterNot(expireRounds.contains)).get
+      .select("urlHash").collect().map(_.getLong(0)).toSet
+    val expired = store.readVisited(expireRounds).get
+      .select("urlHash").collect().map(_.getLong(0)).toSet
+    // simulate a crashed previous expiry on a bucket holding BOTH kept and
+    // expired keys (so the rerun's delete pass touches it): the .pre copy
+    // holds the ORIGINAL, the live file is wrecked (here: emptied — the
+    // worst possible partial state). A rerun that read the live file would
+    // lose every kept key in this bucket.
+    def bucketOf(k: Long) = java.lang.Math.floorMod(k, 8L).toInt
+    val b = (0 until 8).find(i =>
+      kept.exists(bucketOf(_) == i) && expired.exists(bucketOf(_) == i)).get
+    val bucketKept = kept.filter(bucketOf(_) == b)
+    val pp = graft.functions.CuckooBucketStore.path(dir, m1.bloomRound, b)
+    val sfs = store.sfs
+    sfs.writeAtomic(pp + ".pre") { out =>
+      val in = new java.io.BufferedInputStream(sfs.open(pp))
+      try in.transferTo(out) finally in.close()
+    }
+    sfs.writeAtomic(pp) { out =>
+      val bo = new java.io.BufferedOutputStream(out)
+      new graft.functions.CuckooFilter(2).writeTo(bo); bo.flush()
+    }
+    graft.functions.CuckooBucketStore.invalidate(dir)
+
+    val m2 = store.expireAndRequeue(expireRounds)
+    val h = new graft.functions.CuckooBucketHandle(dir, m2.bloomRound, 8)
+    bucketKept.foreach(k => assert(h.probe(k),
+      s"kept key $k lost — rerun read the wrecked live bucket, not the .pre original"))
+    // commit swept the copies
+    val roundDir = s"$dir/cuckoobuckets/round=${m2.bloomRound}"
+    assert(!sfs.listNames(roundDir).exists(_.endsWith(".pre")),
+      "pre-delete copies not swept after the manifest committed")
+  }
+
   test("bloom expiry: pointer dropped (no delete), resume rebuilds and re-fetches exactly") {
     val dir = Files.createTempDirectory("graft-recrawl-bloom-").toString
     val out1 = crawlPolite(dir, "bloom")
