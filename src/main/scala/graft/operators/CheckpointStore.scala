@@ -157,18 +157,25 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     val bloomRound = props.getProperty("bloomRound", "-1").toInt
     // legacy manifests (pre-seenKind) recorded neither the representation
     // nor the bucket count: infer BOTH from the snapshot dir that actually
-    // exists. The count must come from the files, never from the resuming
-    // config — probes route urlHash by floorMod(h, count), so trusting a
-    // changed cfg.bloomBuckets would read the wrong (or missing) bucket
-    // per key and false-negative visited URLs back into the frontier.
-    val legacyBucketDir =
+    // exists — LAZILY, so modern manifests (which always carry the
+    // properties) never pay the exists+list round trips (a LIST call per
+    // manifest load on an object store). The count must come from the
+    // files, never from the resuming config — probes route urlHash by
+    // floorMod(h, count), so trusting a changed cfg.bloomBuckets would
+    // read the wrong (or missing) bucket per key and false-negative
+    // visited URLs back into the frontier. Count = max bucket index + 1,
+    // NOT the file count: buckets that never received a key have no file
+    // ("missing bucket = empty" is the store's layout contract).
+    lazy val legacyBucketDir =
       if (bloomRound >= 0) Some(p("bloombuckets", s"round=$bloomRound")) else None
-    val seenKindDefault =
+    lazy val seenKindDefault =
       if (legacyBucketDir.exists(sfs.exists)) "bloom-buckets" else "bloom"
-    val seenBucketsDefault =
+    def seenBucketsDefault: Int =
       if (seenKindDefault == "bloom-buckets")
         legacyBucketDir.map(d => sfs.listNames(d)
-          .count(n => n.startsWith("bucket=") && n.endsWith(".bin"))).getOrElse(0)
+          .collect { case n if n.startsWith("bucket=") && n.endsWith(".bin") =>
+            n.stripPrefix("bucket=").stripSuffix(".bin").toInt }
+          .foldLeft(-1)(math.max) + 1).getOrElse(0)
       else 0
     Manifest(
       props.getProperty("round").toInt,
@@ -186,8 +193,11 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       props.getProperty("hasBloom").toBoolean,
       bloomRound,
       props.getProperty("hostStateRound", "-1").toInt,
-      props.getProperty("seenKind", seenKindDefault),
-      props.getProperty("seenBuckets", seenBucketsDefault.toString).toInt)
+      // Option + getOrElse (by-name), NOT getProperty's eager default arg:
+      // the inference must only run when the property is absent
+      Option(props.getProperty("seenKind")).getOrElse(seenKindDefault),
+      Option(props.getProperty("seenBuckets")).map(_.toInt)
+        .getOrElse(seenBucketsDefault))
   }
 
   /** The visited set: union of disjoint per-round deltas (no distinct).
@@ -384,6 +394,9 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       m.seenKind == "cuckoo-buckets" && m.seenBuckets > 0 && m.bloomRound >= 0
     val folded = rounds.filter(_ <= m.bloomRound)
     if (canDelete && folded.nonEmpty) {
+      // roll back any interrupted prior expiry first — this run's copies
+      // are then the only ones in the dir, so the post-commit sweep is safe
+      restoreCuckooPreCopies(m.bloomRound)
       deleteCuckooKeys(m.bloomRound, readVisited(folded).get, m.seenBuckets)
       graft.functions.CuckooBucketStore.invalidate(dir)
     }
@@ -442,10 +455,11 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     * a crashed-and-rerun expiry:
     *
     *  1. copy pass: each touched bucket's CURRENT file is copied aside to
-    *     `bucket=B.bin.pre` unless that copy already exists (a leftover
-    *     `.pre` is the pre-delete original of an interrupted run and must
-    *     win). Within the pass the source is unmodified, so concurrent
-    *     attempts copy identical bytes.
+    *     `bucket=B.bin.pre` unless that copy already exists (an earlier
+    *     attempt of the same pass). The caller rolls back any INTERRUPTED
+    *     prior expiry via [[restoreCuckooPreCopies]] before this runs, so
+    *     no stale copy can exist; within the pass the source is
+    *     unmodified, so concurrent attempts copy identical bytes.
     *  2. delete pass: every attempt reads the `.pre` copy — never the
     *     possibly-already-published target — deletes the keys, and
     *     publishes via attempt-unique atomic replace. All attempts compute
@@ -455,7 +469,8 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     *     an already-updated file).
     *
     * The `.pre` copies are swept by the caller only AFTER the expiry
-    * manifest commits; until then a rerun restarts from the originals.
+    * manifest commits; until then a rerun — or a plain crawl resume —
+    * first ROLLS BACK to the originals via [[restoreCuckooPreCopies]].
     * Copy cost ∝ touched buckets ∝ expired keys — the economy that makes
     * cuckoo expiry cheaper than a Bloom rebuild is preserved. */
   private def deleteCuckooKeys(snapRound: Int, keys: DataFrame, nBuckets: Int): Unit = {
@@ -502,10 +517,43 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     } finally bucketed.unpersist(blocking = false)
   }
 
+  /** The snapshot round dir, derived from the SAME path builder the delete
+    * pass writes through — copy, restore, and sweep can never diverge from
+    * the bucket layout. */
+  private def cuckooRoundDir(snapRound: Int): String = {
+    val p0 = graft.functions.CuckooBucketStore.path(dir, snapRound, 0)
+    p0.substring(0, p0.lastIndexOf('/'))
+  }
+
+  /** Roll back an INTERRUPTED expiry: any leftover `bucket=B.bin.pre` is
+    * the pre-delete original of a run whose manifest never committed, so
+    * the original is restored over the (possibly partially-deleted) live
+    * file and the copy removed. Must run before a new expiry starts (so a
+    * committed run can safely sweep ALL copies afterwards) and on crawl
+    * resume (so a crawl never merges a wrecked bucket into future
+    * snapshots). Idempotent; no-op when no copies exist. */
+  private[operators] def restoreCuckooPreCopies(snapRound: Int): Unit = {
+    val roundDir = cuckooRoundDir(snapRound)
+    if (sfs.exists(roundDir)) {
+      val pres = sfs.listNames(roundDir).filter(_.endsWith(".pre"))
+      pres.foreach { n =>
+        val pre = sfs.child(roundDir, n)
+        sfs.writeAtomic(sfs.child(roundDir, n.stripSuffix(".pre"))) { out =>
+          val in = new BufferedInputStream(sfs.open(pre))
+          try in.transferTo(out) finally in.close()
+        }
+        sfs.delete(pre)
+      }
+      if (pres.nonEmpty) graft.functions.CuckooBucketStore.invalidate(dir)
+    }
+  }
+
   /** Sweep the `.pre` copies left by [[deleteCuckooKeys]] — called only
-    * after the expiry manifest has committed. */
+    * after the expiry manifest has committed, and only safe because
+    * [[restoreCuckooPreCopies]] ran before this expiry started (every
+    * remaining copy belongs to THIS committed run). */
   private def cleanupCuckooPreCopies(snapRound: Int): Unit = {
-    val roundDir = p("cuckoobuckets", s"round=$snapRound")
+    val roundDir = cuckooRoundDir(snapRound)
     if (sfs.exists(roundDir))
       sfs.listNames(roundDir).filter(_.endsWith(".pre"))
         .foreach(n => sfs.delete(sfs.child(roundDir, n)))

@@ -394,6 +394,12 @@ final class FrontierCrawler(
     val snapshotCompatible = m.round < 0 || (m.seenKind == curSeenKind &&
       // seenBuckets == 0 on pre-seenBuckets manifests: unknown, trust cfg
       (m.seenBuckets == 0 || m.seenBuckets == curSeenBuckets))
+    // an expiry interrupted between its delete pass and its manifest commit
+    // leaves partially-deleted buckets plus their .pre originals — roll
+    // back BEFORE any probe, or the wrecked buckets would false-negative
+    // still-visited URLs and be merged into every future snapshot
+    if (m.round >= 0 && m.seenKind == "cuckoo-buckets" && m.bloomRound >= 0)
+      store.restoreCuckooPreCopies(m.bloomRound)
     // seeded from the first round's distributed build — sizing must come
     // from the same code path (stat.bloomFilter) or merges are incompatible
     var bloom: Option[BloomFilter] =

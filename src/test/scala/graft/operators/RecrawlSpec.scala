@@ -117,6 +117,44 @@ class RecrawlSpec extends AnyFunSuite {
       "pre-delete copies not swept after the manifest committed")
   }
 
+  test("crawl resume after an interrupted expiry rolls the buckets back first") {
+    val dir = Files.createTempDirectory("graft-recrawl-resume-").toString
+    val out1 = crawlPolite(dir, "cuckoo")
+    val store = new CheckpointStore(spark, dir, visitedFromLog = true)
+    val m1 = store.latestManifest().get
+    val kept = store.readVisited(m1.visitedRounds).get
+      .select("urlHash").collect().map(_.getLong(0)).toSet
+    // wreck a populated bucket, leave its .pre original — the state an
+    // expiry crash leaves; the manifest was never updated, so ALL rounds
+    // are still visited and a resume must see every key
+    val b = kept.map(k => java.lang.Math.floorMod(k, 8L).toInt).head
+    val pp = graft.functions.CuckooBucketStore.path(dir, m1.bloomRound, b)
+    val sfs = store.sfs
+    sfs.writeAtomic(pp + ".pre") { out =>
+      val in = new java.io.BufferedInputStream(sfs.open(pp))
+      try in.transferTo(out) finally in.close()
+    }
+    sfs.writeAtomic(pp) { out =>
+      val bo = new java.io.BufferedOutputStream(out)
+      new graft.functions.CuckooFilter(2).writeTo(bo); bo.flush()
+    }
+    graft.functions.CuckooBucketStore.invalidate(dir)
+
+    // plain resume (no expiry): rollback must restore the originals, so
+    // the completed crawl re-fetches NOTHING and the found set is stable
+    val out2 = crawlPolite(dir, "cuckoo")
+    assert(out2.sortedFound == out1.sortedFound)
+    val m2 = store.latestManifest().get
+    val extra = (m2.visitedRounds.toSet -- m1.visitedRounds.toSet).toSeq
+    val refetched = if (extra.isEmpty) 0L
+      else store.readVisited(extra).map(_.count()).getOrElse(0L)
+    assert(refetched == 0L, s"resume re-fetched $refetched visited URLs")
+    val h = new graft.functions.CuckooBucketHandle(dir, m2.bloomRound, 8)
+    kept.foreach(k => assert(h.probe(k), s"kept key $k lost on resume"))
+    assert(!sfs.listNames(s"$dir/cuckoobuckets/round=${m1.bloomRound}")
+      .exists(_.endsWith(".pre")), "rollback left the .pre copy behind")
+  }
+
   test("bloom expiry: pointer dropped (no delete), resume rebuilds and re-fetches exactly") {
     val dir = Files.createTempDirectory("graft-recrawl-bloom-").toString
     val out1 = crawlPolite(dir, "bloom")

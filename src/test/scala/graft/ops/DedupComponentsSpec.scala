@@ -125,18 +125,21 @@ class DedupComponentsSpec extends AnyFunSuite {
   }
 
   test("incremental clustering: delta pairs fold into existing labels; merges, never splits") {
-    // epoch 1: clusters {1,2,3} and {10,11}; 20 isolated
-    val epoch1 = run(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    // epoch 1: clusters {1,2,3} and {10,11}, plus the standing SINGLETON
+    // label (20, 20) — a doc in no pair, whose self-label must survive the
+    // fold untouched (it rides in as a self-loop edge)
+    val epoch1 = run(Seq((1L, 2L), (2L, 3L), (10L, 11L))) + (20L -> 20L)
     val labels = epoch1.toSeq.toDF("id", "component")
     // epoch 2 delta: new doc 50 bridges the two clusters; 60-61 a new pair
     val merged = Dedup.connectedComponentsIncremental(labels,
       Seq((3L, 50L), (50L, 11L), (60L, 61L)).toDF("d1", "d2"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val expected = unionFind(Seq(1L, 2L, 3L, 10L, 11L, 50L, 60L, 61L),
+    val expected = unionFind(Seq(1L, 2L, 3L, 10L, 11L, 20L, 50L, 60L, 61L),
       Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 50L), (50L, 11L), (60L, 61L)))
     assert(merged == expected)
     assert(Seq(1L, 2L, 3L, 10L, 11L, 50L).forall(merged(_) == 1L)) // merged via 50
     assert(merged(60L) == 60L && merged(61L) == 60L)
+    assert(merged(20L) == 20L, "standing singleton label lost in the fold")
   }
 
   test("two disjoint cliques stay separate") {
