@@ -63,12 +63,12 @@ object LinkRank {
     * relation, and rank DESCENDING maps onto priority ASCENDING (dense,
     * 1-based) so the most authoritative host schedules first. One extra
     * shuffle beyond [[pageRank]] (the host-pair projection); the final
-    * rank→priority window is over the HOST relation (10^7 rows, not the
-    * corpus). */
+    * rank→priority assignment is [[denseRank]] — a DISTRIBUTED
+    * range-partitioned sort, never a single-partition window, so the host
+    * relation (10^7-10^8 rows) is ranked across the cluster. */
   def hostRank(links: DataFrame, srcUrlCol: String, dstUrlCol: String,
       iterations: Int = 5): DataFrame = {
     import graft.functions.UrlFunctions.url_host
-    import org.apache.spark.sql.expressions.Window
     val hosts = links.select(
       url_host(col(srcUrlCol)).as("srcHost"),
       url_host(col(dstUrlCol)).as("dstHost"))
@@ -78,10 +78,34 @@ object LinkRank {
     val names = hosts.select(col("srcHost").as("host"))
       .unionByName(hosts.select(col("dstHost").as("host"))).distinct()
       .withColumn("id", xxhash64(col("host")))
-    pageRank(edges, "src", "dst", iterations)
-      .join(names, Seq("id"))
-      .withColumn("priority",
-        row_number().over(Window.orderBy(desc("rank"), col("host"))).cast("int"))
-      .select("host", "priority", "rank")
+    denseRank(pageRank(edges, "src", "dst", iterations).join(names, Seq("id")))
+  }
+
+  /** Dense 1-based priority over `(host, rank)` rows, ordered by rank
+    * DESCENDING with the tie broken by host name ASCENDING — the exact total
+    * order the former `row_number().over(Window.orderBy(...))` produced, but
+    * computed distributed: a range-partitioned `sortBy` (each partition holds
+    * one contiguous key range) followed by `zipWithIndex` (one extra job for
+    * per-partition offsets). No single-partition Window or Exchange exists
+    * anywhere in the lineage, so ranking 10^8 hosts spreads across the
+    * cluster instead of funneling through one task. Output partition count
+    * equals the input's (asserted >1 in LinkRankSpec). */
+  private[ops] def denseRank(hostRanks: DataFrame): DataFrame = {
+    val sess = hostRanks.sparkSession
+    val ranked = hostRanks.select(col("host"), col("rank")).rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy({ case (h, r) => (r, h) }, ascending = true)(
+        Ordering.Tuple2(Ordering.Long.reverse, Ordering.String),
+        scala.reflect.classTag[(Long, String)])
+      .zipWithIndex()
+      .map { case ((h, r), i) =>
+        org.apache.spark.sql.Row(h, (i + 1).toInt, r) }
+    sess.createDataFrame(ranked, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("priority",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

@@ -70,4 +70,33 @@ class LinkRankSpec extends AnyFunSuite {
     // the table is directly consumable by the crawler: (host, priority)
     assert(got.values.map(_._1).toSeq.sorted == (1 to got.size).toSeq)
   }
+
+  test("denseRank is distributed: multi-partition layout kept, no Window") {
+    val in = (0 until 4000).map(i => (s"h$i.com", (i % 97).toLong))
+    val df = in.toDF("host", "rank").repartition(8)
+    val got = LinkRank.denseRank(df)
+    // the rank is computed in a range-partitioned sortBy + zipWithIndex —
+    // partition layout survives (a global window would collapse to ONE)
+    assert(got.rdd.getNumPartitions == 8,
+      s"rank sort collapsed partitions: ${got.rdd.getNumPartitions}")
+    // and no Window/single-partition Exchange exists in the SQL plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    val expect = in.sortBy { case (h, r) => (-r, h) }.zipWithIndex
+      .map { case ((h, r), i) => (h, i + 1, r) }.toSet
+    assert(got.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2))).toSet == expect)
+  }
+
+  test("hostRank plan carries no Window operator (the r3 single-task sort)") {
+    val links = (0 until 200).map(i =>
+      (s"http://h$i.com/a", s"http://h${(i + 1) % 200}.com/b")).toDF("src", "dst")
+    val got = LinkRank.hostRank(links, "src", "dst", iterations = 2)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+    // ring graph: every host cited once → equal rank, tie-break by host name
+    val rows = got.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byName = rows.sortBy(r => (-r._3, r._1)).map(_._2)
+    assert(byName.toSeq == (1 to 200).toSeq)
+  }
 }
