@@ -126,14 +126,18 @@ object CurateCli {
     val exactKeep = Dedup.exact(afterQuality, idCol, textCol)
       .select(col("keep_id").as(idCol))
     val exactDeduped = afterQuality.join(exactKeep, Seq(idCol))
-    val deduped = nearDup match {
+    // cached like afterQuality: the dedup subtree (exact-dedup agg +
+    // keep-join, and with --near-dup the pair generation's keep-join) is
+    // re-read by the nDedup count, the PII audit, the nSampled count AND
+    // the final write — without the cache each of those re-executes it
+    val deduped = (nearDup match {
       case None => exactDeduped
       case Some(t) =>
         val pairs = Dedup.jaccardPairs(exactDeduped, idCol, textCol, t, maxDf, ngram)
         val groups = Dedup.dedupComponents(exactDeduped, idCol, pairs)
         audit(groups.filter(col("is_kept") === 0), "dropped_near_dup")
         exactDeduped.join(groups.filter(col("is_kept") === 1).select(idCol), Seq(idCol))
-    }
+    }).cache()
     val nDedup = deduped.count()
 
     // 3. PII redaction — the curated text IS the redacted text
@@ -174,6 +178,7 @@ object CurateCli {
     }
 
     packed.write.mode("overwrite").parquet(s"$outDir/curated")
+    deduped.unpersist()
     afterQuality.unpersist()
     val s = CurateSummary(nInput, nInput - nQuality, nQuality - nDedup,
       nDedup - nSampled, nSampled)

@@ -24,7 +24,12 @@ object ExpireCli {
       |  --no-requeue       Only retire from the seen set; do not queue a
       |                     re-fetch segment (see expireAndRequeue caveats)
       |  --fifo             Checkpoint was written by a FIFO-parity crawl
-      |                     (sequential requeue idx, separate visited layout)""".stripMargin
+      |                     (sequential requeue idx, separate visited layout)
+      |  --authority PATH   Parquet (host, priority) authority relation the
+      |                     resumed crawl will run with — requeued rows take
+      |                     their host's rank priority (absent host →
+      |                     Int.MaxValue) instead of BFS depth, keeping the
+      |                     frontier on ONE priority scale""".stripMargin
 
   private[graft] final case class CliUsageError(msg: String) extends Exception(msg)
 
@@ -36,6 +41,7 @@ object ExpireCli {
     var lastK: Option[Int] = None
     var requeue = true
     var fifo = false
+    var authority: Option[String] = None
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -56,6 +62,7 @@ object ExpireCli {
             throw CliUsageError("--last: not an integer") }
         case "--no-requeue" => requeue = false
         case "--fifo" => fifo = true
+        case "--authority" => authority = Some(value("--authority"))
         case flag if flag.startsWith("-") => throw CliUsageError(s"unknown flag: $flag")
         case pos if dir.isEmpty => dir = Some(pos)
         case pos => throw CliUsageError(s"unexpected argument: $pos")
@@ -69,7 +76,8 @@ object ExpireCli {
     val m = store.latestManifest().getOrElse(
       throw new IllegalStateException(s"no checkpoint manifest under $d"))
     val expire = rounds.getOrElse(m.visitedRounds.takeRight(lastK.get))
-    val m2 = store.expireAndRequeue(expire, requeue = requeue, fifoIdx = fifo)
+    val m2 = store.expireAndRequeue(expire, requeue = requeue, fifoIdx = fifo,
+      hostPriority = authority.map(spark.read.parquet(_)))
     println(s"expired rounds ${expire.mkString(",")} " +
       s"(${m.visitedRounds.size - m2.visitedRounds.size} of ${m.visitedRounds.size}); " +
       (if (m2.bloomRound >= 0) s"seen-filter snapshot updated in place (${m2.seenKind})"

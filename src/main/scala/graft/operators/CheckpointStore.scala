@@ -74,7 +74,16 @@ object CheckpointStore {
       // or deleting under a DIFFERENT n reads the wrong files, which turns
       // into false negatives — a resume or expiry must match this count or
       // distrust the snapshot and rebuild.
-      seenBuckets: Int = 0)
+      seenBuckets: Int = 0,
+      // run token of the last COMMITTED cuckoo expiry. Pre-delete copies are
+      // named `bucket=B.bin.pre-<token>`; a resume or a new expiry rolls
+      // back only copies whose token does NOT match this (an uncommitted
+      // run), and sweeps the ones that do — without it, a crash in the
+      // window between the expiry's manifest commit and its copy sweep
+      // would roll a COMMITTED delete back, resurrecting expired keys into
+      // the seen filter forever (their visited rounds are already gone from
+      // the manifest, so nothing would ever delete them again).
+      expiryToken: String = "")
 }
 
 final class CheckpointStore(spark: SparkSession, val dir: String,
@@ -134,6 +143,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     props.setProperty("hostStateRound", m.hostStateRound.toString)
     props.setProperty("seenKind", m.seenKind)
     props.setProperty("seenBuckets", m.seenBuckets.toString)
+    props.setProperty("expiryToken", m.expiryToken)
     sfs.writeAtomic(p("manifest", s"round=${m.round}.properties")) { out =>
       props.store(out, null)
     }
@@ -197,7 +207,8 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       // the inference must only run when the property is absent
       Option(props.getProperty("seenKind")).getOrElse(seenKindDefault),
       Option(props.getProperty("seenBuckets")).map(_.toInt)
-        .getOrElse(seenBucketsDefault))
+        .getOrElse(seenBucketsDefault),
+      props.getProperty("expiryToken", ""))
   }
 
   /** The visited set: union of disjoint per-round deltas (no distinct).
@@ -361,7 +372,15 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     * Requeued rows land in a fresh frontier segment under a synthetic round
     * (`m.round + 1`, so the segment number and polite-mode discoveryIdx
     * block can never collide with a future crawl round's); depth is
-    * preserved from the visit log, `priority = depth`, `nextFetchTime = 0`.
+    * preserved from the visit log, `nextFetchTime = 0`. The requeue
+    * PRIORITY follows the same scale rule as the crawler's admission path
+    * ([[FrontierCrawler]]'s `hostPriority` contract): pass the SAME
+    * authority relation the resumed crawl will run with and each requeued
+    * row takes its host's rank priority (absent host → Int.MaxValue);
+    * without one, `priority = depth`. Never mix the two — depth values
+    * (1..diameter) are tiny on the rank scale (1..N hosts), so
+    * depth-priority requeued rows would outrank nearly every
+    * authority-ranked host and capture the whole `roundBudget` ration.
     * Totals in the manifest stay cumulative across expiry epochs.
     *
     * Construct this store with `visitedFromLog` matching the crawl that
@@ -378,7 +397,8 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     * semantics; `requeue = false` only for measuring the filter update.
     */
   def expireAndRequeue(rounds: Seq[Int], requeue: Boolean = true,
-      fifoIdx: Boolean = false): CheckpointStore.Manifest = {
+      fifoIdx: Boolean = false,
+      hostPriority: Option[DataFrame] = None): CheckpointStore.Manifest = {
     import org.apache.spark.sql.functions._
     val m = latestManifest().getOrElse(
       throw new IllegalStateException(s"no checkpoint manifest under $dir"))
@@ -393,11 +413,15 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     val canDelete =
       m.seenKind == "cuckoo-buckets" && m.seenBuckets > 0 && m.bloomRound >= 0
     val folded = rounds.filter(_ <= m.bloomRound)
+    // fresh run token: this run's pre-delete copies carry it, and only the
+    // manifest commit below promotes it to "committed" — see Manifest.expiryToken
+    val runToken = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     if (canDelete && folded.nonEmpty) {
-      // roll back any interrupted prior expiry first — this run's copies
+      // roll back any UNCOMMITTED prior expiry first (and sweep leftovers of
+      // the COMMITTED one, identified by m.expiryToken) — this run's copies
       // are then the only ones in the dir, so the post-commit sweep is safe
-      restoreCuckooPreCopies(m.bloomRound)
-      deleteCuckooKeys(m.bloomRound, readVisited(folded).get, m.seenBuckets)
+      restoreCuckooPreCopies(m.bloomRound, m.expiryToken)
+      deleteCuckooKeys(m.bloomRound, readVisited(folded).get, m.seenBuckets, runToken)
       graft.functions.CuckooBucketStore.invalidate(dir)
     }
     val keepSnapshot = canDelete || m.bloomRound < 0
@@ -412,8 +436,22 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
             s"no visit log or visited delta for rounds $rounds under $dir"))
         val r = m.round + 1
         val seg = r + 1
-        val entries = src
+        val hosted = src
           .withColumn("host", graft.functions.UrlFunctions.url_host(col("url")))
+        // requeue priority on the SAME scale the resumed crawl schedules on:
+        // authority rank when the caller crawls with an authority table
+        // (absent host → Int.MaxValue, matching the admission path), BFS
+        // depth otherwise — never depth mixed into a rank-scale frontier
+        val prioed = hostPriority match {
+          case None => hosted.withColumn("__prio", col("depth").cast("int"))
+          case Some(hp) =>
+            hosted.join(
+                hp.select(hp("host"), hp("priority").as("__hostPrio")),
+                Seq("host"), "left_outer")
+              .withColumn("__prio",
+                coalesce(col("__hostPrio"), lit(Int.MaxValue)).cast("int"))
+        }
+        val entries = prioed
           .withColumn("discoveryIdx",
             if (fifoIdx)
               lit(m.nextIdx) +
@@ -423,7 +461,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
               lit((r.toLong + 1) * CheckpointStore.IdxSpan) +
                 pmod(xxhash64(col("url")), lit(CheckpointStore.IdxSpan)))
           .select(col("url"), col("urlHash"), col("host"), col("depth"),
-            col("depth").as("priority"), col("discoveryIdx"),
+            col("__prio").as("priority"), col("discoveryIdx"),
             lit(0L).as("nextFetchTime"))
         val obs = org.apache.spark.sql.Observation()
         entries.observe(obs, count(lit(1)).as("n"))
@@ -441,7 +479,11 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       visitedRounds = m.visitedRounds.filterNot(expireSet),
       liveSegs = newSegs,
       hasBloom = m.hasBloom && keepSnapshot,
-      bloomRound = if (keepSnapshot) m.bloomRound else -1)
+      bloomRound = if (keepSnapshot) m.bloomRound else -1,
+      // committing the manifest is what flips this run's deletes from
+      // "roll back on sight" to "committed — sweep, never restore"
+      expiryToken =
+        if (canDelete && folded.nonEmpty) runToken else m.expiryToken)
     saveManifest(m2)
     // only now is the expiry durable — sweep the pre-delete copies that a
     // rerun would otherwise (correctly) restart from
@@ -455,8 +497,9 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     * a crashed-and-rerun expiry:
     *
     *  1. copy pass: each touched bucket's CURRENT file is copied aside to
-    *     `bucket=B.bin.pre` unless that copy already exists (an earlier
-    *     attempt of the same pass). The caller rolls back any INTERRUPTED
+    *     `bucket=B.bin.pre-<runToken>` unless that copy already exists (an
+    *     earlier attempt of the same pass — the token is fixed per expiry
+    *     run, so retries share it). The caller rolls back any INTERRUPTED
     *     prior expiry via [[restoreCuckooPreCopies]] before this runs, so
     *     no stale copy can exist; within the pass the source is
     *     unmodified, so concurrent attempts copy identical bytes.
@@ -473,9 +516,11 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     * first ROLLS BACK to the originals via [[restoreCuckooPreCopies]].
     * Copy cost ∝ touched buckets ∝ expired keys — the economy that makes
     * cuckoo expiry cheaper than a Bloom rebuild is preserved. */
-  private def deleteCuckooKeys(snapRound: Int, keys: DataFrame, nBuckets: Int): Unit = {
+  private def deleteCuckooKeys(snapRound: Int, keys: DataFrame, nBuckets: Int,
+      runToken: String): Unit = {
     val dirStr = dir
     val fsRef = sfs // serializable; do not capture `this` in the task closure
+    val preSuffix = s".pre-$runToken"
     val bucketed = keys.select("urlHash").rdd
       .map(r => (Math.floorMod(r.getLong(0), nBuckets.toLong).toInt, r.getLong(0)))
       .partitionBy(new IdentityPartitioner(nBuckets))
@@ -485,7 +530,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       bucketed.mapPartitionsWithIndex { (bucket, it) =>
         if (it.hasNext) {
           val pp = graft.functions.CuckooBucketStore.path(dirStr, snapRound, bucket)
-          val pre = pp + ".pre"
+          val pre = pp + preSuffix
           if (fsRef.exists(pp) && !fsRef.exists(pre))
             fsRef.writeAtomic(pre) { out =>
               val in = new BufferedInputStream(fsRef.open(pp))
@@ -499,7 +544,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
         if (!it.hasNext) Iterator.single(0L)
         else {
           val pp = graft.functions.CuckooBucketStore.path(dirStr, snapRound, bucket)
-          val pre = pp + ".pre"
+          val pre = pp + preSuffix
           if (!fsRef.exists(pre)) Iterator.single(0L)
           else {
             val in = new BufferedInputStream(fsRef.open(pre))
@@ -525,26 +570,40 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     p0.substring(0, p0.lastIndexOf('/'))
   }
 
-  /** Roll back an INTERRUPTED expiry: any leftover `bucket=B.bin.pre` is
+  /** Roll back an INTERRUPTED expiry: a leftover `bucket=B.bin.pre-<token>`
+    * whose token does NOT match the manifest's committed `expiryToken` is
     * the pre-delete original of a run whose manifest never committed, so
     * the original is restored over the (possibly partially-deleted) live
-    * file and the copy removed. Must run before a new expiry starts (so a
-    * committed run can safely sweep ALL copies afterwards) and on crawl
-    * resume (so a crawl never merges a wrecked bucket into future
-    * snapshots). Idempotent; no-op when no copies exist. */
-  private[operators] def restoreCuckooPreCopies(snapRound: Int): Unit = {
+    * file and the copy removed. A copy whose token DOES match belongs to
+    * the committed run (crash between its manifest commit and its sweep) —
+    * restoring it would resurrect committed deletes forever, so it is
+    * swept instead. Legacy bare `.pre` copies (pre-token protocol) are
+    * always restored. Must run before a new expiry starts (so a committed
+    * run can safely sweep ALL copies afterwards) and on crawl resume (so a
+    * crawl never merges a wrecked bucket into future snapshots).
+    * Idempotent; no-op when no copies exist. */
+  private[operators] def restoreCuckooPreCopies(snapRound: Int,
+      committedToken: String): Unit = {
     val roundDir = cuckooRoundDir(snapRound)
     if (sfs.exists(roundDir)) {
-      val pres = sfs.listNames(roundDir).filter(_.endsWith(".pre"))
+      val pres = sfs.listNames(roundDir).filter(_.contains(".bin.pre"))
+      var restored = false
       pres.foreach { n =>
         val pre = sfs.child(roundDir, n)
-        sfs.writeAtomic(sfs.child(roundDir, n.stripSuffix(".pre"))) { out =>
-          val in = new BufferedInputStream(sfs.open(pre))
-          try in.transferTo(out) finally in.close()
+        val committed = committedToken.nonEmpty &&
+          n.endsWith(s".pre-$committedToken")
+        if (committed) sfs.delete(pre) // late sweep of a committed run
+        else {
+          val target = n.substring(0, n.lastIndexOf(".pre"))
+          sfs.writeAtomic(sfs.child(roundDir, target)) { out =>
+            val in = new BufferedInputStream(sfs.open(pre))
+            try in.transferTo(out) finally in.close()
+          }
+          sfs.delete(pre)
+          restored = true
         }
-        sfs.delete(pre)
       }
-      if (pres.nonEmpty) graft.functions.CuckooBucketStore.invalidate(dir)
+      if (restored) graft.functions.CuckooBucketStore.invalidate(dir)
     }
   }
 
@@ -555,7 +614,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
   private def cleanupCuckooPreCopies(snapRound: Int): Unit = {
     val roundDir = cuckooRoundDir(snapRound)
     if (sfs.exists(roundDir))
-      sfs.listNames(roundDir).filter(_.endsWith(".pre"))
+      sfs.listNames(roundDir).filter(_.contains(".bin.pre"))
         .foreach(n => sfs.delete(sfs.child(roundDir, n)))
   }
 

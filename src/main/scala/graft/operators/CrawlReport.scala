@@ -1,7 +1,7 @@
 package graft.operators
 
+import graft.io.StateFs
 import org.apache.spark.sql.DataFrame
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 
@@ -11,9 +11,14 @@ import java.time.format.DateTimeFormatter
   * three URL files sorted ascending, one URL per line.
   *
   * Scale path: each URL file is produced by a Spark range-partitioned sort
-  * (`orderBy(url)`) written through a single reducer and renamed to the
-  * reference's exact filename — "one sorted text file" is inherently a
-  * single-writer contract; everything before the final merge is distributed.
+  * (`orderBy(url)`); part files come out in ascending key ranges and are
+  * concatenated in filename order, so "one sorted text file" (inherently a
+  * single-writer contract) costs one streaming merge, never a single-task
+  * sort. Every byte — details file, part listing, concat, read-back — goes
+  * through [[graft.io.StateFs]], so `runsDir` may be `file:`, `hdfs:`,
+  * `s3a:` or any registered scheme: the one state surface that was still
+  * `java.nio`-bound in round 3 now follows the same rule as checkpoints,
+  * seen-filter buckets and the snapshot table.
   */
 object CrawlReport {
 
@@ -41,8 +46,9 @@ object CrawlReport {
       startTime: LocalDateTime,
       endTime: LocalDateTime,
       runsDir: String): String = {
-    val runFolder = Paths.get(runsDir, startTime.format(TsDir))
-    Files.createDirectories(runFolder)
+    val sfs = StateFs(outcome.found.sparkSession)
+    val runFolder = sfs.child(runsDir, startTime.format(TsDir))
+    sfs.mkdirs(runFolder)
 
     val totalMicros = java.time.Duration.between(startTime, endTime).toNanos / 1000
     val details = Seq(
@@ -55,13 +61,14 @@ object CrawlReport {
       s"Redirect URLs: ${outcome.redirectUrls.count()}",
       s"Total Errors: ${outcome.stats.errorCount}",
       s"Total Redirects: ${outcome.stats.redirectCount}")
-    Files.write(runFolder.resolve("run_details.txt"),
-      (details.mkString("\n") + "\n").getBytes("UTF-8"))
+    sfs.writeAtomic(sfs.child(runFolder, "run_details.txt")) { out =>
+      out.write((details.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
 
-    writeSortedUrls(outcome.found.select("url"), runFolder, "all_found_urls.txt")
-    writeSortedUrls(outcome.errorUrls, runFolder, "all_error_urls.txt")
-    writeSortedUrls(outcome.redirectUrls, runFolder, "all_redirect_urls.txt")
-    runFolder.toString
+    writeSortedUrls(sfs, outcome.found.select("url"), runFolder, "all_found_urls.txt")
+    writeSortedUrls(sfs, outcome.errorUrls, runFolder, "all_error_urls.txt")
+    writeSortedUrls(sfs, outcome.redirectUrls, runFolder, "all_redirect_urls.txt")
+    runFolder
   }
 
   /** `sorted(urls)`, one per line (`report_generator.py:131-143`).
@@ -71,28 +78,18 @@ object CrawlReport {
     * yields the globally sorted file without funneling the sort itself
     * through one task.
     */
-  private def writeSortedUrls(urls: DataFrame, runFolder: Path, name: String): Unit = {
-    val tmp = runFolder.resolve(s".$name.spark")
-    urls.orderBy("url").write.mode("overwrite").text(tmp.toString)
-    val parts = {
-      val s = Files.list(tmp)
-      try s.filter(p => p.getFileName.toString.startsWith("part-"))
-        .sorted().iterator().asScalaSeq
-      finally s.close()
+  private def writeSortedUrls(sfs: StateFs, urls: DataFrame, runFolder: String,
+      name: String): Unit = {
+    val tmp = sfs.child(runFolder, s".$name.spark")
+    urls.orderBy("url").write.mode("overwrite").text(tmp)
+    val parts = sfs.listNames(tmp).filter(_.startsWith("part-")).sorted
+    sfs.writeAtomic(sfs.child(runFolder, name)) { out =>
+      parts.foreach { p =>
+        val in = sfs.open(sfs.child(tmp, p))
+        try in.transferTo(out) finally in.close()
+      }
     }
-    val target = runFolder.resolve(name)
-    val out = Files.newOutputStream(target)
-    try parts.foreach(p => Files.copy(p, out)) finally out.close()
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
-  }
-
-  private implicit class IterOps[A](it: java.util.Iterator[A]) {
-    def asScalaSeq: Seq[A] = {
-      val b = Seq.newBuilder[A]
-      while (it.hasNext) b += it.next()
-      b.result()
-    }
+    sfs.delete(tmp)
   }
 
   /** A run folder read back as relations — the report SOURCE completing
@@ -108,13 +105,16 @@ object CrawlReport {
       redirects: DataFrame)
 
   def read(spark: org.apache.spark.sql.SparkSession, runFolder: String): RunReport = {
-    val lines = Files.readAllLines(Paths.get(runFolder, "run_details.txt"))
-      .asScalaSeqList
+    val sfs = StateFs(spark)
+    val in = sfs.open(sfs.child(runFolder, "run_details.txt"))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
     val kv = lines.filter(_.contains(": "))
       .map { l => val i = l.indexOf(": "); l.substring(0, i) -> l.substring(i + 2) }
       .toMap
     def urls(name: String) =
-      spark.read.text(Paths.get(runFolder, name).toString)
+      spark.read.text(sfs.child(runFolder, name))
         .toDF("url").filter(org.apache.spark.sql.functions.length(
           org.apache.spark.sql.functions.col("url")) > 0)
     RunReport(
@@ -123,13 +123,5 @@ object CrawlReport {
       found = urls("all_found_urls.txt"),
       errors = urls("all_error_urls.txt"),
       redirects = urls("all_redirect_urls.txt"))
-  }
-
-  private implicit class ListOps[A](l: java.util.List[A]) {
-    def asScalaSeqList: Seq[A] = {
-      val b = Seq.newBuilder[A]
-      l.forEach(a => b += a)
-      b.result()
-    }
   }
 }

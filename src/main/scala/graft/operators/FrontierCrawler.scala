@@ -399,7 +399,7 @@ final class FrontierCrawler(
     // back BEFORE any probe, or the wrecked buckets would false-negative
     // still-visited URLs and be merged into every future snapshot
     if (m.round >= 0 && m.seenKind == "cuckoo-buckets" && m.bloomRound >= 0)
-      store.restoreCuckooPreCopies(m.bloomRound)
+      store.restoreCuckooPreCopies(m.bloomRound, m.expiryToken)
     // seeded from the first round's distributed build — sizing must come
     // from the same code path (stat.bloomFilter) or merges are incompatible
     var bloom: Option[BloomFilter] =

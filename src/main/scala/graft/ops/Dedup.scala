@@ -351,7 +351,8 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    var converged = edges.isEmpty
+    var edgeCnt = edges.count()
+    var converged = edgeCnt == 0L
     var it = 0
     while (!converged && it < maxIterations) {
       // large-star: every neighbor v > u re-attaches to min(Γ(u) ∪ {u})
@@ -370,9 +371,18 @@ object Dedup {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
         .localCheckpoint(true)
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      // convergence = the star pass changed nothing. Both relations are
+      // distinct, so equal counts + (small ∖ edges) = ∅ ⇔ set equality.
+      // The previous round's count is carried forward (never recomputed)
+      // and the anti-join probe only runs when the counts already agree —
+      // one count job per round, plus one anti-join job on candidate-
+      // convergence rounds; the old `except` (a shuffle-distinct over both
+      // relations, every round) is gone.
+      val smallCnt = small.count()
+      converged = smallCnt == edgeCnt &&
+        small.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = small
+      edgeCnt = smallCnt
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIterations rounds")

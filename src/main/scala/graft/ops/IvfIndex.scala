@@ -63,6 +63,10 @@ object IvfIndex {
     val props = new Properties()
     props.setProperty("nLists", nLists.toString)
     props.setProperty("rows", nRows.toString)
+    // frozen-quantizer drift guard: `rows` grows with every append while
+    // `builtRows` never moves — their ratio is the recall-degradation
+    // signal [[IvfIndex#needsRebuild]] exposes
+    props.setProperty("builtRows", nRows.toString)
     sfs.writeAtomic(sfs.child(dir, "_meta.properties"))(out => props.store(out, null))
     new IvfIndex(spark, dir, nLists)
   }
@@ -97,8 +101,11 @@ final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
     *
     * The quantizer stays frozen at build time: after sustained distribution
     * drift (append volume on the order of the built corpus) rebuild the
-    * index. Appending an id that is already indexed adds a second posting
-    * entry — dedup upstream (e.g. [[Dedup.exact]]).
+    * index — [[needsRebuild]] is the programmatic signal ( `_meta` tracks
+    * `builtRows` vs total `rows`, so a long-running serving pipeline can
+    * alert/rebuild instead of silently degrading recall). Appending an id
+    * that is already indexed adds a second posting entry — dedup upstream
+    * (e.g. [[Dedup.exact]]).
     */
   def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
     // same metric and tie-break as the build's KMeans transform: squared
@@ -121,6 +128,41 @@ final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
     props.setProperty("rows", (props.getProperty("rows", "0").toLong + n).toString)
     sfs.writeAtomic(sfs.child(dir, "_meta.properties"))(out => props.store(out, null))
   }
+
+  private def loadMeta(): Properties = {
+    val props = new Properties()
+    val in = sfs.open(sfs.child(dir, "_meta.properties"))
+    try props.load(in) finally in.close()
+    props
+  }
+
+  /** Total indexed vectors (build + all appends). Read fresh from `_meta`
+    * so a long-lived handle sees other writers' appends. */
+  def rows: Long = loadMeta().getProperty("rows", "0").toLong
+
+  /** Vectors the frozen quantizer was fit against. Legacy metas (pre-drift-
+    * guard) lack the property; they read as the CURRENT row count, i.e.
+    * drift unknown ⇒ reported as 0 — rebuild once to start tracking. */
+  def builtRows: Long = {
+    val p = loadMeta()
+    p.getProperty("builtRows", p.getProperty("rows", "0")).toLong
+  }
+
+  /** Appended volume relative to the built corpus — the quantizer-drift
+    * proxy: appends are assigned to centroids fit before they existed, so
+    * as this ratio grows the posting lists stop matching the data's real
+    * cluster structure and probe recall decays. */
+  def appendedFraction: Double = {
+    val p = loadMeta()
+    val total = p.getProperty("rows", "0").toLong
+    val built = p.getProperty("builtRows", p.getProperty("rows", "0")).toLong
+    if (built <= 0) 0.0 else (total - built).toDouble / built
+  }
+
+  /** True once appends exceed `threshold` × built corpus — the serving
+    * pipeline's cue to schedule a [[IvfIndex.build]] rebuild. */
+  def needsRebuild(threshold: Double = 0.5): Boolean =
+    appendedFraction > threshold
 
   /** The `nProbe` lists whose centroids are nearest (squared euclidean)
     * to `q` — driver-side over the tiny centroid set. */

@@ -64,4 +64,31 @@ class CrawlReportSpec extends AnyFunSuite {
     assert(rr.errors.as[String].collect().toSet == oracle.errorUrls)
     assert(rr.redirects.as[String].collect().toSet == oracle.redirectUrls)
   }
+
+  test("report sink + source on a non-default Hadoop scheme (graftfs://)") {
+    // the last round-3 java.nio surface: a cluster user pointing runsDir at
+    // distributed storage must get a working report folder, not a crash
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.io.GraftTestFs].getName)
+    val pages = SiteGraph.redirects
+    val cfg = CrawlConfig(maxConcurrent = 3)
+    val out = new FrontierCrawler(spark, pages.toDS(), cfg).crawl("http://r.com")
+    val oracle = ReferenceCrawler.crawl(pages.map(p => p.url -> p).toMap, "http://r.com", cfg)
+
+    val local = Files.createTempDirectory("graft-report-fs-").toString
+    val runsDir = s"graftfs:$local/runs"
+    val start = LocalDateTime.of(2026, 8, 17, 9, 30, 0)
+    val folder = CrawlReport.write(out, "http://r.com", start,
+      start.plusSeconds(7), runsDir)
+    assert(folder.startsWith("graftfs:"), folder)
+    // bytes really landed on the backing store via the registered scheme
+    val backing = Paths.get(local, "runs", "2026-08-17_09-30-00")
+    assert(Files.exists(backing.resolve("run_details.txt")))
+    assert(Files.readAllLines(backing.resolve("all_found_urls.txt"))
+      .asScala.toSeq == oracle.found.toSeq.sorted)
+    // and the source reads it back through the same scheme
+    val rr = CrawlReport.read(spark, folder)
+    assert(rr.found.as[String].collect().toSet == oracle.found)
+    assert(rr.stats("Total Time") == "0:00:07")
+  }
 }

@@ -155,6 +155,84 @@ class RecrawlSpec extends AnyFunSuite {
       .exists(_.endsWith(".pre")), "rollback left the .pre copy behind")
   }
 
+  test("committed expiry's copies are swept on resume, never rolled back") {
+    // the crash window AFTER saveManifest(m2) but BEFORE the copy sweep:
+    // the .pre-<token> copies of a COMMITTED expiry survive on disk. A
+    // rollback would resurrect the committed deletes into the seen filter
+    // forever (their visited rounds are gone from the manifest), so restore
+    // must recognize the manifest's committed token and sweep instead.
+    val dir = Files.createTempDirectory("graft-recrawl-committed-").toString
+    crawlPolite(dir, "cuckoo")
+    val store = new CheckpointStore(spark, dir, visitedFromLog = true)
+    val m1 = store.latestManifest().get
+    val expireRounds = m1.visitedRounds.takeRight(1)
+    val expired = store.readVisited(expireRounds).get
+      .select("urlHash").collect().map(_.getLong(0)).toSet
+    // keep the pre-delete originals of every touched bucket
+    def bucketOf(k: Long) = java.lang.Math.floorMod(k, 8L).toInt
+    val sfs = store.sfs
+    val originals = expired.map(bucketOf).map { b =>
+      val pp = graft.functions.CuckooBucketStore.path(dir, m1.bloomRound, b)
+      val in = new java.io.BufferedInputStream(sfs.open(pp))
+      val bytes = try in.readAllBytes() finally in.close()
+      (b, bytes)
+    }
+
+    val m2 = store.expireAndRequeue(expireRounds)
+    assert(m2.expiryToken.nonEmpty, "committed expiry must record its run token")
+    // re-create the crash window: put the committed run's .pre copies back
+    originals.foreach { case (b, bytes) =>
+      val pp = graft.functions.CuckooBucketStore.path(dir, m2.bloomRound, b)
+      sfs.writeAtomic(pp + s".pre-${m2.expiryToken}")(_.write(bytes))
+    }
+    val ghostsBefore = {
+      graft.functions.CuckooBucketStore.invalidate(dir)
+      val h = new graft.functions.CuckooBucketHandle(dir, m2.bloomRound, 8)
+      expired.count(h.probe)
+    }
+    store.restoreCuckooPreCopies(m2.bloomRound, m2.expiryToken)
+    graft.functions.CuckooBucketStore.invalidate(dir)
+    val h = new graft.functions.CuckooBucketHandle(dir, m2.bloomRound, 8)
+    val ghostsAfter = expired.count(h.probe)
+    assert(ghostsAfter == ghostsBefore,
+      s"committed deletes rolled back: $ghostsBefore ghosts -> $ghostsAfter")
+    val roundDir = s"$dir/cuckoobuckets/round=${m2.bloomRound}"
+    assert(!sfs.listNames(roundDir).exists(_.contains(".bin.pre")),
+      "committed-run copies not swept")
+    // an UNCOMMITTED token still rolls back (the normal crash path)
+    originals.headOption.foreach { case (b, bytes) =>
+      val pp = graft.functions.CuckooBucketStore.path(dir, m2.bloomRound, b)
+      sfs.writeAtomic(pp + ".pre-deadbeef00000000")(_.write(bytes))
+      store.restoreCuckooPreCopies(m2.bloomRound, m2.expiryToken)
+      graft.functions.CuckooBucketStore.invalidate(dir)
+      val h2 = new graft.functions.CuckooBucketHandle(dir, m2.bloomRound, 8)
+      val restored = expired.filter(k => bucketOf(k) == b).count(h2.probe)
+      assert(restored > 0, "uncommitted copy was not restored")
+    }
+  }
+
+  test("authority requeue: requeued rows take host rank priority, not depth") {
+    val dir = Files.createTempDirectory("graft-recrawl-auth-").toString
+    crawlPolite(dir, "cuckoo")
+    val store = new CheckpointStore(spark, dir, visitedFromLog = true)
+    val m1 = store.latestManifest().get
+    val hp = Seq(("site0.com", 5), ("site1.com", 7)).toDF("host", "priority")
+    val m2 = store.expireAndRequeue(m1.visitedRounds.takeRight(2), hostPriority = Some(hp))
+    val seg = store.readSegsRaw(Seq(m2.liveSegs.last.seg))
+      .select("host", "priority", "depth").collect()
+    assert(seg.nonEmpty)
+    seg.foreach { r =>
+      val expect = r.getString(0) match {
+        case "site0.com" => 5
+        case "site1.com" => 7
+        case _ => Int.MaxValue // authority unknown = schedule last
+      }
+      assert(r.getInt(1) == expect,
+        s"host ${r.getString(0)}: priority ${r.getInt(1)} != $expect " +
+          "(depth-scale priorities must never enter a rank-scale frontier)")
+    }
+  }
+
   test("bloom expiry: pointer dropped (no delete), resume rebuilds and re-fetches exactly") {
     val dir = Files.createTempDirectory("graft-recrawl-bloom-").toString
     val out1 = crawlPolite(dir, "bloom")

@@ -148,4 +148,27 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(partFilters.contains("list"), s"no partition filter on list: $partFilters")
     assert(scanned.count() < n)
   }
+
+  test("drift guard: appendedFraction tracks appends, needsRebuild flips at threshold") {
+    val dir = Files.createTempDirectory("graft-ivfd-").toString
+    val n = emb.count()
+    val built = (n * 3) / 5 // 60% built, 40% appended → fraction = 2/3
+    IvfIndex.build(spark, dir, emb.filter($"vec_id" < built), "vec_id", "embedding",
+      nLists = 8)
+    val idx = IvfIndex.load(spark, dir)
+    assert(idx.builtRows == built && idx.rows == built)
+    assert(idx.appendedFraction == 0.0 && !idx.needsRebuild())
+
+    idx.append(emb.filter($"vec_id" >= built), "vec_id", "embedding")
+    assert(idx.rows == n, "append must grow rows")
+    assert(idx.builtRows == built, "append must NOT move builtRows")
+    val want = (n - built).toDouble / built
+    assert(math.abs(idx.appendedFraction - want) < 1e-9)
+    // 2/3 appended: above the default 0.5 cue, below a lax 1.0 one
+    assert(idx.needsRebuild(), s"fraction ${idx.appendedFraction} should cue rebuild")
+    assert(!idx.needsRebuild(threshold = 1.0))
+    // a fresh handle (another process in the serving pipeline) sees the
+    // same signal — it lives in _meta, not the handle
+    assert(IvfIndex.load(spark, dir).needsRebuild())
+  }
 }
