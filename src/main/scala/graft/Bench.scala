@@ -28,7 +28,7 @@ object Bench {
       budget: Int, maxRounds: Int, cachePages: Boolean = true,
       bloomExpected: Long = 2L * 1000 * 1000,
       bloomBuckets: Int = 0, warmRounds: Int = 0,
-      seenKind: String = "bloom"): (Double, Long) = {
+      seenKind: String = "bloom"): (Double, Long, Seq[Map[String, Long]]) = {
     import spark.implicits._
     val params = SiteGraph.GraphParams(nHosts = nHosts, pagesPerHost = pagesPerHost,
       linksPerPage = 6, redirectFrac = 0.03, errorFrac = 0.03, deadLinkFrac = 0.01,
@@ -67,14 +67,42 @@ object Bench {
     val out = new FrontierCrawler(spark, pages, cfg).crawlSeeds(seeds)
     val secs = (System.nanoTime() - t0) / 1e9
     if (cachePages) pages.unpersist()
+    // per-round metrics of the TIMED rounds, straight from the checkpoint's
+    // metrics manifests — each round's wallMs is measured inside the crawl
+    // loop, so a whole-run VM hiccup (GC storm, noisy neighbor) perturbs
+    // ONE round's sample instead of poisoning the whole-window rate; the
+    // median of these is the steady-state headline the recorded artifact
+    // carries (the raw whole-window rates stay recorded alongside)
+    val roundMetrics = (warmRounds until maxRounds).flatMap { r =>
+      try Some(new graft.operators.CheckpointStore(spark, ckpt).loadMetrics(r))
+      catch { case _: Exception => None } // round never ran (frontier done)
+    }
     // free the tmpfs state
     try {
       java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
     } catch { case _: Exception => () }
-    (secs, out.stats.scheduledTotal + out.stats.fetchedTotal - warmWork)
+    (secs, out.stats.scheduledTotal + out.stats.fetchedTotal - warmWork, roundMetrics)
   }
+
+  /** Median — the recorded bench headline must not move with one outlier
+    * sample on this shared VM. */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Steady-state urls/s of one run: median over its timed rounds of
+    * (scheduled + fetched) / round wall — scheduled == fetched per round
+    * in this workload (every scheduled URL is served by the pages join). */
+  def steadyStateRate(rounds: Seq[Map[String, Long]]): Double =
+    median(rounds.collect {
+      case mm if mm.getOrElse("wallMs", 0L) > 0 =>
+        2.0 * mm("scheduled") * 1000.0 / mm("wallMs")
+    })
 
   /** Map-only fetch-parse-canonicalize hot path: raw-HTML link extraction ->
     * RFC-3986 resolve -> canonicalize -> 64-bit key, ending in one aggregate.
@@ -140,22 +168,26 @@ object Bench {
     // crawl measures steady-state rounds, not first-plan codegen
     crawlBench(spark, nHosts = 4, pagesPerHost = 40, budget = 8, maxRounds = 2)
     // the driver-size number is steady-state (closure build + first 2 rounds
-    // excluded via warmRounds) and run twice back-to-back — reported value
-    // is the best run, with both runs recorded to bound VM variance
+    // excluded via warmRounds), run THREE times back-to-back. The recorded
+    // headline is the median across runs of each run's per-round-median
+    // rate (rounds timed inside the crawl loop via the metrics manifests) —
+    // a whole-run VM hiccup moves one sample, not the artifact. All raw
+    // whole-window rates and all steady-state rates stay recorded.
     def driverCrawl() = crawlBench(spark, nHosts = 48,
       pagesPerHost = 1500, budget = 256, maxRounds = 8, warmRounds = 2)
-    val (s1, w1) = driverCrawl()
-    val (s2, w2) = driverCrawl()
-    val r1 = w1 / s1
-    val r2 = w2 / s2
-    val (crawlSecs, crawlWork) = if (r1 >= r2) (s1, w1) else (s2, w2)
-    val urlsPerSec = math.max(r1, r2)
+    val runs = Seq.fill(3)(driverCrawl())
+    val rawRates = runs.map { case (s, w, _) => w / s }
+    val steadyRates = runs.map { case (_, _, rounds) => steadyStateRate(rounds) }
+    val urlsPerSec = median(steadyRates)
+    val (crawlSecs, crawlWork, _) = runs(rawRates.indexOf(rawRates.max))
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val rawJson = rawRates.map(r => f"$r%.1f").mkString("[", ",", "]")
+    val steadyJson = steadyRates.map(r => f"$r%.1f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_sec":$crawlSecs%.3f,"crawl_urls_scheduled":$crawlWork,"crawl_urls_per_sec":$urlsPerSec%.1f,"crawl_runs_urls_per_sec":[$r1%.1f,$r2%.1f],"cpus":$cpus}""")
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_sec":$crawlSecs%.3f,"crawl_urls_scheduled":$crawlWork,"crawl_urls_per_sec":$urlsPerSec%.1f,"crawl_runs_urls_per_sec":$steadyJson,"crawl_raw_window_urls_per_sec":$rawJson,"cpus":$cpus}""")
     spark.stop()
   }
 }

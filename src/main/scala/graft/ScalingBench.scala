@@ -59,28 +59,46 @@ object ScalingBench {
       // parse first: it is allocation-sensitive and measures worse on a
       // heap already churned by the 16M-row crawl
       val (pSecs, pLinks) = Bench.parseBench(spark, nPages = 3L * 1000 * 1000, corpus)
-      val (secs, work) = Bench.crawlBench(spark, nHosts = 128,
+      val (secs, work, rounds) = Bench.crawlBench(spark, nHosts = 128,
         pagesPerHost = 80000, budget = 16384, maxRounds = 4,
         cachePages = false, bloomExpected = 16L * 1000 * 1000)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      (cpus, secs, work, work / secs, pSecs, pLinks, pLinks / pSecs)
+      (cpus, secs, work, work / secs, pSecs, pLinks, pLinks / pSecs, rounds)
     }
     def best(cpus: Int) = allRuns.filter(_._1 == cpus).minBy(_._2)
-    val Seq((_, s8, w8, t8, _, _, _), (_, s32, w32, t32, _, _, _)) =
+    val Seq((_, s8, w8, t8, _, _, _, ph8), (_, s32, w32, t32, _, _, _, ph32)) =
       Seq(best(8), best(32))
     def bestParse(cpus: Int) = allRuns.filter(_._1 == cpus).minBy(_._5)
-    val Seq((_, _, _, _, ps8, pl8, pt8), (_, _, _, _, ps32, pl32, pt32)) =
+    val Seq((_, _, _, _, ps8, pl8, pt8, _), (_, _, _, _, ps32, pl32, pt32, _)) =
       Seq(bestParse(8), bestParse(32))
     val eff = (t32 / t8) / (32.0 / 8.0)
     val pEff = (pt32 / pt8) / (32.0 / 8.0)
+
+    // Per-phase medians across steady rounds (round 0 pays first-plan
+    // codegen — excluded) from the metrics manifests: the evidence table
+    // for where the strong-scaling gap lives, and whether the per-round
+    // serial floor (t_batch driver planning + snapshot-build adoption)
+    // shrank after the async seen-filter build
+    val phaseKeys = Seq("t_batch", "t_wsides", "t_wseg",
+      "t_bloom_launch", "t_bloom_adopt", "t_bloom", "wallMs")
+    def phaseMedians(rounds: Seq[Map[String, Long]]): Map[String, Double] = {
+      val steady = if (rounds.size > 1) rounds.tail else rounds
+      phaseKeys.map(k =>
+        k -> Bench.median(steady.map(_.getOrElse(k, 0L).toDouble))).toMap
+    }
+    val (pm8, pm32) = (phaseMedians(ph8), phaseMedians(ph32))
+    val phaseTable = phaseKeys.filter(k => pm8(k) > 0 || pm32(k) > 0).map { k =>
+      val r = if (pm32(k) > 0) pm8(k) / pm32(k) else Double.NaN
+      f"| $k | ${pm8(k)}%.0f | ${pm32(k)}%.0f | $r%.2f |"
+    }.mkString("\n")
 
     // Weak scaling: 4× cores on 4× per-round work over the same graph —
     // the operating mode of a real fleet (cluster size grows with the
     // frontier; the north rule's N→4N-executor step is taken while the
     // 10^10 frontier keeps every executor saturated). Ideal = equal wall.
-    def weakRun(cpus: Int, budget: Int): (Double, Long) = {
+    def weakRun(cpus: Int, budget: Int): (Double, Long, Seq[Map[String, Long]]) = {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -101,8 +119,8 @@ object ScalingBench {
     val weakRuns = Seq((8, 4096), (32, 16384), (8, 4096), (32, 16384)).map {
       case (c, b) => (c, weakRun(c, b)) }
     def bestWeak(cpus: Int) = weakRuns.filter(_._1 == cpus).map(_._2).minBy(_._1)
-    val (ws8, ww8) = bestWeak(8)
-    val (ws32, ww32) = bestWeak(32)
+    val (ws8, ww8, _) = bestWeak(8)
+    val (ws32, ww32, _) = bestWeak(32)
     val weakEff = (ww32 / ws32) / (4.0 * (ww8 / ws8))
 
     println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","t8_urls_per_sec":$t8%.1f,"t32_urls_per_sec":$t32%.1f,"sec8":$s8%.1f,"sec32":$s32%.1f,"work":$w8,"parse_eff":$pEff%.3f,"parse8_links_per_sec":$pt8%.1f,"parse32_links_per_sec":$pt32%.1f,"weak_eff":$weakEff%.3f,"weak8_sec":$ws8%.1f,"weak32_sec":$ws32%.1f,"hw_ceiling_eff":$hwCeiling%.3f}""")
@@ -123,6 +141,19 @@ object ScalingBench {
          || local[32] | $s32%.1f | $w32 | $t32%.1f |
          |
          |Crawl-loop scaling efficiency (T_32 / T_8) / 4 = **$eff%.3f** (target >= 0.8).
+         |
+         |### Per-phase wall (median ms per steady round, from the metrics manifests)
+         |
+         |`t_batch` = scheduling job (driver planning + AQE + the batch write),
+         |`t_wsides`/`t_wseg` = side-output and new-segment writes,
+         |`t_bloom_launch`/`t_bloom_adopt` = seen-filter snapshot build launch
+         |(plan resolution only; the build's jobs overlap the next round's
+         |scheduling) and adoption; `wallMs` = whole round. An 8/32 ratio near
+         |1.0 = fixed serial cost; near 4.0 = perfectly parallel.
+         |
+         || phase | local[8] (ms) | local[32] (ms) | 8/32 ratio |
+         ||---|---|---|---|
+         |$phaseTable
          |
          |### Fetch-parse-canonicalize hot path (map-only)
          |

@@ -73,7 +73,9 @@ object SparkEntry {
     "q39_sequence_packing" -> ContractQueries.q39SequencePacking _,
     "q40_link_rank" -> ContractQueries.q40LinkRank _,
     "q41_incremental_dedup" -> ContractQueries.q41IncrementalDedup _,
-    "q42_incremental_minhash" -> ContractQueries.q42IncrementalMinhash _)
+    "q42_incremental_minhash" -> ContractQueries.q42IncrementalMinhash _,
+    "q43_robots_allowed" -> ContractQueries.q43RobotsAllowed _,
+    "q44_repetition_stats" -> ContractQueries.q44RepetitionStats _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -621,5 +623,42 @@ object SparkEntry {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
          |WHERE a.doc_id < 100 OR b.doc_id < 100
          |ORDER BY d1, d2""".stripMargin
-    })
+    },
+
+    "q43_robots_allowed" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '/p' || (doc_id % 7) || '/' || (doc_id % 3) || '/' AS path,
+        |    ['/p' || (doc_id % 5) || '/',
+        |     '/p' || (doc_id % 7) || '/' || (doc_id % 4),
+        |     '/q' || (doc_id % 3)] AS dis,
+        |    ['/p' || (doc_id % 7),
+        |     '/p' || (doc_id % 5) || '/' || (doc_id % 3)] AS allow
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (coalesce(list_max(list_transform(
+        |      list_filter(dis, p -> starts_with(path, p)), p -> length(p))), 0)
+        |   <= coalesce(list_max(list_transform(
+        |      list_filter(allow, p -> starts_with(path, p)), p -> length(p))), 0)
+        |  )::INT AS allowed
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q44_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top1 AS (SELECT doc_id, max(c) AS top_c, sum(c)::BIGINT AS n_tokens
+        |         FROM tf GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS bgram
+        |  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS r(i)),
+        |bf AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id, max(c) AS top_bc, sum(c)::BIGINT AS n_bigrams
+        |         FROM bf GROUP BY doc_id)
+        |SELECT t1.doc_id, t1.n_tokens,
+        |  round(t1.top_c::DOUBLE / t1.n_tokens::DOUBLE, 6) AS top_token_frac,
+        |  t2.n_bigrams,
+        |  round(t2.top_bc::DOUBLE / t2.n_bigrams::DOUBLE, 6) AS top_bigram_frac
+        |FROM top1 t1 LEFT JOIN top2 t2 ON t1.doc_id = t2.doc_id
+        |ORDER BY t1.doc_id""".stripMargin)
 }

@@ -53,9 +53,82 @@ case class TextFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+object RepetitionKernels {
+
+  private def round6(v: Double): Double =
+    // Spark's Round(double, 6): BigDecimal.valueOf + HALF_UP — matched
+    // exactly so the per-row stats are bit-identical to the relational
+    // TextOps.repetitionMetrics the q33 oracle pins
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-row Gopher repetition stats over one document, matching
+    * [[graft.ops.TextOps.repetitionMetrics]] field-for-field:
+    * `split(text, ' ')` tokenization (trailing empties kept, like Spark's
+    * `split` with limit -1), adjacent word bigrams joined with a space,
+    * fractions rounded like `round(x, 6)`. One linear pass with a hash map
+    * per side — the batch path's two grouped aggregations are the right
+    * shape for a relational engine, but a STREAM needs a stateless per-row
+    * verdict, and a row's own token histogram is driver-free O(len). */
+  def stats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val nTok = toks.length
+    val tokCounts = new java.util.HashMap[String, Int](nTok * 2)
+    var topTok = 0
+    var i = 0
+    while (i < nTok) {
+      val c = tokCounts.merge(toks(i), 1, (a, b) => a + b)
+      if (c > topTok) topTok = c
+      i += 1
+    }
+    val tokFrac = round6(topTok.toDouble / nTok.toDouble)
+    if (nTok < 2)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nTok.toLong, tokFrac, null, null))
+    else {
+      val nBg = nTok - 1
+      val bgCounts = new java.util.HashMap[String, Int](nBg * 2)
+      var topBg = 0
+      i = 0
+      while (i < nBg) {
+        val c = bgCounts.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+        if (c > topBg) topBg = c
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nTok.toLong, tokFrac, nBg.toLong,
+          round6(topBg.toDouble / nBg.toDouble)))
+    }
+  }
+}
+
+/** Codegen'd per-row repetition stats — the streaming-safe counterpart of
+  * the batch `repetitionMetrics` relational program. Returns
+  * `struct<n_tokens, top_token_frac, n_bigrams, top_bigram_frac>` (bigram
+  * fields null for sub-2-token docs, like the batch left join). Stateless
+  * per row, so `CurationStream` can run the Gopher repetition gate in
+  * append mode with zero keyed state. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("top_token_frac", DoubleType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = true),
+    StructField("top_bigram_frac", DoubleType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionKernels.stats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionKernels.stats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def text_fingerprint(c: Column): Column = CB.column(TextFingerprint(CB.expression(c)))
+  def repetition_stats(c: Column): Column = CB.column(RepetitionStats(CB.expression(c)))
 
   def registerAll(spark: SparkSession): Unit =
-    FunctionTable.register(spark, FunctionTable.byName("text_fingerprint"))
+    FunctionTable.register(spark, FunctionTable.byName("text_fingerprint", "repetition_stats"))
 }

@@ -431,9 +431,47 @@ final class FrontierCrawler(
       }
       r
     }
+    // Seen-filter snapshot builds run ASYNC, overlapping the NEXT round's
+    // scheduling job (the per-round driver floor the strong-scaling profile
+    // pins): the build's write jobs share the executor pool with t_batch,
+    // and `bloomRound` — which every probe handle and delta-range is keyed
+    // on — only advances when the finished build is ADOPTED on the main
+    // thread at a round boundary. Until adoption the uncovered visited
+    // rounds ride the existing delta anti-join, exactly like a round
+    // between bloomUpdateEvery cadences; the manifest keeps pointing at the
+    // old snapshot, so a crash mid-build resumes correctly (the new
+    // snapshot's files are unreferenced orphans). The single-broadcast
+    // Bloom variant computes its delta filter in the future but merges it
+    // into the driver-resident filter only at adoption — `mergeInPlace` on
+    // an object a broadcast may be serializing would be a torn read.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var pendingSnapshot: Option[(Int, Future[Option[BloomFilter]])] = None
+    def adoptSnapshot(block: Boolean): Unit = pendingSnapshot match {
+      case Some((r, fut)) if block || fut.isCompleted =>
+        timed("t_bloom_adopt") {
+          Await.result(fut, Duration.Inf) match {
+            case Some(delta) => // single-broadcast mode: merge + persist now
+              bloom match {
+                case Some(b) => b.mergeInPlace(delta)
+                case None => bloom = Some(delta)
+              }
+              store.saveBloom(r, bloom.get)
+            case None => () // bucket modes persisted inside the build
+          }
+          bloomRound = r
+          pendingSnapshot = None
+        }
+      case _ => ()
+    }
     while (!done && round < cfg.maxRounds) {
       val roundT0 = System.nanoTime()
       phaseTimes.clear()
+      // adopt a finished build before planning eligibility (fresh probes);
+      // BLOCK only if the filter has fallen two cadences behind — unbounded
+      // staleness would grow the per-round delta anti-join without bound
+      adoptSnapshot(block = round - math.max(bloomRound, 0) >= 2 * cfg.bloomUpdateEvery + 2)
       store.readFrontier(m.liveSegs, m.watermark) match {
         case None => done = true
         case Some(frontier0) =>
@@ -685,30 +723,32 @@ final class FrontierCrawler(
             // filter absorbs visited deltas every bloomUpdateEvery rounds and
             // the uncovered tail is handled by a small delta anti-join at
             // eligibility time. Snapshot persisted for exact resume.
-            val bloomStale =
-              (if (bucketMode) bloomRound < 0 else bloom.isEmpty) ||
-                round - bloomRound >= cfg.bloomUpdateEvery
-            if (cfg.bloomEnabled && bloomStale) timed("t_bloom") {
+            val bloomStale = pendingSnapshot.isEmpty &&
+              ((if (bucketMode) bloomRound < 0 else bloom.isEmpty) ||
+                round - bloomRound >= cfg.bloomUpdateEvery)
+            if (cfg.bloomEnabled && bloomStale) timed("t_bloom_launch") {
+              // plan resolution (schema/footer reads) happens HERE on the
+              // main thread against durable inputs; the build's Spark jobs
+              // run in the future, overlapping the next round's scheduling
               val deltaRounds = (m.visitedRounds :+ round).filter(_ > bloomRound)
               val deltas = store.readVisited(deltaRounds).get
-              if (cuckooMode) {
-                store.saveCuckooBuckets(round, bloomRound, deltas, cfg.bloomBuckets,
-                  math.max(cfg.bloomExpectedItems / cfg.bloomBuckets, 1024L))
-                bloomRound = round
-              } else if (bucketMode) {
-                store.saveBloomBuckets(round, bloomRound, deltas, cfg.bloomBuckets,
-                  math.max(cfg.bloomExpectedItems / cfg.bloomBuckets, 1024L), cfg.bloomFpp)
-                bloomRound = round
-              } else {
-                val deltaBloom =
-                  deltas.stat.bloomFilter("urlHash", cfg.bloomExpectedItems, cfg.bloomFpp)
-                bloom match {
-                  case Some(b) => b.mergeInPlace(deltaBloom)
-                  case None => bloom = Some(deltaBloom)
-                }
-                bloomRound = round
-                store.saveBloom(round, bloom.get)
-              }
+              val launchRound = round
+              val prevRound = bloomRound
+              pendingSnapshot = Some((launchRound, Future {
+                spark.sparkContext.setJobGroup("t_bloom", "t_bloom")
+                try {
+                  if (cuckooMode) {
+                    store.saveCuckooBuckets(launchRound, prevRound, deltas, cfg.bloomBuckets,
+                      math.max(cfg.bloomExpectedItems / cfg.bloomBuckets, 1024L))
+                    None
+                  } else if (bucketMode) {
+                    store.saveBloomBuckets(launchRound, prevRound, deltas, cfg.bloomBuckets,
+                      math.max(cfg.bloomExpectedItems / cfg.bloomBuckets, 1024L), cfg.bloomFpp)
+                    None
+                  } else Some(
+                    deltas.stat.bloomFilter("urlHash", cfg.bloomExpectedItems, cfg.bloomFpp))
+                } finally spark.sparkContext.clearJobGroup()
+              }))
             }
 
             // Retry-After → per-host backoff (F14; polite mode only): merge
@@ -777,6 +817,18 @@ final class FrontierCrawler(
           }
           bloomBc.foreach(_.destroy())
       }
+    }
+    // a build still in flight at loop exit: finish and commit it, so resume
+    // (and the next crawl epoch over this checkpoint) starts from the
+    // freshest snapshot instead of re-deriving the tail deltas. The
+    // re-save also covers a build ADOPTED at the start of the crawl's
+    // terminating round (empty frontier ⇒ that round writes no manifest):
+    // compare persisted vs in-memory pointer, not just the pending future.
+    adoptSnapshot(block = true)
+    val hasBloomNow = bloom.isDefined || (bucketMode && bloomRound >= 0)
+    if (m.round >= 0 && (m.bloomRound != bloomRound || m.hasBloom != hasBloomNow)) {
+      m = m.copy(hasBloom = hasBloomNow, bloomRound = bloomRound)
+      store.saveManifest(m)
     }
 
     // final relations (S4-S7 read side)
@@ -849,15 +901,13 @@ final class FrontierCrawler(
             // `/a/` normalized to `/a` — matching against path + "/" covers
             // both without ever un-matching a plain prefix (appending to
             // the subject cannot break an existing prefix match).
-            def bestLen(rules: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-              aggregate(filter(rules, p => startswith($"__pathx", p)),
-                lit(0), (acc, p) => greatest(acc, length(p)))
-            // keep iff the best matching Allow is at least as specific as
-            // the best matching Disallow (no match on either side = 0 ≤ 0)
-            joined.withColumn("__pathx",
-                concat(graft.functions.UrlFunctions.url_path($"url"), lit("/")))
-              .filter(bestLen(dis) <= bestLen(allows))
-              .drop("__pathx")
+            // The longest-match fold itself is a codegen'd native
+            // expression (RobotsAllowed) — the HOF formulation ran two
+            // interpreted lambdas per rule element on the scheduling hot
+            // path, outside WholeStageCodegen.
+            joined.filter(graft.functions.RobotsFunctions.robots_allowed(
+              concat(graft.functions.UrlFunctions.url_path($"url"), lit("/")),
+              dis, allows))
           }
         val b = when($"crawlDelay".isNotNull && $"crawlDelay" > lit(cfg.delay),
           greatest(lit(1.0), lit(cfg.perHostBudget.toDouble) * lit(cfg.delay) / $"crawlDelay").cast("int"))

@@ -456,4 +456,44 @@ object ContractQueries {
     val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.35)
     Dedup.dedupComponents(emb, "vec_id", pairs, "v1", "v2").orderBy("vec_id")
   }
+
+  /** RFC 9309 longest-match verdict through the codegen'd
+    * [[graft.functions.RobotsAllowed]] expression (the polite scheduler's
+    * per-row robots filter) over a deterministic rule matrix derived from
+    * doc_id residues: exercises longer-disallow-wins, allow-wins-ties, and
+    * no-match-admits; the oracle replays the fold with DuckDB list lambdas. */
+  def q43RobotsAllowed(spark: SparkSession, dir: String): DataFrame = {
+    val a = (col("doc_id") % 7).cast("string")
+    val b = (col("doc_id") % 3).cast("string")
+    val c = (col("doc_id") % 5).cast("string")
+    val e = (col("doc_id") % 4).cast("string")
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("/p"), a, lit("/"), b, lit("/")).as("path"),
+        array(concat(lit("/p"), c, lit("/")),
+          concat(lit("/p"), a, lit("/"), e),
+          concat(lit("/q"), b)).as("dis"),
+        array(concat(lit("/p"), a),
+          concat(lit("/p"), c, lit("/"), b)).as("allow"))
+      .select(col("doc_id"),
+        graft.functions.RobotsFunctions
+          .robots_allowed(col("path"), col("dis"), col("allow"))
+          .cast("int").as("allowed"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-row repetition stats through the codegen'd
+    * [[graft.functions.RepetitionStats]] expression — the streaming
+    * curation gate's kernel — checked against the same relational oracle
+    * q33 uses (the expression must agree with the grouped-aggregation
+    * formulation on every document, nulls included). */
+  def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.repetition_stats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        col("r.top_token_frac").as("top_token_frac"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.top_bigram_frac").as("top_bigram_frac"))
+      .orderBy("doc_id")
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.functions.{RobotsFunctions => RF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd longest-match expression must agree with the interpreted
+  * HOF formulation it replaced on every rule shape (the RFC 9309 verdicts
+  * RobotsSpec pins end-to-end are computed through it), share its null
+  * semantics, and stay inside WholeStageCodegen. */
+class RobotsExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // the exact column program politeBatch used before the native expression
+  private val hof =
+    "aggregate(filter(dis, p -> startswith(path, p)), 0, (acc, p) -> greatest(acc, length(p))) <= " +
+      "aggregate(filter(allow, p -> startswith(path, p)), 0, (acc, p) -> greatest(acc, length(p)))"
+
+  test("agrees with the HOF longest-match fold on a randomized rule matrix") {
+    val rnd = new scala.util.Random(42)
+    val pieces = Seq("/", "/a", "/a/", "/a/b", "/ab", "/b/", "/a/b/c", "/統", "/統計", "/x?q=1")
+    def rules() = Seq.fill(rnd.nextInt(5))(pieces(rnd.nextInt(pieces.length)))
+    val rows = Seq.tabulate(400) { i =>
+      val path = pieces(rnd.nextInt(pieces.length)) + (if (i % 3 == 0) "/" else "")
+      (path, rules(), rules())
+    } ++ Seq(
+      ("/a/b/", Seq.empty[String], Seq.empty[String]),      // no rules: 0 <= 0
+      ("/a/b/", Seq("/a"), Seq("/a")),                       // tie: allow wins
+      ("/a/b/", Seq("/a/b"), Seq("/a")),                     // longer disallow wins
+      ("/統計/", Seq("/統計"), Seq("/統")),                   // multi-byte char lengths
+      ("/a/b/", Seq("/a", null, "/a/b"), Seq(null, "/a/b"))) // null elements skipped
+    val df = rows.toDF("path", "dis", "allow")
+      .withColumn("native", RF.robots_allowed($"path", $"dis", $"allow"))
+      .withColumn("ref", expr(hof))
+    assert(df.filter($"native" =!= $"ref" ||
+      $"native".isNull =!= $"ref".isNull).count() == 0)
+    // sanity: both verdicts occur in the matrix
+    assert(df.filter($"native").count() > 0)
+    assert(df.filter(!$"native").count() > 0)
+  }
+
+  test("null semantics: null on any null input; the filter drops such rows") {
+    // null RULE arrays poison the HOF fold the same way (null <= x = null);
+    // a null PATH is the one divergence — the HOF's two empty folds compare
+    // 0 <= 0 = TRUE, the native expression stays null-intolerant (strictly
+    // more conservative: the row is dropped, never admitted). politeBatch
+    // never feeds a null: path is concat(url_path(url), '/') over non-null
+    // frontier URLs and both rule arrays are coalesced to empty.
+    val df = Seq(
+      (Some("/a"), Some(Seq("/a")), None: Option[Seq[String]]),
+      (Some("/a"), None: Option[Seq[String]], Some(Seq("/a"))),
+      (None: Option[String], Some(Seq("/a")), Some(Seq("/a"))))
+      .toDF("path", "dis", "allow")
+      .withColumn("native", RF.robots_allowed($"path", $"dis", $"allow"))
+      .withColumn("ref", expr(hof))
+    assert(df.filter($"native".isNotNull).count() == 0)
+    assert(df.filter($"path".isNotNull && $"ref".isNotNull).count() == 0)
+    assert(df.filter($"path".isNull && !coalesce($"ref", lit(false))).count() == 0)
+    assert(df.filter(RF.robots_allowed($"path", $"dis", $"allow")).count() == 0)
+  }
+
+  test("verdict filter stays inside WholeStageCodegen") {
+    // inputs derived from range so constant folding can't collapse the
+    // plan to a LocalTableScan before the filter exists
+    val df = spark.range(2).select(
+      concat(lit("/a/"), when($"id" === 0, lit("b")).otherwise(lit("c")),
+        lit("/")).as("path"),
+      array(lit("/a")).as("dis"), array(lit("/a/b")).as("allow"))
+    val q = df.filter(RF.robots_allowed($"path", $"dis", $"allow"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter"), plan)
+    assert(q.count() == 1)
+  }
+
+  test("SQL registration: robots_allowed callable from spark.sql") {
+    RobotsFunctions.registerAll(spark)
+    val n = spark.sql(
+      "SELECT robots_allowed('/a/b/', array('/a'), array('/a/b')) AS ok").head().getBoolean(0)
+    assert(n)
+  }
+}
