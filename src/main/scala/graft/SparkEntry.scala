@@ -75,7 +75,8 @@ object SparkEntry {
     "q41_incremental_dedup" -> ContractQueries.q41IncrementalDedup _,
     "q42_incremental_minhash" -> ContractQueries.q42IncrementalMinhash _,
     "q43_robots_allowed" -> ContractQueries.q43RobotsAllowed _,
-    "q44_repetition_stats" -> ContractQueries.q44RepetitionStats _)
+    "q44_repetition_stats" -> ContractQueries.q44RepetitionStats _,
+    "q45_trap_patterns" -> ContractQueries.q45TrapPatterns _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -660,5 +661,15 @@ object SparkEntry {
         |  t2.n_bigrams,
         |  round(t2.top_bc::DOUBLE / t2.n_bigrams::DOUBLE, 6) AS top_bigram_frac
         |FROM top1 t1 LEFT JOIN top2 t2 ON t1.doc_id = t2.doc_id
-        |ORDER BY t1.doc_id""".stripMargin)
+        |ORDER BY t1.doc_id""".stripMargin,
+
+    // closed-form pattern reconstruction: digit runs (item id) and the
+    // 32-hex md5 segment collapse to '#', query values drop to keys
+    "q45_trap_patterns" ->
+      """SELECT 'h' || (doc_id % 5) || '.com/' ||
+        |       chr(CAST(97 + doc_id % 7 AS INT)) ||
+        |       '/item#/#?session&page' AS pattern,
+        |       count(*) AS n_urls
+        |FROM documents
+        |GROUP BY 1 ORDER BY pattern""".stripMargin)
 }

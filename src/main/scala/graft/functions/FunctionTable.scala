@@ -15,6 +15,7 @@ object FunctionTable {
     Fn("url_resolve", 2, es => UrlResolve(es(0), es(1))),
     Fn("url_host", 1, es => UrlHost(es.head)),
     Fn("url_path", 1, es => UrlPath(es.head)),
+    Fn("url_pattern_key", 1, es => UrlPatternKey(es.head)),
     Fn("url_syntactic_valid", 1, es => UrlSyntacticValid(es.head)),
     Fn("url_security_valid", 1, es => UrlSecurityValid(es.head)),
     Fn("extract_hrefs", 1, es => ExtractHrefs(es.head)),

@@ -114,6 +114,22 @@ case class UrlPath(child: Expression)
     copy(child = newChild)
 }
 
+/** Crawl-trap pattern signature (see [[UrlKernels.urlPatternKeyJ]]): the
+  * bounded key a per-pattern admission budget groups on to stop infinite
+  * URL spaces (calendars, session ids) from flooding the frontier. */
+case class UrlPatternKey(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_pattern_key"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKernels.urlPatternKey(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.urlPatternKey($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlPatternKey =
+    copy(child = newChild)
+}
+
 /** 1→N href generator over a raw-HTML column (G1 in SURVEY.md §2.6). */
 case class ExtractHrefs(child: Expression)
     extends UnaryExpression with StringInputCheck {
@@ -134,6 +150,7 @@ object UrlFunctions {
   def url_resolve(base: Column, ref: Column): Column = CB.column(UrlResolve(CB.expression(base), CB.expression(ref)))
   def url_host(c: Column): Column = CB.column(UrlHost(CB.expression(c)))
   def url_path(c: Column): Column = CB.column(UrlPath(CB.expression(c)))
+  def url_pattern_key(c: Column): Column = CB.column(UrlPatternKey(CB.expression(c)))
   def url_syntactic_valid(c: Column): Column = CB.column(UrlSyntacticValid(CB.expression(c)))
   def url_security_valid(c: Column): Column = CB.column(UrlSecurityValid(CB.expression(c)))
   def extract_hrefs(c: Column): Column = CB.column(ExtractHrefs(CB.expression(c)))

@@ -72,4 +72,73 @@ object UrlKernels {
     }
     out.toArray
   }
+
+  /** Minimum length for a mixed hex run (letters+digits) to be treated as a
+    * generated identifier and collapsed — long enough that real words
+    * ("deadbeef" is 8) survive, short enough to catch md5/uuid/session ids. */
+  private final val HexRunMin = 16
+
+  /** Crawl-trap pattern key: collapses the unbounded parts of a URL into a
+    * bounded signature, so a per-pattern admission budget can stop infinite
+    * URL spaces (calendar pages, session-id echoes, faceted-search
+    * explosions) from flooding a 10^10-row frontier. The reference crawler
+    * has no defense here — its BFS loop (`/root/reference/src/web_crawler.py:245`)
+    * will walk a calendar trap forever; at fleet scale this guard is what
+    * keeps one adversarial host from owning the frontier.
+    *
+    * Key = netloc + canonicalized path + ('?' + query KEYS in document
+    * order, values dropped). Path canonicalization lowercases and collapses
+    * to `#` every maximal `[0-9a-f]` run (post-lowercase) that is either all
+    * digits, or ≥ [[HexRunMin]] chars containing at least one digit (hashes,
+    * uuids with dashes collapse per hex segment). The scheme is dropped —
+    * http/https mirrors share one pattern space by design.
+    */
+  def urlPatternKeyJ(url: String): String = {
+    val p = PyUrl.urlparse(url)
+    val path = p.path
+    val sb = new java.lang.StringBuilder(p.netloc.length + path.length + 8)
+    sb.append(p.netloc)
+    var i = 0
+    val n = path.length
+    while (i < n) {
+      val c0 = path.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      val isHex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')
+      if (!isHex) { sb.append(c); i += 1 }
+      else {
+        var j = i
+        var digits = 0
+        var letters = 0
+        var continue = true
+        while (j < n && continue) {
+          val d0 = path.charAt(j)
+          val d = if (d0 >= 'A' && d0 <= 'Z') (d0 + 32).toChar else d0
+          if (d >= '0' && d <= '9') { digits += 1; j += 1 }
+          else if (d >= 'a' && d <= 'f') { letters += 1; j += 1 }
+          else continue = false
+        }
+        val len = j - i
+        val collapse = digits > 0 && (letters == 0 || len >= HexRunMin)
+        if (collapse) sb.append('#')
+        else { var k = i; while (k < j) { val e0 = path.charAt(k)
+          sb.append(if (e0 >= 'A' && e0 <= 'Z') (e0 + 32).toChar else e0); k += 1 } }
+        i = j
+      }
+    }
+    val q = p.query
+    if (q.nonEmpty) {
+      sb.append('?')
+      var first = true
+      q.split("&", -1).foreach { kv =>
+        if (!first) sb.append('&')
+        first = false
+        val eq = kv.indexOf('=')
+        sb.append(if (eq >= 0) kv.substring(0, eq) else kv)
+      }
+    }
+    sb.toString
+  }
+
+  def urlPatternKey(url: UTF8String): UTF8String =
+    UTF8String.fromString(urlPatternKeyJ(url.toString))
 }

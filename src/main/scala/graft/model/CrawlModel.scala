@@ -88,6 +88,27 @@ final case class CrawlConfig(
     // frontiers ration fetch capacity. Int.MaxValue = uncapped (every
     // eligible host gets its per-host budget each round)
     roundBudget: Int = Int.MaxValue,
+    // crawl-trap guard (polite mode only; 0 = off): at most this many URLs
+    // per (host, URL-pattern) are EVER admitted to the frontier, where the
+    // pattern key collapses digit/hex runs and query values
+    // (url_pattern_key) — calendar pages, session-id echoes and
+    // faceted-search explosions stop at the cap instead of flooding a
+    // 10^10-row frontier. Counts persist in the checkpoint (lifetime
+    // admissions), so resume and re-crawl keep honoring the cap. Seeds
+    // bypass the guard — only discovered links are rationed.
+    trapPatternCap: Int = 0,
+    // mirror-page suppression (polite mode only): pages whose RESOLVED,
+    // normalized link set was already extracted — same site served under
+    // two URL shapes, scraped copies, boilerplate hubs — skip link
+    // extraction entirely. A pure optimization: the digest covers exactly
+    // what admission would see, so the found set is identical with the
+    // flag on or off; what changes is the per-round explode/normalize/
+    // anti-join volume on mirror-heavy crawls. Digests persist as
+    // per-round deltas; only the last `contentDedupWindow` rounds are
+    // anti-joined (bounded cost at any crawl age — a mirror beyond the
+    // window is re-extracted, wasting work but never correctness).
+    contentDedup: Boolean = false,
+    contentDedupWindow: Int = 16,
     checkpointDir: Option[String] = None) {
 
   /** The request headers a live HTTP fetcher sends at the fetch boundary

@@ -83,7 +83,19 @@ object CheckpointStore {
       // would roll a COMMITTED delete back, resurrecting expired keys into
       // the seen filter forever (their visited rounds are already gone from
       // the manifest, so nothing would ever delete them again).
-      expiryToken: String = "")
+      expiryToken: String = "",
+      // round whose patstate/ dir holds the current (patternHash, admitted
+      // count) relation of the crawl-trap guard (CrawlConfig.trapPatternCap);
+      // -1 = guard never ran. Counts are LIFETIME admissions per pattern, so
+      // expiry/requeue leaves them untouched by design.
+      patternStateRound: Int = -1,
+      // rounds holding content-digest deltas (mirror-page suppression,
+      // CrawlConfig.contentDedup) — the read side anti-joins only the last
+      // `contentDedupWindow` of these, so the per-round cost is bounded
+      // regardless of crawl age. Suppression is a pure optimization (the
+      // digest covers the page's RESOLVED link set, so a suppressed mirror
+      // contributes nothing the kept copy didn't), so expiry ignores this.
+      contentRounds: Seq[Int] = Nil)
 }
 
 final class CheckpointStore(spark: SparkSession, val dir: String,
@@ -118,6 +130,9 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     StructField("url", StringType), StructField("kind", StringType)))
   private val hostStateSchema = StructType(Seq(
     StructField("host", StringType), StructField("notBefore", IntegerType)))
+  private val patternStateSchema = StructType(Seq(
+    StructField("pat", LongType), StructField("cnt", LongType)))
+  private val contentSchema = StructType(Seq(StructField("__chash", LongType)))
 
   def visitedPath(round: Int): String =
     if (visitedFromLog) visitLogPath(round) else p("visited", s"round=$round")
@@ -125,6 +140,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
   def sidesPath(round: Int): String = p("sides", s"round=$round")
   def visitLogPath(round: Int): String = p("visitlog", s"round=$round")
   def hostStatePath(round: Int): String = p("hoststate", s"round=$round")
+  def patternStatePath(round: Int): String = p("patstate", s"round=$round")
 
   def saveManifest(m: Manifest): Unit = {
     val props = new Properties()
@@ -144,6 +160,8 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     props.setProperty("seenKind", m.seenKind)
     props.setProperty("seenBuckets", m.seenBuckets.toString)
     props.setProperty("expiryToken", m.expiryToken)
+    props.setProperty("patternStateRound", m.patternStateRound.toString)
+    props.setProperty("contentRounds", m.contentRounds.mkString(","))
     sfs.writeAtomic(p("manifest", s"round=${m.round}.properties")) { out =>
       props.store(out, null)
     }
@@ -208,7 +226,9 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
       Option(props.getProperty("seenKind")).getOrElse(seenKindDefault),
       Option(props.getProperty("seenBuckets")).map(_.toInt)
         .getOrElse(seenBucketsDefault),
-      props.getProperty("expiryToken", ""))
+      props.getProperty("expiryToken", ""),
+      props.getProperty("patternStateRound", "-1").toInt,
+      seq("contentRounds").map(_.toInt))
   }
 
   /** The visited set: union of disjoint per-round deltas (no distinct).
@@ -640,6 +660,30 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
 
   def readHostState(round: Int): DataFrame =
     spark.read.schema(hostStateSchema).parquet(hostStatePath(round))
+
+  /** Crawl-trap guard state: one (pattern-key hash, lifetime admitted count)
+    * row per URL pattern ever admitted. Written on rounds that admit links
+    * while the guard is on; the manifest's `patternStateRound` points at the
+    * current relation (same write-on-change protocol as hoststate). Bounded
+    * by construction — the pattern key collapses exactly the unbounded URL
+    * parts, so this relation grows with DISTINCT shapes, not URLs. */
+  def savePatternState(round: Int, state: DataFrame): Unit =
+    state.write.mode("overwrite").parquet(patternStatePath(round))
+
+  def readPatternState(round: Int): DataFrame =
+    spark.read.schema(patternStateSchema).parquet(patternStatePath(round))
+
+  /** Content-digest deltas (mirror-page suppression): one 64-bit digest per
+    * page whose resolved link set was first seen that round. Per-round
+    * deltas like visited/; the crawler anti-joins only a bounded recent
+    * window of them (mirrors co-occur temporally, and a missed distant
+    * mirror costs wasted extraction work, never correctness). */
+  def contentPath(round: Int): String = p("contentseen", s"round=$round")
+
+  def readContentDigests(rounds: Seq[Int]): Option[DataFrame] =
+    if (rounds.isEmpty) None
+    else Some(spark.read.schema(contentSchema)
+      .parquet(rounds.map(contentPath): _*))
 
   /** Pre-round-3 checkpoints stored backoff as a `round=K.properties` file
     * and no manifest pointer; read it (if present) so resume migrates the

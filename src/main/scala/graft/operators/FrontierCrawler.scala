@@ -408,6 +408,8 @@ final class FrontierCrawler(
       else None
     var bloomRound: Int = if (snapshotCompatible) m.bloomRound else -1
     loadHostBackoff(if (m.round >= 0) m.hostStateRound else -1)
+    // crawl-trap guard state pointer (lifetime per-pattern admission counts)
+    var patternStateRound: Int = if (m.round >= 0) m.patternStateRound else -1
     // one-time migration: a checkpoint written before the relation-backed
     // store has no hostStateRound pointer but may hold a legacy properties
     // file — convert it rather than silently un-throttling every host
@@ -630,8 +632,42 @@ final class FrontierCrawler(
                 .write.mode("overwrite").parquet(store.sidesPath(round)) } }
 
             // G1 + C1/C2/C3 + F1 + F4/U3: link explosion and admission
-            val okRows = f.filter($"phase" === Hop.Done && !$"dropped" && $"status" < 400 &&
+            val okRows0 = f.filter($"phase" === Hop.Done && !$"dropped" && $"status" < 400 &&
               size($"links") > 0)
+            // mirror-page suppression: digest = hash of the SORTED, resolved,
+            // normalized link set — exactly the relation admission consumes,
+            // so dropping a repeat digest cannot change the found set (the
+            // kept copy already contributed the identical URL set; the
+            // ContentDedupSpec asserts on≡off). Within-round repeats keep the
+            // first by batchIdx; cross-round repeats anti-join the last
+            // `contentDedupWindow` digest deltas (bounded per-round cost).
+            // The transform lambda evaluates interpreted, but only once per
+            // OK page over a ~links-length array — the explode path below
+            // pays the same resolution for the pages that survive.
+            var contentFresh = -1L
+            val okRows =
+              if (cfg.fifoParity || !cfg.contentDedup) okRows0
+              else {
+                val resolvedSet = sort_array(transform($"links",
+                  h => normalize_url(url_resolve($"urlPrime", h))))
+                val hashed = okRows0.withColumn("__chash", xxhash64(resolvedSet))
+                val wc = Window.partitionBy($"__chash").orderBy($"batchIdx")
+                val firsts = hashed.withColumn("__crk", row_number().over(wc))
+                  .filter($"__crk" === 1).drop("__crk")
+                val seen = store.readContentDigests(
+                  m.contentRounds.takeRight(cfg.contentDedupWindow))
+                val fresh = seen.fold(firsts)(s =>
+                  firsts.join(s, Seq("__chash"), "left_anti"))
+                // persist this round's fresh digests (f is persisted, so this
+                // extra action is one cheap job); the count rides the write
+                val cObs = org.apache.spark.sql.Observation()
+                timed("t_content") {
+                  fresh.select($"__chash").observe(cObs, count(lit(1)).as("n"))
+                    .write.mode("overwrite").parquet(store.contentPath(round))
+                }
+                contentFresh = cObs.get("n").asInstanceOf[Long]
+                fresh.drop("__chash")
+              }
             val exploded = okRows
               .select($"batchIdx".as("parentIdx"), $"depth", $"urlPrime".as("base"),
                 posexplode($"links").as(Seq("pos", "href")))
@@ -683,11 +719,36 @@ final class FrontierCrawler(
                     .withColumn("__prio",
                       coalesce($"__hostPrio", lit(Int.MaxValue)).cast("int"))
               }
-              prioed.select($"url", $"urlHash", $"host",
+              val entries = prioed.select($"url", $"urlHash", $"host",
                 ($"depth" + 1).as("depth"), $"__prio".as("priority"),
                 (lit((round.toLong + 1) * IdxSpan) + pmod(xxhash64($"url"), lit(IdxSpan)))
                   .as("discoveryIdx"),
                 lit(0L).as("nextFetchTime"))
+              // crawl-trap guard: ration admissions per URL pattern so an
+              // infinite URL space (calendar, session ids) saturates at the
+              // cap instead of flooding the frontier. Prior lifetime counts
+              // come from the persisted relation; this round's candidates
+              // rank deterministically within their pattern (urlHash, url —
+              // hash first keeps the sort key compact) and only rows that
+              // fit under cap − priorCount are admitted. The window
+              // partitions BY PATTERN, so one trap pattern never funnels
+              // the relation through a single task.
+              if (cfg.trapPatternCap <= 0) entries
+              else {
+                val withPat = entries
+                  .withColumn("__pat", xxhash64(url_pattern_key($"url")))
+                val scored =
+                  if (patternStateRound < 0) withPat.withColumn("__cnt", lit(0L))
+                  else withPat.join(
+                      store.readPatternState(patternStateRound)
+                        .select($"pat".as("__pat"), $"cnt".as("__cnt")),
+                      Seq("__pat"), "left_outer")
+                    .withColumn("__cnt", coalesce($"__cnt", lit(0L)))
+                val wp = Window.partitionBy($"__pat").orderBy($"urlHash", $"url")
+                scored.withColumn("__rk", row_number().over(wp).cast("long"))
+                  .filter($"__cnt" + $"__rk" <= cfg.trapPatternCap)
+                  .drop("__pat", "__cnt", "__rk")
+              }
             })
 
             // ONE evaluation of the link-admission subtree: the segment
@@ -711,6 +772,24 @@ final class FrontierCrawler(
                 (Option(segMetrics("mn")).fold(0L)(_.asInstanceOf[Long]),
                   Option(segMetrics("mx")).fold(-1L)(_.asInstanceOf[Long]))
               else ((round.toLong + 1) * IdxSpan, (round.toLong + 2) * IdxSpan - 1)
+            // trap-guard state: fold this round's admissions (read back from
+            // the durable segment — a flat scan, so the admission subtree is
+            // never re-executed) into the lifetime per-pattern counts. The
+            // relation grows with distinct URL SHAPES, not URLs, so the
+            // per-round merge stays orders of magnitude under the frontier.
+            if (!cfg.fifoParity && cfg.trapPatternCap > 0 && nlCnt > 0)
+              timed("t_patstate") {
+                val delta = store.readSegsRaw(Seq(seg))
+                  .select(xxhash64(url_pattern_key($"url")).as("pat"))
+                  .groupBy("pat").agg(count(lit(1)).as("cnt"))
+                val merged =
+                  if (patternStateRound < 0) delta
+                  else store.readPatternState(patternStateRound)
+                    .unionByName(delta)
+                    .groupBy("pat").agg(sum($"cnt").as("cnt"))
+                store.savePatternState(round, merged)
+                patternStateRound = round
+              }
             Await.result(Future.sequence(Seq(wVis, wSides)), Duration.Inf)
             val sideMetrics = sidesObs.get
             val errCnt = sideMetrics("err").asInstanceOf[Long]
@@ -802,14 +881,18 @@ final class FrontierCrawler(
             store.saveMetrics(round, Map(
               "scheduled" -> batchCnt, "errors" -> errCnt, "redirects" -> redirCnt,
               "newLinks" -> nlCnt, "hops" -> hops.toLong,
-              "wallMs" -> (System.nanoTime() - roundT0) / 1000000) ++ phaseTimes)
+              "wallMs" -> (System.nanoTime() - roundT0) / 1000000) ++
+              (if (contentFresh >= 0) Map("contentFresh" -> contentFresh) else Map.empty) ++
+              phaseTimes)
 
             m = CheckpointStore.Manifest(round, newNextIdx, newWatermark,
               m.errorCount + errCnt, m.redirectCount + redirCnt,
               m.scheduledTotal + batchCnt, m.fetchedTotal + batchCnt,
               m.visitedRounds :+ round, liveSegs,
               bloom.isDefined || (bucketMode && bloomRound >= 0), bloomRound,
-              hostStateRound, curSeenKind, curSeenBuckets)
+              hostStateRound, curSeenKind, curSeenBuckets,
+              m.expiryToken, patternStateRound,
+              if (contentFresh >= 0) m.contentRounds :+ round else m.contentRounds)
             store.saveManifest(m)
 
             f.unpersist()

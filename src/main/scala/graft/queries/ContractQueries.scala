@@ -487,6 +487,27 @@ object ContractQueries {
     * curation gate's kernel — checked against the same relational oracle
     * q33 uses (the expression must agree with the grouped-aggregation
     * formulation on every document, nulls included). */
+  /** Crawl-trap pattern grouping: synthesize one URL per document carrying
+    * every unbounded URL part (numeric item id, 32-hex session segment,
+    * query values) inside a bounded shape, key each with the codegen'd
+    * `url_pattern_key`, and count URLs per pattern — the exact relation the
+    * trap guard's admission budget is enforced against
+    * (CrawlConfig.trapPatternCap). The oracle reconstructs every pattern in
+    * closed form from doc_id arithmetic, so a kernel deviation on ANY row
+    * lands that row in the wrong group and breaks the counts. */
+  def q45TrapPatterns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(concat(
+        lit("http://h"), expr("cast(doc_id % 5 as string)"),
+        lit(".com/"), expr("char(97 + cast(doc_id % 7 as int))"),
+        lit("/item"), col("doc_id").cast("string"),
+        lit("/"), md5(col("text")),
+        lit("?session="), col("doc_id").cast("string"),
+        lit("&page="), expr("cast(doc_id % 13 as string)")).as("url"))
+      .select(graft.functions.UrlFunctions.url_pattern_key(col("url")).as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n_urls"))
+      .orderBy("pattern")
+
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
