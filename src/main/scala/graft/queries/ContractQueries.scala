@@ -482,11 +482,6 @@ object ContractQueries {
       .orderBy("doc_id")
   }
 
-  /** Per-row repetition stats through the codegen'd
-    * [[graft.functions.RepetitionStats]] expression — the streaming
-    * curation gate's kernel — checked against the same relational oracle
-    * q33 uses (the expression must agree with the grouped-aggregation
-    * formulation on every document, nulls included). */
   /** Crawl-trap pattern grouping: synthesize one URL per document carrying
     * every unbounded URL part (numeric item id, 32-hex session segment,
     * query values) inside a bounded shape, key each with the codegen'd
@@ -508,6 +503,11 @@ object ContractQueries {
       .groupBy("pattern").agg(count(lit(1)).as("n_urls"))
       .orderBy("pattern")
 
+  /** Per-row repetition stats through the codegen'd
+    * [[graft.functions.RepetitionStats]] expression — the streaming
+    * curation gate's kernel — checked against the same relational oracle
+    * q33 uses (the expression must agree with the grouped-aggregation
+    * formulation on every document, nulls included). */
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
