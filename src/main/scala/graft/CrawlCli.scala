@@ -23,7 +23,8 @@ object CrawlCli {
     """usage: CrawlCli <base-url> --pages <parquet>
       |                [--delay D] [--max-redirects N] [--max-concurrent N]
       |                [--timeout SECONDS] [--runs-dir DIR]
-      |                [--checkpoint-dir DIR] [--polite] [-h | --help]""".stripMargin
+      |                [--checkpoint-dir DIR] [--polite]
+      |                [--trap-cap N] [--content-dedup] [-h | --help]""".stripMargin
 
   private val Help = Usage +
     """
@@ -42,6 +43,10 @@ object CrawlCli {
       |  --runs-dir DIR        Report folder root (default: crawling_runs)
       |  --checkpoint-dir DIR  Resume-state directory (default: temp)
       |  --polite              Scale scheduler: per-host politeness, multi-domain
+      |  --trap-cap N          Crawl-trap guard: admit at most N URLs per
+      |                        URL pattern (polite mode; default: off)
+      |  --content-dedup       Skip link extraction on mirror pages whose
+      |                        resolved link set repeats (polite mode)
       |  -h, --help            Show this help message and exit
       |
       |Examples:
@@ -62,7 +67,7 @@ object CrawlCli {
     * reference CLI's exit codes. */
   private[graft] def parseArgs(args: Array[String]): (String, Map[String, String], Set[String]) = {
     val valueFlags = Set("--pages", "--delay", "--max-redirects", "--max-concurrent",
-      "--timeout", "--runs-dir", "--checkpoint-dir")
+      "--timeout", "--runs-dir", "--checkpoint-dir", "--trap-cap")
     var positional = List.empty[String]
     var opts = Map.empty[String, String]
     var flags = Set.empty[String]
@@ -71,6 +76,7 @@ object CrawlCli {
       args(i) match {
         case "-h" | "--help" => throw new HelpRequested
         case "--polite" => flags += "--polite"; i += 1
+        case "--content-dedup" => flags += "--content-dedup"; i += 1
         case f if valueFlags(f) =>
           if (i + 1 >= args.length) die(s"option $f requires a value")
           opts += f -> args(i + 1); i += 2
@@ -112,6 +118,8 @@ object CrawlCli {
         timeout = opts.get("--timeout").map(_.toInt).getOrElse(10),
         fifoParity = !flags.contains("--polite"),
         sameDomainOnly = !flags.contains("--polite"),
+        trapPatternCap = opts.get("--trap-cap").map(_.toInt).getOrElse(0),
+        contentDedup = flags.contains("--content-dedup"),
         checkpointDir = opts.get("--checkpoint-dir"))
       val raw = spark.read.parquet(pagesPath)
       val pages = (if (raw.columns.contains("latencyMs")) raw

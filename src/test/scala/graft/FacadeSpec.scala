@@ -76,6 +76,12 @@ class FacadeSpec extends AnyFunSuite {
       "--delay", "0.5", "--polite"))
     assert(ok == ("http://a.com", Map("--pages" -> "p.parquet", "--delay" -> "0.5"),
       Set("--polite")))
+    val guarded = parseArgs(Array("http://a.com", "--pages", "p.parquet",
+      "--polite", "--trap-cap", "100", "--content-dedup"))
+    assert(guarded == ("http://a.com",
+      Map("--pages" -> "p.parquet", "--trap-cap" -> "100"),
+      Set("--polite", "--content-dedup")))
+    intercept[CliUsageError](parseArgs(Array("http://a.com", "--pages", "p", "--trap-cap")))
     intercept[HelpRequested](parseArgs(Array("--help")))
     intercept[HelpRequested](parseArgs(Array("-h")))
     intercept[CliUsageError](parseArgs(Array.empty[String]))                       // no base-url

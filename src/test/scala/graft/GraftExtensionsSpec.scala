@@ -35,6 +35,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getBoolean(4))
       assert(!r.getBoolean(5))
       assert(s2.sql("SELECT text_fingerprint('hello world hello')").head().get(0) != null)
+      assert(s2.sql("SELECT url_pattern_key('http://a.com/cal/2026/08?d=1&m=2')")
+        .head().getString(0) == "a.com/cal/#/#?d&m")
       assert(s2.sql("SELECT size(extract_hrefs('<a href=\"/x\">l</a>'))").head().getInt(0) == 1)
     } finally {
       // restore the shared default session for the other suites; never stop

@@ -39,6 +39,19 @@ class TrapGuardSpec extends AnyFunSuite {
     assert(k("http://a.com/p") == "a.com/p")
   }
 
+  test("url_pattern_key: fuses into WholeStageCodegen; null-intolerant") {
+    import graft.functions.UrlFunctions
+    // parquet-backed source so ConvertToLocalRelation can't pre-evaluate
+    // the projection — the assertion must see the real codegen'd plan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(when($"doc_id" % 2 === 0,
+        concat(lit("http://a.com/p/"), $"doc_id")).as("url"))
+    val keyed = docs.select(UrlFunctions.url_pattern_key($"url").as("k"))
+    assert(keyed.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    val got = keyed.collect().map(r => Option(r.getString(0))).toSet
+    assert(got == Set(Some("a.com/p/#"), None)) // odd doc_ids → null in, null out
+  }
+
   // ---- end-to-end crawl ---------------------------------------------------
 
   /** One healthy host tree + a calendar trap: /cal/N links to /cal/N+1
