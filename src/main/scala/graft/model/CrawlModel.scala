@@ -97,6 +97,17 @@ final case class CrawlConfig(
     // admissions), so resume and re-crawl keep honoring the cap. Seeds
     // bypass the guard — only discovered links are rationed.
     trapPatternCap: Int = 0,
+    // implicit error-driven host demotion (polite mode only; 0.0 = off): a
+    // host whose round shows ≥ errorBackoffMin errors AND an error fraction
+    // ≥ this value among its scheduled rows is paused for
+    // errorBackoffRounds rounds, merged into the same (host, notBefore)
+    // relation Retry-After uses — dead or melting hosts stop consuming
+    // fetch budget even when they never send an explicit Retry-After.
+    // Their REMAINING frontier rows become eligible again after the
+    // penalty (errored URLs themselves are visited and never refetched).
+    errorBackoffThreshold: Double = 0.0,
+    errorBackoffMin: Int = 8,
+    errorBackoffRounds: Int = 4,
     // mirror-page suppression (polite mode only): pages whose RESOLVED,
     // normalized link set was already extracted — same site served under
     // two URL shapes, scraped copies, boilerplate hubs — skip link

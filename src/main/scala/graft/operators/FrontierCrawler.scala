@@ -777,8 +777,13 @@ final class FrontierCrawler(
             // never re-executed) into the lifetime per-pattern counts. The
             // relation grows with distinct URL SHAPES, not URLs, so the
             // per-round merge stays orders of magnitude under the frontier.
-            if (!cfg.fifoParity && cfg.trapPatternCap > 0 && nlCnt > 0)
-              timed("t_patstate") {
+            // Runs as a concurrent sink like wVis/wSides; the Await below
+            // makes the new pointer durable (and visible) before the next
+            // round's admission plans against it.
+            val wPat =
+              if (cfg.fifoParity || cfg.trapPatternCap <= 0 || nlCnt == 0)
+                Future.successful(())
+              else Future { timed("t_patstate") {
                 val delta = store.readSegsRaw(Seq(seg))
                   .select(xxhash64(url_pattern_key($"url")).as("pat"))
                   .groupBy("pat").agg(count(lit(1)).as("cnt"))
@@ -789,8 +794,8 @@ final class FrontierCrawler(
                     .groupBy("pat").agg(sum($"cnt").as("cnt"))
                 store.savePatternState(round, merged)
                 patternStateRound = round
-              }
-            Await.result(Future.sequence(Seq(wVis, wSides)), Duration.Inf)
+              } }
+            Await.result(Future.sequence(Seq(wVis, wSides, wPat)), Duration.Inf)
             val sideMetrics = sidesObs.get
             val errCnt = sideMetrics("err").asInstanceOf[Long]
             val redirCnt = sideMetrics("redir").asInstanceOf[Long]
@@ -836,19 +841,44 @@ final class FrontierCrawler(
             // small shuffle, not driver memory. Rounds without a Retry-After
             // (the overwhelming majority) do no host-state work at all; the
             // manifest carries the last written round forward.
-            if (!cfg.fifoParity && retryCnt > 0) {
-              val span = math.max(cfg.perHostBudget * cfg.delay, 1e-9)
-              val bumps = f.filter($"retryAfter".isNotNull)
-                .groupBy(url_host($"origUrl").as("host")).agg(max($"retryAfter").as("ra"))
-                .select($"host",
-                  (lit(round + 1) + ceil($"ra" / lit(span)).cast("int")).as("notBefore"))
-              val merged =
-                if (hostStateRound < 0) bumps
-                else store.readHostState(hostStateRound).unionByName(bumps)
-                  .groupBy("host").agg(max($"notBefore").as("notBefore"))
-              store.saveHostState(round, merged)
-              hostStateRound = round
-              refreshHostBackoffScalars()
+            if (!cfg.fifoParity) {
+              val retryBumps =
+                if (retryCnt == 0) None
+                else {
+                  val span = math.max(cfg.perHostBudget * cfg.delay, 1e-9)
+                  Some(f.filter($"retryAfter".isNotNull)
+                    .groupBy(url_host($"origUrl").as("host")).agg(max($"retryAfter").as("ra"))
+                    .select($"host",
+                      (lit(round + 1) + ceil($"ra" / lit(span)).cast("int")).as("notBefore")))
+                }
+              // implicit error-driven demotion: a host whose round shows a
+              // persistent failure pattern (≥ min errors AND ≥ threshold
+              // error fraction among ITS scheduled rows) pauses for
+              // errorBackoffRounds — protecting fetch budget from dead or
+              // melting hosts that never send an explicit Retry-After.
+              // Keyed by the SCHEDULED host (origUrl): that is what
+              // politeness budgets and eligibility key on. The whole-round
+              // errCnt gate keeps rounds without failure clusters at zero
+              // extra jobs.
+              val errBumps =
+                if (cfg.errorBackoffThreshold <= 0 || errCnt < cfg.errorBackoffMin) None
+                else Some(f
+                  .groupBy(url_host($"origUrl").as("host"))
+                  .agg(count(lit(1)).as("n"), count($"errUrl").as("ne"))
+                  .filter($"ne" >= cfg.errorBackoffMin &&
+                    $"ne" >= lit(cfg.errorBackoffThreshold) * $"n")
+                  .select($"host",
+                    lit(round + 1 + cfg.errorBackoffRounds).cast("int").as("notBefore")))
+              val bumps = (retryBumps.toSeq ++ errBumps.toSeq).reduceOption(_ unionByName _)
+              bumps.foreach { b =>
+                val merged =
+                  if (hostStateRound < 0) b.groupBy("host").agg(max($"notBefore").as("notBefore"))
+                  else store.readHostState(hostStateRound).unionByName(b)
+                    .groupBy("host").agg(max($"notBefore").as("notBefore"))
+                store.saveHostState(round, merged)
+                hostStateRound = round
+                refreshHostBackoffScalars()
+              }
             }
 
             val newWatermark =

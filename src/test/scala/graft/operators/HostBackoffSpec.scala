@@ -83,4 +83,47 @@ class HostBackoffSpec extends AnyFunSuite {
     assert(joined.visitLog.orderBy("round", "batchIdx").collect().toSeq ==
       inlined.visitLog.orderBy("round", "batchIdx").collect().toSeq)
   }
+
+  test("error-driven demotion: a melting host pauses, healthy host unaffected, found set unchanged") {
+    // good.com resolves; every bad.com URL is absent from the pages relation
+    // (network error on fetch). Root discovers 4 good + 20 bad URLs.
+    val pages = Seq(
+      pg("http://good.com/",
+        (1 to 4).map(i => s"http://good.com/g$i") ++
+          (1 to 20).map(i => s"http://bad.com/b$i"))) ++
+      (1 to 4).map(i => pg(s"http://good.com/g$i", Nil))
+    def run(threshold: Double) = {
+      val dir = Files.createTempDirectory("graft-errbackoff-").toString
+      (dir, new FrontierCrawler(spark, pages.toDS(),
+        CrawlConfig(fifoParity = false, sameDomainOnly = false,
+          perHostBudget = 4, bloomEnabled = false, maxRounds = 60,
+          errorBackoffThreshold = threshold, errorBackoffMin = 4,
+          errorBackoffRounds = 3, checkpointDir = Some(dir)))
+        .crawlSeeds(Seq("http://good.com/").toDF("url")))
+    }
+    val (dirOn, on) = run(0.9)
+    val (_, off) = run(0.0)
+
+    // pure scheduling change: same found set, same error count
+    assert(on.sortedFound == off.sortedFound)
+    assert(on.stats.errorCount == off.stats.errorCount && on.stats.errorCount == 20L)
+
+    // round 1 schedules 4 bad.com rows (all error) → demoted: notBefore =
+    // 1+1+3 = 5, so rounds 2-4 must schedule NOTHING on bad.com while its
+    // 16 remaining frontier rows wait; good.com finished unimpeded
+    val log = on.visitLog
+      .withColumn("host", graft.functions.UrlFunctions.url_host($"url"))
+      .select("round", "host").collect().map(r => (r.getInt(0), r.getString(1)))
+    val badRounds = log.collect { case (r, "bad.com") => r }.toSeq.sorted
+    assert(badRounds.head == 1, s"first bad.com round: $badRounds")
+    assert(!badRounds.exists(r => r >= 2 && r <= 4),
+      s"bad.com scheduled inside its penalty window: $badRounds")
+    assert(badRounds.size == 20)
+
+    // only the melting host entered the backoff relation
+    val m = new CheckpointStore(spark, dirOn, visitedFromLog = true).latestManifest().get
+    val hosts = new CheckpointStore(spark, dirOn, visitedFromLog = true)
+      .readHostState(m.hostStateRound).select("host").as[String].collect().toSet
+    assert(hosts == Set("bad.com"))
+  }
 }
