@@ -76,7 +76,8 @@ object SparkEntry {
     "q42_incremental_minhash" -> ContractQueries.q42IncrementalMinhash _,
     "q43_robots_allowed" -> ContractQueries.q43RobotsAllowed _,
     "q44_repetition_stats" -> ContractQueries.q44RepetitionStats _,
-    "q45_trap_patterns" -> ContractQueries.q45TrapPatterns _)
+    "q45_trap_patterns" -> ContractQueries.q45TrapPatterns _,
+    "q46_sitemap_locs" -> ContractQueries.q46SitemapLocs _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -671,5 +672,13 @@ object SparkEntry {
         |       '/item#/#?session&page' AS pattern,
         |       count(*) AS n_urls
         |FROM documents
-        |GROUP BY 1 ORDER BY pattern""".stripMargin)
+        |GROUP BY 1 ORDER BY pattern""".stripMargin,
+
+    // closed-form loc reconstruction: one plain + one CDATA loc per doc
+    "q46_sitemap_locs" ->
+      """SELECT loc, count(*) AS n FROM (
+        |  SELECT 'http://s.com/p' || doc_id AS loc FROM documents
+        |  UNION ALL
+        |  SELECT 'http://s.com/q' || (doc_id % 7) FROM documents)
+        |GROUP BY loc ORDER BY loc""".stripMargin)
 }

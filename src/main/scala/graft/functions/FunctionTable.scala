@@ -19,6 +19,7 @@ object FunctionTable {
     Fn("url_syntactic_valid", 1, es => UrlSyntacticValid(es.head)),
     Fn("url_security_valid", 1, es => UrlSecurityValid(es.head)),
     Fn("extract_hrefs", 1, es => ExtractHrefs(es.head)),
+    Fn("extract_sitemap_locs", 1, es => ExtractSitemapLocs(es.head)),
     Fn("text_fingerprint", 1, es => TextFingerprint(es.head)),
     Fn("repetition_stats", 1, es => RepetitionStats(es.head)),
     Fn("phash64", 1, es => PHash64(es.head)),

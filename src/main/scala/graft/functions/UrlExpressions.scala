@@ -144,6 +144,21 @@ case class ExtractHrefs(child: Expression)
     copy(child = newChild)
 }
 
+/** 1→N `<loc>` generator over a sitemap-XML column — the source-side twin
+  * of [[ExtractHrefs]] for sitemaps.org documents (urlset + sitemapindex). */
+case class ExtractSitemapLocs(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_sitemap_locs"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKernels.sitemapLocsArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.sitemapLocsArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractSitemapLocs =
+    copy(child = newChild)
+}
+
 /** Column-DSL facade + SQL registration for the URL expression family. */
 object UrlFunctions {
   def normalize_url(c: Column): Column = CB.column(NormalizeUrl(CB.expression(c)))
@@ -154,6 +169,7 @@ object UrlFunctions {
   def url_syntactic_valid(c: Column): Column = CB.column(UrlSyntacticValid(CB.expression(c)))
   def url_security_valid(c: Column): Column = CB.column(UrlSecurityValid(CB.expression(c)))
   def extract_hrefs(c: Column): Column = CB.column(ExtractHrefs(CB.expression(c)))
+  def extract_sitemap_locs(c: Column): Column = CB.column(ExtractSitemapLocs(CB.expression(c)))
 
   /** 64-bit canonical URL key: xxhash64 over the normalized URL (C4). */
   def url_seen_key(c: Column): Column =

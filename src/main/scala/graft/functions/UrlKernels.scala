@@ -141,4 +141,28 @@ object UrlKernels {
 
   def urlPatternKey(url: UTF8String): UTF8String =
     UTF8String.fromString(urlPatternKeyJ(url.toString))
+
+  private val LocRe = java.util.regex.Pattern.compile(
+    "(?is)<loc\\s*>\\s*(?:<!\\[CDATA\\[(.*?)\\]\\]>|(.*?))\\s*</loc\\s*>")
+
+  /** Document-order `<loc>` extraction from a sitemap XML body — the
+    * sitemaps.org subset a crawler needs: `<urlset>` page locations and
+    * `<sitemapindex>` child-sitemap locations both ride `<loc>` elements
+    * (plain text or CDATA). The regex subset mirrors [[extractHrefs]]'s
+    * approach to HTML: no full XML parse on the hot path. */
+  def sitemapLocs(xml: String): Array[String] = {
+    val m = LocRe.matcher(xml)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) {
+      val v = if (m.group(1) != null) m.group(1) else m.group(2)
+      val t = v.trim
+      if (t.nonEmpty) out += t
+    }
+    out.toArray
+  }
+
+  /** Codegen entry for [[graft.functions.ExtractSitemapLocs]]. */
+  def sitemapLocsArray(xml: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sitemapLocs(xml.toString).map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
 }

@@ -20,6 +20,9 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *    LONGEST matching rule wins and Allow wins length ties (RFC 9309
   *    §2.2.2); an empty `Disallow:` allows everything
   *  - `Crawl-delay: N` ⇒ per-host delay (seconds)
+  *  - `Sitemap: <url>` ⇒ collected from ANYWHERE in the body (the
+  *    sitemaps.org directive is group-independent), feeding
+  *    [[graft.sources.Sitemaps.expand]] as discovery roots
   *  - records are separated by blank lines (the 1994 de-facto standard:
   *    a blank line terminates the current group) and also end at a
   *    `User-agent:` line that follows directives; consecutive `User-agent`
@@ -34,13 +37,15 @@ object Robots {
       disallowAll: Boolean,
       disallowPrefixes: Seq[String],
       allowPrefixes: Seq[String],
-      crawlDelay: Option[Double])
+      crawlDelay: Option[Double],
+      sitemaps: Seq[String] = Nil)
 
   /** Pure single-body parse of the star group. */
   def parseBody(body: String): RobotsRules = {
     var inStar = false          // currently inside a User-agent: * group
     var inAgentRun = false      // last non-blank line was a User-agent line
     var result = RobotsRules(disallowAll = false, Nil, Nil, None)
+    var sitemaps = List.empty[String]
     var gDisallowAll = false
     var gPrefixes = List.empty[String]
     var gAllows = List.empty[String]
@@ -80,6 +85,10 @@ object Robots {
             case "crawl-delay" =>
               inAgentRun = false
               gDelay = value.toDoubleOption.orElse(gDelay)
+            case "sitemap" =>
+              // group-independent: does NOT end a User-agent run and is
+              // collected whether or not the star group is active
+              if (value.nonEmpty) sitemaps ::= value
             case _ =>
               inAgentRun = false
           }
@@ -87,7 +96,7 @@ object Robots {
       }
     }
     closeGroup()
-    result
+    result.copy(sitemaps = sitemaps.reverse)
   }
 
   /** (host, body) relation → the scheduler cache `(host, disallow,
@@ -98,7 +107,9 @@ object Robots {
     import bodies.sparkSession.implicits._
     bodies.map { case (host, body) =>
       val r = parseBody(body)
-      (host, r.disallowAll, r.disallowPrefixes, r.allowPrefixes, r.crawlDelay)
-    }.toDF("host", "disallow", "disallowPrefixes", "allowPrefixes", "crawlDelay")
+      (host, r.disallowAll, r.disallowPrefixes, r.allowPrefixes, r.crawlDelay,
+        r.sitemaps)
+    }.toDF("host", "disallow", "disallowPrefixes", "allowPrefixes", "crawlDelay",
+      "sitemaps")
   }
 }

@@ -508,6 +508,24 @@ object ContractQueries {
     * curation gate's kernel — checked against the same relational oracle
     * q33 uses (the expression must agree with the grouped-aggregation
     * formulation on every document, nulls included). */
+  /** Sitemap `<loc>` extraction: synthesize a two-entry sitemaps.org
+    * `<urlset>` per document (one plain loc with an unbounded id, one
+    * CDATA loc), explode through the codegen'd `extract_sitemap_locs`,
+    * and count URLs per location. The oracle reconstructs the loc values
+    * from doc_id arithmetic, so a missed/extra/mis-trimmed loc on any row
+    * breaks the counts. */
+  def q46SitemapLocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(concat(
+        lit("<urlset><url><loc> http://s.com/p"), col("doc_id").cast("string"),
+        lit(" </loc></url><url><loc><![CDATA[http://s.com/q"),
+        expr("cast(doc_id % 7 as string)"),
+        lit("]]></loc></url></urlset>")).as("xml"))
+      .select(explode(
+        graft.functions.UrlFunctions.extract_sitemap_locs(col("xml"))).as("loc"))
+      .groupBy("loc").agg(count(lit(1)).as("n"))
+      .orderBy("loc")
+
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),

@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.functions.UrlFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sitemap ingestion (sitemaps.org): expand sitemap roots — from a seed
+  * list or from robots.txt `Sitemap:` directives
+  * ([[graft.operators.Robots.parse]]'s `sitemaps` column) — into a seeds
+  * relation for [[graft.operators.FrontierCrawler.crawlSeeds]].
+  *
+  * A `<sitemapindex>` document lists child sitemaps; a `<urlset>` lists
+  * page URLs; both carry them in `<loc>` elements
+  * (extracted by the codegen'd `extract_sitemap_locs`). Expansion walks
+  * the index nesting breadth-first up to `maxDepth` levels with a
+  * seen-set anti-join per level, so self- or cross-referencing indexes
+  * terminate. Per level the work is one equi-join against the pages
+  * relation + one explode — at 10^10 scale each level's sitemap relation
+  * is tiny next to the frontier it seeds, and nothing here is
+  * driver-resident.
+  */
+object Sitemaps {
+
+  /** `roots`: one `url` column of sitemap URLs. `pages`: the fetch
+    * relation ([[graft.model.PageRow]] schema — the XML body rides the
+    * `html` column, as any non-HTML payload does). Returns a distinct,
+    * normalized `url` relation of the page locations found. A root that
+    * is missing from `pages` (fetch error) or holds no parseable locs
+    * contributes nothing. */
+  def expand(pages: DataFrame, roots: DataFrame, maxDepth: Int = 4): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bodies = pages
+      .select(normalize_url($"url").as("__smUrl"),
+        coalesce($"html", lit("")).as("__body"))
+    var frontier = roots.select(normalize_url($"url").as("__smUrl")).dropDuplicates()
+    var seen = frontier
+    var out: DataFrame = Seq.empty[String].toDF("url")
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val fetched = frontier.join(bodies, Seq("__smUrl"))
+        // index docs nest; urlset docs (and anything unmarked) yield pages
+        .withColumn("__isIndex", instr(lower($"__body"), "<sitemapindex") > 0)
+        .select($"__isIndex",
+          explode(extract_sitemap_locs($"__body")).as("loc"))
+        .select($"__isIndex", normalize_url($"loc").as("loc"))
+      out = out.unionByName(
+        fetched.filter(!$"__isIndex").select($"loc".as("url")))
+      frontier = fetched.filter($"__isIndex")
+        .select($"loc".as("__smUrl")).dropDuplicates()
+        .join(seen, Seq("__smUrl"), "left_anti")
+      // truncate the per-level plan: each level otherwise re-analyzes the
+      // whole expansion tree (same pattern as the dedup-components loop)
+      frontier = frontier.localCheckpoint(true)
+      seen = seen.unionByName(frontier).localCheckpoint(true)
+      depth += 1
+    }
+    out.dropDuplicates()
+  }
+}
