@@ -28,7 +28,10 @@ object Bench {
       budget: Int, maxRounds: Int, cachePages: Boolean = true,
       bloomExpected: Long = 2L * 1000 * 1000,
       bloomBuckets: Int = 0, warmRounds: Int = 0,
-      seenKind: String = "bloom"): (Double, Long, Seq[Map[String, Long]]) = {
+      seenKind: String = "bloom",
+      // config hook for measuring optional features (trap guard, mirror
+      // suppression, error backoff) on the same workload
+      tweak: CrawlConfig => CrawlConfig = identity): (Double, Long, Seq[Map[String, Long]]) = {
     import spark.implicits._
     val params = SiteGraph.GraphParams(nHosts = nHosts, pagesPerHost = pagesPerHost,
       linksPerPage = 6, redirectFrac = 0.03, errorFrac = 0.03, deadLinkFrac = 0.01,
@@ -50,12 +53,12 @@ object Bench {
     // count; a single local disk would serialize all parallelism levels
     val ckpt = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), "graft-bench-").toString
-    val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
+    val cfg = tweak(CrawlConfig(fifoParity = false, sameDomainOnly = false,
       perHostBudget = budget, saltBuckets = 16, bloomEnabled = true,
       bloomExpectedItems = bloomExpected, bloomBuckets = bloomBuckets,
       seenFilterKind = seenKind, maxRounds = maxRounds,
       compactEvery = 1000000, checkpointDir = Some(ckpt), // no compaction inside the timed window
-      closureBuckets = 32) // big join side never shuffles
+      closureBuckets = 32)) // big join side never shuffles
     val warmWork =
       if (warmRounds <= 0) 0L
       else {

@@ -82,17 +82,21 @@ object ScalingBench {
     // serial floor (t_batch driver planning + snapshot-build adoption)
     // shrank after the async seen-filter build
     val phaseKeys = Seq("t_batch", "t_wsides", "t_wseg",
-      "t_bloom_launch", "t_bloom_adopt", "t_bloom", "wallMs")
+      "t_bloom_launch", "t_bloom_adopt", "t_bloom",
+      "t_patstate", "t_content", "wallMs")
     def phaseMedians(rounds: Seq[Map[String, Long]]): Map[String, Double] = {
       val steady = if (rounds.size > 1) rounds.tail else rounds
       phaseKeys.map(k =>
         k -> Bench.median(steady.map(_.getOrElse(k, 0L).toDouble))).toMap
     }
     val (pm8, pm32) = (phaseMedians(ph8), phaseMedians(ph32))
+    // rows joined with an explicit margin prefix: this string is
+    // interpolated into a stripMargin template, which would otherwise eat
+    // each continuation row's leading '|' as a margin character
     val phaseTable = phaseKeys.filter(k => pm8(k) > 0 || pm32(k) > 0).map { k =>
       val r = if (pm32(k) > 0) pm8(k) / pm32(k) else Double.NaN
       f"| $k | ${pm8(k)}%.0f | ${pm32(k)}%.0f | $r%.2f |"
-    }.mkString("\n")
+    }.mkString("\n         ||")
 
     // Weak scaling: 4× cores on 4× per-round work over the same graph —
     // the operating mode of a real fleet (cluster size grows with the
