@@ -77,7 +77,8 @@ object SparkEntry {
     "q43_robots_allowed" -> ContractQueries.q43RobotsAllowed _,
     "q44_repetition_stats" -> ContractQueries.q44RepetitionStats _,
     "q45_trap_patterns" -> ContractQueries.q45TrapPatterns _,
-    "q46_sitemap_locs" -> ContractQueries.q46SitemapLocs _)
+    "q46_sitemap_locs" -> ContractQueries.q46SitemapLocs _,
+    "q47_image_quality" -> ContractQueries.q47ImageQuality _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -680,5 +681,16 @@ object SparkEntry {
         |  SELECT 'http://s.com/p' || doc_id AS loc FROM documents
         |  UNION ALL
         |  SELECT 'http://s.com/q' || (doc_id % 7) FROM documents)
-        |GROUP BY loc ORDER BY loc""".stripMargin)
+        |GROUP BY loc ORDER BY loc""".stripMargin,
+
+    // closed-form stats: flat gray image (even ids) vs exact two-tone
+    // checkerboard (odd ids); PNG lossless ⇒ every value exact
+    "q47_image_quality" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(16 + doc_id % 8 AS INT) ELSE 16 END AS width,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(12 + doc_id % 5 AS INT) ELSE 12 END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id * 37 % 256 AS DOUBLE) ELSE 127.5 END AS mean_luma,
+        |  CASE WHEN doc_id % 2 = 0 THEN 0.0 ELSE 127.5 END AS stddev_luma,
+        |  CASE WHEN doc_id % 2 = 0 THEN 0.0 ELSE 1.0 END AS entropy_bits
+        |FROM documents WHERE doc_id < 192 ORDER BY doc_id""".stripMargin)
 }

@@ -26,6 +26,23 @@ final case class MediaFeature(
     media_id: String,
     feature: Array[Float])
 
+/** Per-image quality statistics (real `javax.imageio` decode): the
+  * image-side analog of the text quality gates. Luma is the integer
+  * BT.601 approximation `(299r + 587g + 114b) / 1000` (0..255);
+  * `entropy_bits` is Shannon entropy over the 256-bin luma histogram —
+  * 0 for a constant image, 1 for an exact two-tone split, ~8 for noise.
+  * Undecodable payloads report `decodable = false` with -1 dimensions. */
+final case class ImageQuality(
+    media_id: String,
+    decodable: Boolean,
+    width: Int,
+    height: Int,
+    n_bytes: Long,
+    aspect: Double, // max(w,h)/min(w,h); 0 when undecodable
+    mean_luma: Double,
+    stddev_luma: Double,
+    entropy_bits: Double)
+
 /** Batch operators over binary media columns, as `mapPartitions` programs
   * (the Scala analog of `mapInPandas`): the partition iterator is the batch
   * boundary, decode state is per-partition, and nothing ever collects to the
@@ -166,6 +183,84 @@ object Multimodal {
       maxBlockPopulation: Long = Long.MaxValue): DataFrame =
     Dedup.hammingPairs(images, idCol, "phash", maxHamming, bits = 64,
       maxBlockPopulation = maxBlockPopulation)
+
+  /** Per-image quality stats — one decode + one histogram pass per row.
+    * See [[graft.ops.ImageQuality]] for the exact luma/entropy definitions
+    * (pinned there because the q47 oracle states them in closed form). */
+  def imageQuality(media: Dataset[MediaRow]): Dataset[ImageQuality] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img =
+          if (m.kind != "image") null
+          else try ImageKernels.decode(m.bytes) catch { case _: Exception => null }
+        if (img == null)
+          ImageQuality(m.media_id, decodable = false, -1, -1, m.bytes.length,
+            0.0, 0.0, 0.0, 0.0)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Long](256)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              hist(luma) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var sum = 0.0; var sumSq = 0.0; var ent = 0.0
+          var i = 0
+          while (i < 256) {
+            val c = hist(i)
+            if (c > 0) {
+              sum += i.toDouble * c
+              sumSq += i.toDouble * i * c
+              val p = c.toDouble / n
+              ent -= p * (math.log(p) / math.log(2.0))
+            }
+            i += 1
+          }
+          val mean = sum / n
+          val variance = math.max(0.0, sumSq / n - mean * mean)
+          ImageQuality(m.media_id, decodable = true, w, h, m.bytes.length,
+            math.max(w, h).toDouble / math.min(w, h),
+            mean, math.sqrt(variance), ent + 0.0) // +0.0: never emit -0.0
+        }
+      }
+    }
+  }
+
+  /** Image curation gate: drop undecodable, too-small, extreme-aspect and
+    * near-constant (low-entropy) images — the standard pre-training image
+    * filters. Returns (kept media, audit) where the audit carries one row
+    * per dropped image with the FIRST failing reason (checked in the order
+    * undecodable → too_small → extreme_aspect → low_entropy), mirroring
+    * the text pipeline's per-stage audit relations. One decode per image;
+    * the keep side is an anti-join on media_id, so payload bytes never
+    * ride the quality shuffle. */
+  def curateImages(media: Dataset[MediaRow], minW: Int = 32, minH: Int = 32,
+      maxAspect: Double = 4.0, minEntropyBits: Double = 1.0)
+      : (Dataset[MediaRow], DataFrame) = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    // the gate audits IMAGE rows only; other modalities pass through
+    val q = imageQuality(media.filter(_.kind == "image"))
+    val audit = q.toDF().withColumn("reason",
+        when(!org.apache.spark.sql.functions.col("decodable"), "undecodable")
+          .when(col("width") < minW || col("height") < minH, "too_small")
+          .when(col("aspect") > maxAspect, "extreme_aspect")
+          .when(col("entropy_bits") < minEntropyBits, "low_entropy"))
+      .filter(col("reason").isNotNull)
+      .select("media_id", "reason", "width", "height", "aspect", "entropy_bits")
+    val kept = media.join(audit.select("media_id"), Seq("media_id"), "left_anti")
+      .as[MediaRow]
+    (kept, audit)
+  }
 
   /** Sample `n` frames per video row (1→N expansion); stub decode. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {

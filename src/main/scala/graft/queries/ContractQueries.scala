@@ -526,6 +526,45 @@ object ContractQueries {
       .groupBy("loc").agg(count(lit(1)).as("n"))
       .orderBy("loc")
 
+  /** Image quality statistics with a closed-form oracle: even doc_ids
+    * render a constant-gray PNG (entropy 0 bits, stddev 0, mean = the gray
+    * level — the BT.601 integer luma of (v,v,v) is exactly v), odd doc_ids
+    * an exact two-tone checkerboard on an even width (entropy exactly
+    * 1 bit, mean and stddev exactly 127.5). PNG is lossless, so the decode
+    * returns the constructed pixels bit-exactly and every statistic is an
+    * exact double — this pins [[graft.ops.Multimodal.imageQuality]]'s
+    * luma/entropy/stat definitions against doc_id arithmetic. */
+  def q47ImageQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    val ids = t(spark, dir, "documents").filter(col("doc_id") < 192)
+      .select(col("doc_id")).as[Long].repartition(8)
+    val media = ids.map { id =>
+      val (w, h) =
+        if (id % 2 == 0) (16 + (id % 8).toInt, 12 + (id % 5).toInt) else (16, 12)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb =
+            if (id % 2 == 0) { val v = ((id * 37) % 256).toInt; (v << 16) | (v << 8) | v }
+            else if ((x + y) % 2 == 0) 0x000000 else 0xFFFFFF
+          img.setRGB(x, y, rgb)
+          x += 1
+        }
+        y += 1
+      }
+      graft.ops.MediaRow(id.toString, "image", ImageKernels.encode(img, "png"), Map.empty)
+    }
+    Multimodal.imageQuality(media).toDF()
+      .select(col("media_id").cast("long").as("doc_id"),
+        col("width"), col("height"),
+        col("mean_luma"), col("stddev_luma"), col("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
