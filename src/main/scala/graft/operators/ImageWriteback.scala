@@ -28,4 +28,30 @@ object ImageWriteback {
   def ingest(outcome: CrawlOutcome, pages: Dataset[PageRow], images: Dataset[ImageRow],
       table: IceLite): Long =
     table.mergeInsert(payloadRows(outcome.found, pages, images), "phash")
+
+  /** Quality-gated writeback: the fetched payload passes
+    * [[graft.ops.Multimodal.curateImages]] before the MERGE, so
+    * undecodable, too-small, extreme-aspect and near-constant images never
+    * enter the snapshot table. Returns (inserted count, audit relation —
+    * one row per rejected image with its reason). The gate decodes each
+    * candidate once; the keep side joins back by image_id so the MERGE
+    * still consumes the original payload columns. */
+  def ingestCurated(outcome: CrawlOutcome, pages: Dataset[PageRow],
+      images: Dataset[ImageRow], table: IceLite,
+      minW: Int = 32, minH: Int = 32, maxAspect: Double = 4.0,
+      minEntropyBits: Double = 1.0): (Long, DataFrame) = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val payload = payloadRows(outcome.found, pages, images)
+    val media = payload.select(col("image_id").as("media_id"),
+        lit("image").as("kind"), col("bytes"),
+        typedLit(Map.empty[String, String]).as("meta"))
+      .as[graft.ops.MediaRow]
+    val (kept, audit) = graft.ops.Multimodal.curateImages(
+      media, minW, minH, maxAspect, minEntropyBits)
+    val inserted = table.mergeInsert(
+      payload.join(kept.select(col("media_id").as("image_id")),
+        Seq("image_id"), "left_semi"), "phash")
+    (inserted, audit)
+  }
 }

@@ -55,4 +55,28 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(reasons == Map("flat" -> "low_entropy", "tiny" -> "too_small",
       "banner" -> "extreme_aspect", "corrupt" -> "undecodable"))
   }
+
+  test("ingestCurated: gated writeback inserts only quality-passing images, audit carries reasons") {
+    import graft.model.{CrawlConfig, PageRow}
+    import graft.operators.{FrontierCrawler, ImageWriteback}
+    import graft.sources.{IceLite, ImageGen, ImageRow}
+    val pages = Seq(
+      PageRow("http://i.com/", 200, None, Seq("/a", "/b"), None, Some("text/html"), None, Some("good")),
+      PageRow("http://i.com/a", 200, None, Nil, None, Some("text/html"), None, Some("flat")),
+      PageRow("http://i.com/b", 200, None, Nil, None, Some("text/html"), None, Some("corrupt")))
+    val good = ImageGen.imageFor(3L, seed = 7L, dupEvery = 1000).copy(image_id = "good")
+    val imgs = Seq(good,
+      ImageRow("flat", img(64, 48)((_, _) => gray(10)), 64, 48, "png", "cap#flat", 111L),
+      ImageRow("corrupt", Array[Byte](5), 4, 4, "png", "cap#c", 222L))
+    val out = new FrontierCrawler(spark, pages.toDS(), CrawlConfig(maxConcurrent = 8))
+      .crawl("http://i.com/")
+    val t = new IceLite(spark,
+      java.nio.file.Files.createTempDirectory("icelite-cur-").toString)
+    val (inserted, audit) = ImageWriteback.ingestCurated(out, pages.toDS(), imgs.toDS(), t)
+    assert(inserted == 1L)
+    val reasons = audit.select("media_id", "reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reasons == Map("flat" -> "low_entropy", "corrupt" -> "undecodable"))
+    assert(t.read().select("image_id").as[String].collect().toSeq == Seq("good"))
+  }
 }
