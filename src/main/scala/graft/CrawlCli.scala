@@ -106,6 +106,13 @@ object CrawlCli {
     val spark = SparkSession.builder()
       .appName("graft-crawl")
       .config("spark.sql.session.timeZone", "UTC")
+      // pages/image tables carry KB-scale payload columns (html, image
+      // bytes): the parquet vectorized reader's default 4096-row column
+      // batch grows ~MBs of on-heap vectors per scan task via repeated
+      // doubling copies, which inverts multi-core scan scaling (BENCH.md
+      // round 4: 4.1× at 32 cores once capped). Env-overridable.
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_BATCH", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -193,6 +193,10 @@ object CurateCli {
       .appName("graft-curate")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      // document text is a KB-scale payload column — cap the vectorized
+      // reader's column batch (see CrawlCli / BENCH.md round 4)
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_BATCH", "1024"))
       .getOrCreate()
     try run(spark, args)
     catch {

@@ -78,7 +78,10 @@ object SparkEntry {
     "q44_repetition_stats" -> ContractQueries.q44RepetitionStats _,
     "q45_trap_patterns" -> ContractQueries.q45TrapPatterns _,
     "q46_sitemap_locs" -> ContractQueries.q46SitemapLocs _,
-    "q47_image_quality" -> ContractQueries.q47ImageQuality _)
+    "q47_image_quality" -> ContractQueries.q47ImageQuality _,
+    "q48_caption_gates" -> ContractQueries.q48CaptionGates _,
+    "q49_aspect_batches" -> ContractQueries.q49AspectBatches _,
+    "q50_keep_best_dup" -> ContractQueries.q50KeepBestDup _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -692,5 +695,61 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id * 37 % 256 AS DOUBLE) ELSE 127.5 END AS mean_luma,
         |  CASE WHEN doc_id % 2 = 0 THEN 0.0 ELSE 127.5 END AS stddev_luma,
         |  CASE WHEN doc_id % 2 = 0 THEN 0.0 ELSE 1.0 END AS entropy_bits
-        |FROM documents WHERE doc_id < 192 ORDER BY doc_id""".stripMargin)
+        |FROM documents WHERE doc_id < 192 ORDER BY doc_id""".stripMargin,
+
+    // the oracle REBUILDS the captions with its own string functions and
+    // re-derives every gate in SQL — independent recomputation of the
+    // caption-curation column program
+    "q48_caption_gates" ->
+      """WITH caps AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN ''
+        |         WHEN doc_id % 10 = 1 THEN repeat('spam ', 130)
+        |         WHEN doc_id % 10 = 2 THEN 'x'
+        |         WHEN doc_id % 10 = 3 THEN '1 2 3 4 5 6'
+        |         ELSE 'a photo of item ' || doc_id END AS caption
+        |  FROM documents WHERE doc_id < 500),
+        |g AS (
+        |  SELECT doc_id, caption,
+        |    CASE WHEN length(trim(caption)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(caption), '\s+')) END AS n_tokens,
+        |    length(regexp_replace(caption, '[^A-Za-z]', '', 'g')) AS letters,
+        |    length(regexp_replace(caption, '\s', '', 'g')) AS nonspace
+        |  FROM caps)
+        |SELECT doc_id, n_tokens,
+        |  COALESCE(
+        |    CASE WHEN length(trim(caption)) = 0 THEN 'caption_missing'
+        |         WHEN n_tokens < 3 THEN 'caption_too_short'
+        |         WHEN n_tokens > 128 THEN 'caption_too_long'
+        |         WHEN letters * 1.0 / nonspace < 0.5 THEN 'caption_low_alpha'
+        |         END, 'kept') AS reason
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // sizes in closed form (the Spark side DECODES real PNGs to get them),
+    // then the same integer milli-aspect banding + window arithmetic
+    "q49_aspect_batches" ->
+      """WITH m AS (
+        |  SELECT doc_id, 16 + doc_id % 48 AS w, 12 + (doc_id * 7) % 36 AS h
+        |  FROM documents WHERE doc_id < 192),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (w*1000)//h < 800 THEN 'tall'
+        |         WHEN (w*1000)//h < 1250 THEN 'square'
+        |         WHEN (w*1000)//h < 2000 THEN 'wide'
+        |         ELSE 'ultrawide' END AS band
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, band,
+        |    row_number() OVER (PARTITION BY band ORDER BY doc_id) - 1 AS rn
+        |  FROM b)
+        |SELECT doc_id, band, CAST(0 AS INT) AS shard,
+        |  rn // 8 AS batch_ix, rn % 8 AS slot
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // planted chains of four with strictly growing resolution: components
+    // collapse to the chain head, keep-best lands on id%4 == 3
+    "q50_keep_best_dup" ->
+      """SELECT doc_id, (doc_id // 4) * 4 AS component,
+        |  CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS is_kept
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)
 }

@@ -422,4 +422,32 @@ object Dedup {
         coalesce(col("component"), col(idCol).cast("long")).as("component"))
       .withColumn("is_kept", (col(idCol) === col("component")).cast("int"))
   }
+
+  /** Canonical selection by QUALITY: like [[dedupComponents]] but the kept
+    * member of each component is the one with the highest value in
+    * `quality`'s `qualityCol` (ties and missing-quality ids fall back to
+    * the smallest id — absent quality sorts as worst). The real curation
+    * policy for image near-dup clusters: keep the highest-resolution /
+    * highest-entropy copy, not the one with the smallest id. Argmax is a
+    * `max(struct(quality, -id))` hash aggregation — map-side partials, no
+    * per-component window sort — so the pass adds one agg + one join over
+    * the component relation regardless of component sizes. Output:
+    * `(idCol, component, is_kept)`. */
+  def canonicalByQuality(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      quality: DataFrame, qualityCol: String,
+      aCol: String = "d1", bCol: String = "d2"): DataFrame = {
+    val comp = dedupComponents(corpus, idCol, pairs, aCol, bCol)
+      .select(col(idCol), col("component"))
+    val withQ = comp.join(
+        quality.select(col(idCol), col(qualityCol).cast("double").as("__q")),
+        Seq(idCol), "left")
+      .withColumn("__q", coalesce(col("__q"), lit(Double.NegativeInfinity)))
+    val best = withQ.groupBy("component")
+      .agg(max(struct(col("__q"),
+        (col(idCol).cast("long") * -1).as("__negid"))).as("__b"))
+      .select(col("component"), (col("__b.__negid") * -1).as("__keep"))
+    withQ.join(best, Seq("component"))
+      .select(col(idCol), col("component"),
+        (col(idCol).cast("long") === col("__keep")).cast("int").as("is_kept"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.ImageKernels
 import graft.sources.SiteGraph
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 
 /** Multimodal payload row: media as an opaque binary column plus typed
   * metadata — the pattern the engine uses for any non-text modality at
@@ -260,6 +261,115 @@ object Multimodal {
     val kept = media.join(audit.select("media_id"), Seq("media_id"), "left_anti")
       .as[MediaRow]
     (kept, audit)
+  }
+
+  /** Whitespace token count of a caption column (0 for null/blank) — the
+    * unit the caption gates below are stated in. Pure column program. */
+  def captionTokens(caption: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val trimmed = trim(caption)
+    when(caption.isNull || length(trimmed) === 0, lit(0L))
+      .otherwise(size(split(trimmed, "\\s+")).cast("long"))
+  }
+
+  /** Caption-side curation gate for image+caption training pairs (the
+    * text half of LAION-style pair filtering): first failing reason or
+    * null when the caption passes. Checked in order
+    * missing → too_short → too_long → low_alpha, where `low_alpha` is
+    * letters / non-whitespace-chars below `minAlphaRatio` (drops
+    * digit/punctuation-soup captions). A pure column program — at 100 TB
+    * this runs INSIDE the scan before any image byte is decoded, so pairs
+    * with bad captions never pay the decoder. */
+  def captionReason(caption: org.apache.spark.sql.Column, minTokens: Int = 3,
+      maxTokens: Int = 128, minAlphaRatio: Double = 0.5)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val toks = captionTokens(caption)
+    val letters = length(regexp_replace(caption, "[^A-Za-z]", ""))
+    val nonspace = length(regexp_replace(caption, "\\s", ""))
+    when(caption.isNull || length(trim(caption)) === 0, "caption_missing")
+      .when(toks < minTokens, "caption_too_short")
+      .when(toks > maxTokens, "caption_too_long")
+      .when(letters.cast("double") / nonspace < minAlphaRatio, "caption_low_alpha")
+  }
+
+  /** Joint image+caption curation over an image-table DataFrame (the
+    * IceLite shape: id + bytes + caption): caption gates first — pure
+    * column predicates, no decode — then [[imageQuality]] gates on the
+    * caption-passing survivors only. Returns (kept, audit) where the audit
+    * has one row per dropped pair with its FIRST failing reason (caption
+    * reasons before image reasons, because that is the evaluation order a
+    * 100 TB run wants: the cheap gate prunes the expensive decoder's
+    * input). Payload bytes never ride the audit shuffle — the keep side is
+    * an anti-join on the id. */
+  def curateCaptionedImages(images: DataFrame, idCol: String, bytesCol: String,
+      captionCol: String, minTokens: Int = 3, maxTokens: Int = 128,
+      minAlphaRatio: Double = 0.5, minW: Int = 32, minH: Int = 32,
+      maxAspect: Double = 4.0, minEntropyBits: Double = 1.0)
+      : (DataFrame, DataFrame) = {
+    import images.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val idType = images.schema(idCol).dataType
+    val capAudit = images.select(col(idCol),
+        captionReason(col(captionCol), minTokens, maxTokens, minAlphaRatio)
+          .as("reason"))
+      .filter(col("reason").isNotNull)
+    val capOk = images.join(capAudit.select(col(idCol)), Seq(idCol), "left_anti")
+    val media = capOk
+      .select(col(idCol).cast("string").as("_id"), col(bytesCol).as("_b"))
+      .as[(String, Array[Byte])]
+      .map { case (id, b) => MediaRow(id, "image", b, Map.empty) }
+    val q = imageQuality(media).toDF()
+    val imgAudit = q.withColumn("reason",
+        when(!col("decodable"), "undecodable")
+          .when(col("width") < minW || col("height") < minH, "too_small")
+          .when(col("aspect") > maxAspect, "extreme_aspect")
+          .when(col("entropy_bits") < minEntropyBits, "low_entropy"))
+      .filter(col("reason").isNotNull)
+      .select(col("media_id").cast(idType).as(idCol), col("reason"))
+    val audit = capAudit.unionByName(imgAudit)
+    val kept = images.join(audit.select(col(idCol)), Seq(idCol), "left_anti")
+    (kept, audit)
+  }
+
+  /** Aspect-ratio bucketing for training-batch assembly (the standard
+    * variable-resolution batching scheme: every batch holds images of one
+    * aspect band). Bands are integer-exact — `floor(w*1000/h)` against the
+    * ascending `bands` thresholds (engine-independent, so an external
+    * system can reproduce the assignment). Within each (band, shard) the
+    * rows are numbered by id and chunked into batches of `batchSize`;
+    * `shards` > 1 keeps the per-band sequence assignment distributed at
+    * corpus scale (a per-band global row_number would funnel every row of
+    * a band through one task — the exact single-task sort this engine
+    * forbids elsewhere). `dropIncomplete` removes each (band, shard)'s
+    * trailing partial batch, which training loaders usually cannot use. */
+  def aspectBatches(meta: DataFrame, idCol: String, wCol: String, hCol: String,
+      batchSize: Int, shards: Int = 1,
+      bands: Seq[(Int, String)] = Seq(800 -> "tall", 1250 -> "square", 2000 -> "wide"),
+      topBand: String = "ultrawide", dropIncomplete: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(batchSize > 0 && shards > 0)
+    val mil = floor(col(wCol).cast("long") * 1000 / col(hCol)).cast("long")
+    val band = bands.foldRight(lit(topBand)) { case ((thr, name), acc) =>
+      when(mil < thr, lit(name)).otherwise(acc)
+    }
+    val w = Window.partitionBy("band", "shard").orderBy(col(idCol))
+    val assigned = meta
+      .withColumn("band", band)
+      .withColumn("shard", pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int"))
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .withColumn("batch_ix", floor(col("__rn") / batchSize).cast("long"))
+      .withColumn("slot", col("__rn") % batchSize)
+    val out =
+      if (!dropIncomplete) assigned
+      else {
+        val cw = Window.partitionBy("band", "shard")
+        assigned
+          .withColumn("__n", count(lit(1)).over(cw))
+          .filter(col("__rn") < col("__n") - (col("__n") % batchSize))
+          .drop("__n")
+      }
+    out.select(col(idCol), col("band"), col("shard"), col("batch_ix"), col("slot"))
   }
 
   /** Sample `n` frames per video row (1→N expansion); stub decode. */

@@ -565,6 +565,85 @@ object ContractQueries {
       .orderBy("doc_id")
   }
 
+  /** Caption-side curation gates ([[Multimodal.captionReason]]) over a
+    * caption column BUILT with engine string functions from doc_id, so the
+    * DuckDB oracle reconstructs the identical captions with its own string
+    * functions and re-derives every gate in SQL — an independent
+    * re-computation, not a restated plant. Gate ladder exercised across the
+    * id space: missing / too_long (130 tokens) / too_short / low_alpha
+    * (digit soup) / kept. */
+  def q48CaptionGates(spark: SparkSession, dir: String): DataFrame = {
+    val cap = when(col("doc_id") % 10 === 0, lit(""))
+      .when(col("doc_id") % 10 === 1, repeat(lit("spam "), 130))
+      .when(col("doc_id") % 10 === 2, lit("x"))
+      .when(col("doc_id") % 10 === 3, lit("1 2 3 4 5 6"))
+      .otherwise(concat(lit("a photo of item "), col("doc_id")))
+    t(spark, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), cap.as("caption"))
+      .select(col("doc_id"),
+        Multimodal.captionTokens(col("caption")).as("n_tokens"),
+        coalesce(Multimodal.captionReason(col("caption")), lit("kept")).as("reason"))
+      .orderBy("doc_id")
+  }
+
+  /** Aspect-ratio training-batch assembly ([[Multimodal.aspectBatches]])
+    * over REAL decoded dimensions: constant-color PNGs rendered at
+    * id-derived sizes, decoded with `javax.imageio` via
+    * [[Multimodal.decodeMeta]], banded by integer milli-aspect and chunked
+    * into batches of 8 per band. The oracle re-derives the sizes in closed
+    * form and replays the banding + window arithmetic in SQL. */
+  def q49AspectBatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    val ids = t(spark, dir, "documents").filter(col("doc_id") < 192)
+      .select(col("doc_id")).as[Long].repartition(8)
+    val media = ids.map { id =>
+      val w = 16 + (id % 48).toInt
+      val h = 12 + ((id * 7) % 36).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      val v = ((id * 31) % 256).toInt
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+      graft.ops.MediaRow(id.toString, "image", ImageKernels.encode(img, "png"), Map.empty)
+    }
+    val meta = Multimodal.decodeMeta(media).toDF()
+      .select(col("media_id").cast("long").as("doc_id"), col("width"), col("height"))
+    Multimodal.aspectBatches(meta, "doc_id", "width", "height", batchSize = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Keep-BEST-quality canonical selection ([[Dedup.canonicalByQuality]])
+    * over planted duplicate chains: ids group in fours (consecutive pairs
+    * link each chain), members rendered at strictly growing sizes, quality
+    * = decoded pixel count — so the kept member of every component is the
+    * largest-resolution copy (id%4 == 3), which the oracle states in
+    * closed form. Exercises components + argmax-by-quality end to end on
+    * real decoded images. */
+  def q50KeepBestDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    val ids = t(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long].repartition(8)
+    val media = ids.map { id =>
+      val w = 16 + (id % 4).toInt * 8
+      val h = 12 + (id % 4).toInt * 2
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      val v = ((id * 29) % 256).toInt
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+      graft.ops.MediaRow(id.toString, "image", ImageKernels.encode(img, "png"), Map.empty)
+    }
+    val quality = Multimodal.decodeMeta(media).toDF()
+      .select(col("media_id").cast("long").as("doc_id"),
+        (col("width").cast("long") * col("height")).as("q"))
+    val pairs = ids.toDF("doc_id").filter(col("doc_id") % 4 < 3)
+      .select(col("doc_id").as("d1"), (col("doc_id") + 1).as("d2"))
+    Dedup.canonicalByQuality(ids.toDF("doc_id"), "doc_id", pairs, quality, "q")
+      .orderBy("doc_id")
+  }
+
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),

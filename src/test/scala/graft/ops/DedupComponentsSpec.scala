@@ -149,4 +149,22 @@ class DedupComponentsSpec extends AnyFunSuite {
     assert((100L to 104L).forall(got(_) == 100L))
     assert((200L to 204L).forall(got(_) == 200L))
   }
+
+  test("canonicalByQuality: argmax per component, tie → min id, missing quality → worst, singleton keeps itself") {
+    val corpus = (1L to 9L).toDF("id")
+    // components: {1,2,3} (bridge through 2), {4,5}, {6,7}, singletons 8, 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L)).toDF("d1", "d2")
+    // quality: best in {1,2,3} is 3; {4,5} ties → min id 4 wins;
+    // {6,7}: 6 has NO quality row (worst) → 7 wins; 8 singleton with
+    // quality, 9 singleton without — both keep themselves
+    val quality = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 7.0),
+      (5L, 7.0), (7L, 1.0), (8L, 5.0)).toDF("id", "q")
+    val got = Dedup.canonicalByQuality(corpus, "id", pairs, quality, "q")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 0)), 2L -> ((1L, 0)), 3L -> ((1L, 1)),
+      4L -> ((4L, 1)), 5L -> ((4L, 0)),
+      6L -> ((6L, 0)), 7L -> ((6L, 1)),
+      8L -> ((8L, 1)), 9L -> ((9L, 1))))
+  }
 }

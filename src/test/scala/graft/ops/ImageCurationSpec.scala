@@ -56,6 +56,85 @@ class ImageCurationSpec extends AnyFunSuite {
       "banner" -> "extreme_aspect", "corrupt" -> "undecodable"))
   }
 
+  test("captionReason: gate matrix in pinned order; captionTokens counts whitespace tokens") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("missing", ""),
+      ("blank", "   "),
+      ("short", "just two"),
+      ("long", ("tok " * 129).trim),
+      ("digits", "12 34 56 78"),
+      ("mixed", "a photo of item 42"),
+      ("ok", "a red bicycle leaning on a wall")).toDF("id", "caption")
+    val out = df.select(col("id"),
+        Multimodal.captionTokens(col("caption")).as("n"),
+        Multimodal.captionReason(col("caption")).as("reason"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out("missing") == (0L, "caption_missing"))
+    assert(out("blank") == (0L, "caption_missing"))
+    assert(out("short") == (2L, "caption_too_short"))
+    assert(out("long") == (129L, "caption_too_long"))
+    assert(out("digits") == (4L, "caption_low_alpha"))
+    assert(out("mixed")._2 == null) // letters 12 / nonspace 14 = 0.857 ≥ 0.5
+    assert(out("ok") == (7L, null))
+    // null caption → missing
+    val n = Seq(Tuple1(Option.empty[String])).toDF("caption")
+      .select(Multimodal.captionReason(col("caption"))).head().getString(0)
+    assert(n == "caption_missing")
+  }
+
+  test("curateCaptionedImages: caption gates fire before image gates; kept+audit partition the input") {
+    val noise = img(64, 48)((x, y) =>
+      gray((graft.sources.SiteGraph.mix(7L, x.toLong, y.toLong) >>> 40).toInt & 0xff))
+    val rows = Seq(
+      (1L, noise, "a red bicycle leaning on a wall"),      // passes both
+      (2L, noise, "x"),                                    // caption_too_short
+      (3L, Array[Byte](1, 2), "a perfectly fine caption"), // undecodable
+      (4L, Array[Byte](1, 2), ""),                         // caption gate wins: never decoded
+      (5L, img(8, 8)((x, y) => gray((x * 31 + y) % 256)),
+        "a small but well captioned image"))               // too_small
+    val df = rows.toDF("image_id", "bytes", "caption")
+    val (kept, audit) = Multimodal.curateCaptionedImages(
+      df, "image_id", "bytes", "caption", minW = 32, minH = 32)
+    assert(kept.select("image_id").as[Long].collect().toSeq == Seq(1L))
+    val reasons = audit.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons == Map(2L -> "caption_too_short", 3L -> "undecodable",
+      4L -> "caption_missing", 5L -> "too_small"))
+    // audit id column keeps the input id type (long), so the anti-join is typed
+    assert(audit.schema("image_id").dataType.typeName == "long")
+  }
+
+  test("aspectBatches: integer banding, per-band chunking, dropIncomplete, sharded assignment total") {
+    import org.apache.spark.sql.functions._
+    // 10 ids: bands by milli-aspect of (w, h)
+    val meta = Seq(
+      (0L, 10, 20), (1L, 10, 15),             // 500, 666 → tall
+      (2L, 10, 10), (3L, 12, 10), (4L, 9, 9), // 1000, 1200, 1000 → square
+      (5L, 15, 10), (6L, 19, 10),             // 1500, 1900 → wide
+      (7L, 20, 10), (8L, 30, 10), (9L, 21, 10) // ≥2000 → ultrawide
+    ).toDF("id", "w", "h")
+    val out = Multimodal.aspectBatches(meta, "id", "w", "h", batchSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ("tall", 0L, 0L) && out(1L) == ("tall", 0L, 1L))
+    assert(out(2L) == ("square", 0L, 0L) && out(3L) == ("square", 0L, 1L))
+    assert(out(4L) == ("square", 1L, 0L)) // trailing partial batch
+    assert(out(5L) == ("wide", 0L, 0L) && out(6L) == ("wide", 0L, 1L))
+    assert(out(7L) == ("ultrawide", 0L, 0L) && out(8L) == ("ultrawide", 0L, 1L))
+    assert(out(9L) == ("ultrawide", 1L, 0L))
+    // dropIncomplete removes exactly the two partial trailing batches
+    val full = Multimodal.aspectBatches(meta, "id", "w", "h", batchSize = 2,
+      dropIncomplete = true)
+    assert(full.count() == 8 && full.filter(col("id").isin(4L, 9L)).count() == 0)
+    // sharded: every row assigned exactly once; each (band, shard, batch) ≤ batchSize
+    val sharded = Multimodal.aspectBatches(meta, "id", "w", "h",
+      batchSize = 2, shards = 4)
+    assert(sharded.select("id").distinct().count() == 10)
+    val overfull = sharded.groupBy("band", "shard", "batch_ix")
+      .count().filter(col("count") > 2).count()
+    assert(overfull == 0)
+  }
+
   test("ingestCurated: gated writeback inserts only quality-passing images, audit carries reasons") {
     import graft.model.{CrawlConfig, PageRow}
     import graft.operators.{FrontierCrawler, ImageWriteback}
