@@ -81,7 +81,9 @@ object SparkEntry {
     "q47_image_quality" -> ContractQueries.q47ImageQuality _,
     "q48_caption_gates" -> ContractQueries.q48CaptionGates _,
     "q49_aspect_batches" -> ContractQueries.q49AspectBatches _,
-    "q50_keep_best_dup" -> ContractQueries.q50KeepBestDup _)
+    "q50_keep_best_dup" -> ContractQueries.q50KeepBestDup _,
+    "q51_format_audit" -> ContractQueries.q51FormatAudit _,
+    "q52_sitemap_images" -> ContractQueries.q52SitemapImages _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -751,5 +753,34 @@ object SparkEntry {
     "q50_keep_best_dup" ->
       """SELECT doc_id, (doc_id // 4) * 4 AS component,
         |  CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS is_kept
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    // the Spark side sniffs REAL encoder magic bytes; the oracle states
+    // container + verdict in closed form from the id ladder
+    "q51_format_audit" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg'
+        |    WHEN 3 THEN 'gif' WHEN 4 THEN 'bmp' WHEN 5 THEN 'webp'
+        |    ELSE 'unknown' END AS sniffed,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 2 THEN 'format_mismatch' WHEN 6 THEN 'unknown_container'
+        |    ELSE 'kept' END AS reason
+        |FROM documents WHERE doc_id < 210 ORDER BY doc_id""".stripMargin,
+
+    // the oracle REBUILDS the (url, caption) pair relation with its own
+    // string functions and replays the min-non-null-caption grouping
+    "q52_sitemap_images" ->
+      """WITH pairs AS (
+        |  SELECT 'http://img.com/i' || doc_id || '.jpg' AS url,
+        |         'cap ' || (doc_id % 9) AS caption
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT 'http://img.com/j' || doc_id || '.png', NULL
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT 'http://img.com/shared.jpg', 'cap ' || (doc_id % 9)
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 50 = 0)
+        |SELECT url, min(caption) AS caption FROM pairs
+        |GROUP BY url ORDER BY url""".stripMargin)
 }

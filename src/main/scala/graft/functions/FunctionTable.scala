@@ -20,10 +20,13 @@ object FunctionTable {
     Fn("url_security_valid", 1, es => UrlSecurityValid(es.head)),
     Fn("extract_hrefs", 1, es => ExtractHrefs(es.head)),
     Fn("extract_sitemap_locs", 1, es => ExtractSitemapLocs(es.head)),
+    Fn("extract_sitemap_images", 1, es => ExtractSitemapImages(es.head)),
     Fn("text_fingerprint", 1, es => TextFingerprint(es.head)),
     Fn("repetition_stats", 1, es => RepetitionStats(es.head)),
     Fn("phash64", 1, es => PHash64(es.head)),
     Fn("image_psnr", 2, es => ImagePsnr(es(0), es(1))),
+    Fn("sniff_image_format", 1, es => SniffImageFormat(es.head)),
+    Fn("image_stats", 1, es => ImageStats(es.head)),
     Fn("array_dot", 2, es => ArrayDot(es(0), es(1))),
     Fn("array_sqdist", 2, es => ArraySqDist(es(0), es(1))),
     Fn("robots_allowed", 3, es => RobotsAllowed(es(0), es(1), es(2))))

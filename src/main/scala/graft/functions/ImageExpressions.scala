@@ -49,11 +49,56 @@ case class ImagePsnr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Magic-byte container sniff (png/jpeg/gif/webp/tiff/bmp/unknown) — reads
+  * ≤ 12 bytes of the payload, never decodes. The primitive behind the
+  * fmt-vs-bytes consistency gate: the payload table's `fmt` column is
+  * server-supplied and untrusted at crawl scale. */
+case class SniffImageFormat(child: Expression)
+    extends UnaryExpression with BinaryInputCheck {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sniff_image_format"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageKernels.sniffFormat(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKernels.sniffFormat($c)")
+  override protected def withNewChildInternal(newChild: Expression): SniffImageFormat =
+    copy(child = newChild)
+}
+
+/** One-decode luma statistics as a codegen'd column — the streaming-safe /
+  * pure-column counterpart of [[graft.ops.Multimodal.imageQuality]]'s typed
+  * path. Both delegate to [[ImageKernels.lumaStats]], so the two cannot
+  * diverge (field definitions pinned by the q47 closed-form oracle). */
+case class ImageStats(child: Expression)
+    extends UnaryExpression with BinaryInputCheck {
+  override def dataType: DataType = StructType(Seq(
+    StructField("decodable", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("aspect", DoubleType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false),
+    StructField("stddev_luma", DoubleType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageKernels.imageStatsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKernels.imageStatsRow($c)")
+  override protected def withNewChildInternal(newChild: Expression): ImageStats =
+    copy(child = newChild)
+}
+
 object ImageFunctions {
   def phash64(c: Column): Column = CB.column(PHash64(CB.expression(c)))
   def image_psnr(a: Column, b: Column): Column =
     CB.column(ImagePsnr(CB.expression(a), CB.expression(b)))
+  def sniff_image_format(c: Column): Column =
+    CB.column(SniffImageFormat(CB.expression(c)))
+  def image_stats(c: Column): Column = CB.column(ImageStats(CB.expression(c)))
 
   def registerAll(spark: SparkSession): Unit =
-    FunctionTable.register(spark, FunctionTable.byName("phash64", "image_psnr"))
+    FunctionTable.register(spark, FunctionTable.byName(
+      "phash64", "image_psnr", "sniff_image_format", "image_stats"))
 }

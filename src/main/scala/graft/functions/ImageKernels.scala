@@ -131,4 +131,88 @@ object ImageKernels {
     val mse = se / (a.getWidth.toLong * a.getHeight * 3)
     if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
   }
+
+  /** Magic-byte container sniff over the payload's first bytes — the
+    * primitive behind the fmt-vs-bytes consistency gate (the claimed `fmt`
+    * column of the payload table is server-supplied and untrusted; at
+    * crawl scale a measurable fraction of content types lie). Reads at
+    * most 12 bytes, never decodes. Returns the canonical container name —
+    * jpg normalizes to "jpeg" — or "unknown". */
+  def sniffFormatJ(bytes: Array[Byte]): String = {
+    @inline def at(i: Int, v: Int) = (bytes(i) & 0xff) == v
+    if (bytes == null) "unknown"
+    else if (bytes.length >= 8 && at(0, 0x89) && at(1, 'P') && at(2, 'N') &&
+      at(3, 'G') && at(4, 0x0d) && at(5, 0x0a) && at(6, 0x1a) && at(7, 0x0a)) "png"
+    else if (bytes.length >= 3 && at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) "jpeg"
+    else if (bytes.length >= 6 && at(0, 'G') && at(1, 'I') && at(2, 'F') &&
+      at(3, '8') && (at(4, '7') || at(4, '9')) && at(5, 'a')) "gif"
+    else if (bytes.length >= 12 && at(0, 'R') && at(1, 'I') && at(2, 'F') &&
+      at(3, 'F') && at(8, 'W') && at(9, 'E') && at(10, 'B') && at(11, 'P')) "webp"
+    else if (bytes.length >= 4 && ((at(0, 'I') && at(1, 'I') && at(2, 0x2a) && at(3, 0)) ||
+      (at(0, 'M') && at(1, 'M') && at(2, 0) && at(3, 0x2a)))) "tiff"
+    else if (bytes.length >= 2 && at(0, 'B') && at(1, 'M')) "bmp"
+    else "unknown"
+  }
+
+  /** Codegen entry for [[graft.functions.SniffImageFormat]]. */
+  def sniffFormat(bytes: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(sniffFormatJ(bytes))
+
+  /** One-decode luma-histogram statistics. The field definitions are the
+    * [[graft.ops.ImageQuality]] contract (integer BT.601 luma, 256-bin
+    * Shannon entropy, aspect = max/min side) — pinned by the q47 oracle
+    * and shared by BOTH `Multimodal.imageQuality` (the batch mapPartitions
+    * path) and the [[graft.functions.ImageStats]] expression (the codegen
+    * column path), so the two cannot diverge. Undecodable payloads report
+    * `decodable = false` with -1 dimensions and zeroed stats. */
+  final case class LumaStats(decodable: Boolean, width: Int, height: Int,
+      aspect: Double, meanLuma: Double, stddevLuma: Double, entropyBits: Double)
+
+  def lumaStats(bytes: Array[Byte]): LumaStats = {
+    val img = try decode(bytes) catch { case _: Exception => null }
+    if (img == null) LumaStats(decodable = false, -1, -1, 0.0, 0.0, 0.0, 0.0)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Long](256)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          hist(luma) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      var sum = 0.0; var sumSq = 0.0; var ent = 0.0
+      var i = 0
+      while (i < 256) {
+        val c = hist(i)
+        if (c > 0) {
+          sum += i.toDouble * c
+          sumSq += i.toDouble * i * c
+          val p = c.toDouble / n
+          ent -= p * (math.log(p) / math.log(2.0))
+        }
+        i += 1
+      }
+      val mean = sum / n
+      val variance = math.max(0.0, sumSq / n - mean * mean)
+      LumaStats(decodable = true, w, h,
+        math.max(w, h).toDouble / math.min(w, h),
+        mean, math.sqrt(variance), ent + 0.0) // +0.0: never emit -0.0
+    }
+  }
+
+  /** Codegen entry for [[graft.functions.ImageStats]] — [[lumaStats]] as
+    * an InternalRow matching the expression's struct schema. */
+  def imageStatsRow(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = lumaStats(bytes)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s.decodable, s.width, s.height, s.aspect,
+        s.meanLuma, s.stddevLuma, s.entropyBits))
+  }
 }

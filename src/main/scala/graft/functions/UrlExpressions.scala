@@ -159,6 +159,25 @@ case class ExtractSitemapLocs(child: Expression)
     copy(child = newChild)
 }
 
+/** 1→N image-pair generator over a sitemap-XML column — the image-sitemap
+  * extension's `<image:image>` blocks as `array<struct<loc, caption>>`
+  * (caption NULL when the block carries none). The source-side origin of
+  * the payload table's (url, caption) pairs. */
+case class ExtractSitemapImages(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("loc", StringType, nullable = false),
+    StructField("caption", StringType, nullable = true))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_sitemap_images"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKernels.sitemapImagesArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.sitemapImagesArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractSitemapImages =
+    copy(child = newChild)
+}
+
 /** Column-DSL facade + SQL registration for the URL expression family. */
 object UrlFunctions {
   def normalize_url(c: Column): Column = CB.column(NormalizeUrl(CB.expression(c)))
@@ -170,6 +189,7 @@ object UrlFunctions {
   def url_security_valid(c: Column): Column = CB.column(UrlSecurityValid(CB.expression(c)))
   def extract_hrefs(c: Column): Column = CB.column(ExtractHrefs(CB.expression(c)))
   def extract_sitemap_locs(c: Column): Column = CB.column(ExtractSitemapLocs(CB.expression(c)))
+  def extract_sitemap_images(c: Column): Column = CB.column(ExtractSitemapImages(CB.expression(c)))
 
   /** 64-bit canonical URL key: xxhash64 over the normalized URL (C4). */
   def url_seen_key(c: Column): Column =

@@ -165,4 +165,43 @@ object UrlKernels {
   def sitemapLocsArray(xml: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       sitemapLocs(xml.toString).map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+
+  private val ImageBlockRe = java.util.regex.Pattern.compile(
+    "(?is)<image:image\\s*>(.*?)</image:image\\s*>")
+  private val ImageLocRe = java.util.regex.Pattern.compile(
+    "(?is)<image:loc\\s*>\\s*(?:<!\\[CDATA\\[(.*?)\\]\\]>|(.*?))\\s*</image:loc\\s*>")
+  private val ImageCaptionRe = java.util.regex.Pattern.compile(
+    "(?is)<image:caption\\s*>\\s*(?:<!\\[CDATA\\[(.*?)\\]\\]>|(.*?))\\s*</image:caption\\s*>")
+
+  /** Document-order (loc, caption) extraction from the image-sitemap
+    * extension (the public sitemaps image namespace): each `<image:image>`
+    * block carries a required `<image:loc>` and an optional
+    * `<image:caption>`, plain text or CDATA. Blocks without a non-empty
+    * loc are dropped; a missing/empty caption yields a NULL caption —
+    * exactly the image+caption pair shape the payload table ingests, so a
+    * sitemap-seeded crawl can enqueue image fetches with their captions
+    * already attached. Codegen entry for
+    * [[graft.functions.ExtractSitemapImages]]. */
+  def sitemapImagesArray(xml: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = ImageBlockRe.matcher(xml.toString)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    while (b.find()) {
+      val block = b.group(1)
+      val lm = ImageLocRe.matcher(block)
+      if (lm.find()) {
+        val lv = (if (lm.group(1) != null) lm.group(1) else lm.group(2)).trim
+        if (lv.nonEmpty) {
+          val cm = ImageCaptionRe.matcher(block)
+          val cap =
+            if (cm.find()) {
+              val cv = (if (cm.group(1) != null) cm.group(1) else cm.group(2)).trim
+              if (cv.isEmpty) null else UTF8String.fromString(cv)
+            } else null
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](UTF8String.fromString(lv), cap))
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }

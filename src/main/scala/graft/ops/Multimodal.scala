@@ -185,53 +185,22 @@ object Multimodal {
     Dedup.hammingPairs(images, idCol, "phash", maxHamming, bits = 64,
       maxBlockPopulation = maxBlockPopulation)
 
-  /** Per-image quality stats — one decode + one histogram pass per row.
-    * See [[graft.ops.ImageQuality]] for the exact luma/entropy definitions
-    * (pinned there because the q47 oracle states them in closed form). */
+  /** Per-image quality stats — one decode + one histogram pass per row,
+    * delegating to the shared [[ImageKernels.lumaStats]] kernel (also the
+    * body of the codegen'd `image_stats` expression, so the typed and
+    * column paths cannot diverge). See [[graft.ops.ImageQuality]] for the
+    * exact luma/entropy definitions (pinned there because the q47 oracle
+    * states them in closed form). */
   def imageQuality(media: Dataset[MediaRow]): Dataset[ImageQuality] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val img =
-          if (m.kind != "image") null
-          else try ImageKernels.decode(m.bytes) catch { case _: Exception => null }
-        if (img == null)
-          ImageQuality(m.media_id, decodable = false, -1, -1, m.bytes.length,
-            0.0, 0.0, 0.0, 0.0)
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          val hist = new Array[Long](256)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-                114 * (rgb & 0xff)) / 1000
-              hist(luma) += 1
-              x += 1
-            }
-            y += 1
-          }
-          val n = w.toLong * h
-          var sum = 0.0; var sumSq = 0.0; var ent = 0.0
-          var i = 0
-          while (i < 256) {
-            val c = hist(i)
-            if (c > 0) {
-              sum += i.toDouble * c
-              sumSq += i.toDouble * i * c
-              val p = c.toDouble / n
-              ent -= p * (math.log(p) / math.log(2.0))
-            }
-            i += 1
-          }
-          val mean = sum / n
-          val variance = math.max(0.0, sumSq / n - mean * mean)
-          ImageQuality(m.media_id, decodable = true, w, h, m.bytes.length,
-            math.max(w, h).toDouble / math.min(w, h),
-            mean, math.sqrt(variance), ent + 0.0) // +0.0: never emit -0.0
-        }
+        val s =
+          if (m.kind != "image")
+            ImageKernels.LumaStats(decodable = false, -1, -1, 0.0, 0.0, 0.0, 0.0)
+          else ImageKernels.lumaStats(m.bytes)
+        ImageQuality(m.media_id, s.decodable, s.width, s.height, m.bytes.length,
+          s.aspect, s.meanLuma, s.stddevLuma, s.entropyBits)
       }
     }
   }
@@ -291,6 +260,29 @@ object Multimodal {
       .when(toks < minTokens, "caption_too_short")
       .when(toks > maxTokens, "caption_too_long")
       .when(letters.cast("double") / nonspace < minAlphaRatio, "caption_low_alpha")
+  }
+
+  /** Container-consistency gate for the payload table's untrusted
+    * `fmt:string` column: first failing reason or null when the claim is
+    * consistent. `unknown_container` — the payload's magic bytes match no
+    * known image container (truncated/corrupt/not-an-image responses);
+    * `format_mismatch` — a known container that differs from the claim
+    * (servers lie about content types at a measurable rate at crawl
+    * scale). The claim is normalized (trim/lower, `jpg` → `jpeg`); a NULL
+    * or empty claim with a known container passes — the sniff is the
+    * authority, the claim only has to not contradict it. Pure codegen'd
+    * column program reading ≤ 12 bytes per row, no decode — at 100 TB this
+    * runs inside the scan and prunes the decoder's input like
+    * [[captionReason]] does. */
+  def formatReason(bytes: org.apache.spark.sql.Column,
+      claimedFmt: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val sniffed = graft.functions.ImageFunctions.sniff_image_format(bytes)
+    val claim = lower(trim(claimedFmt))
+    val normClaim = when(claim === "jpg", "jpeg").otherwise(claim)
+    when(sniffed === "unknown", "unknown_container")
+      .when(normClaim.isNotNull && normClaim =!= "" && sniffed =!= normClaim,
+        "format_mismatch")
   }
 
   /** Joint image+caption curation over an image-table DataFrame (the

@@ -644,6 +644,92 @@ object ContractQueries {
       .orderBy("doc_id")
   }
 
+  /** Container-consistency audit ([[Multimodal.formatReason]]) over REAL
+    * encoder outputs: doc_id % 7 selects both the actual container written
+    * (javax.imageio png/jpeg/gif/bmp, a hand-built RIFF/WEBP header, or
+    * deterministic non-matching garbage bytes) and the CLAIMED `fmt`
+    * string, so the oracle re-derives sniffed container + verdict from id
+    * arithmetic alone while the Spark side sniffs real magic bytes.
+    * Exercises the `jpg`→`jpeg` claim normalization (id%7==1), case
+    * normalization (`GIF`, id%7==3), the mismatch path (jpeg bytes
+    * claimed png, id%7==2) and the unknown-container path (id%7==6). */
+  def q51FormatAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    val ids = t(spark, dir, "documents").filter(col("doc_id") < 210)
+      .select(col("doc_id")).as[Long].repartition(8)
+    val rows = ids.map { id =>
+      val m = (id % 7).toInt
+      def enc(fmt: String): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(8, 6,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        val v = ((id * 23) % 256).toInt
+        g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, 8, 6); g.dispose()
+        ImageKernels.encode(img, fmt)
+      }
+      val bytes: Array[Byte] = m match {
+        case 0 => enc("png")
+        case 1 | 2 => enc("jpg")
+        case 3 => enc("gif")
+        case 4 => enc("bmp")
+        case 5 => "RIFF    WEBPVP8 ".getBytes("ISO-8859-1")
+        // consecutive byte values mod 251 can never spell a magic prefix
+        case _ => Array.tabulate(16)(i => ((id + i) % 251).toByte)
+      }
+      val claim = m match {
+        case 0 => "png"
+        case 1 => "jpg"
+        case 2 => "png"
+        case 3 => "GIF"
+        case 4 => "bmp"
+        case 5 => "webp"
+        case _ => "jpeg"
+      }
+      (id, bytes, claim)
+    }.toDF("doc_id", "bytes", "fmt")
+    rows.select(col("doc_id"),
+        graft.functions.ImageFunctions.sniff_image_format(col("bytes")).as("sniffed"),
+        coalesce(Multimodal.formatReason(col("bytes"), col("fmt")), lit("kept"))
+          .as("reason"))
+      .orderBy("doc_id")
+  }
+
+  /** Image-sitemap pair expansion ([[graft.sources.Sitemaps.expandImages]])
+    * over per-doc urlset bodies BUILT with engine string functions: each
+    * sitemap carries a captioned jpg block (CDATA caption, padded loc), an
+    * uncaptioned png block, a loc-less block (dropped), and — every 50th
+    * doc — a SHARED image URL under a doc-dependent caption, so the
+    * min-non-null-caption determinism rule is exercised. The oracle
+    * rebuilds the pair relation with its own string functions and replays
+    * the grouping in SQL. */
+  def q52SitemapImages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id").cast("string").as("id"))
+    val xml = concat(
+      lit("<urlset><url><loc>http://s.com/p"), col("id"), lit("</loc>"),
+      lit("<image:image><image:loc> http://img.com/i"), col("id"),
+      lit(".jpg </image:loc><image:caption><![CDATA[cap "),
+      expr("cast(cast(id as bigint) % 9 as string)"),
+      lit("]]></image:caption></image:image>"),
+      lit("<image:image><image:loc>http://img.com/j"), col("id"),
+      lit(".png</image:loc></image:image>"),
+      lit("<image:image><image:caption>orphan</image:caption></image:image>"),
+      when(expr("cast(id as bigint) % 50 = 0"),
+        concat(lit("<image:image><image:loc>http://img.com/shared.jpg" +
+          "</image:loc><image:caption>cap "),
+          expr("cast(cast(id as bigint) % 9 as string)"),
+          lit("</image:caption></image:image>")))
+        .otherwise(lit("")),
+      lit("</url></urlset>"))
+    val pages = docs.select(
+      concat(lit("http://s.com/sm"), col("id"), lit(".xml")).as("url"),
+      xml.as("html"))
+    val roots = docs.select(
+      concat(lit("http://s.com/sm"), col("id"), lit(".xml")).as("url"))
+    graft.sources.Sitemaps.expandImages(pages, roots).orderBy("url")
+  }
+
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),

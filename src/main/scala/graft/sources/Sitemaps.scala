@@ -57,4 +57,47 @@ object Sitemaps {
     }
     out.dropDuplicates()
   }
+
+  /** Image-pair expansion: same index walk as [[expand]], but the yield is
+    * the image-sitemap extension's `<image:image>` blocks — a distinct
+    * `(url, caption)` relation (caption NULL when the block carries none;
+    * when the same normalized image URL appears under several captions the
+    * lexicographically-least non-null caption wins, so the result is
+    * deterministic under any partitioning). This is the source-side origin
+    * of the payload table's image+caption pairs: feed the result to the
+    * fetch pipeline and [[graft.operators.ImageWriteback.ingest]] takes the
+    * fetched bytes + this caption straight into the snapshot table. Per
+    * level the work is one equi-join + one explode, nothing
+    * driver-resident — same 10^10-scale shape as [[expand]]. */
+  def expandImages(pages: DataFrame, roots: DataFrame, maxDepth: Int = 4): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bodies = pages
+      .select(normalize_url($"url").as("__smUrl"),
+        coalesce($"html", lit("")).as("__body"))
+    var frontier = roots.select(normalize_url($"url").as("__smUrl")).dropDuplicates()
+    var seen = frontier
+    var out: DataFrame = Seq.empty[(String, String)].toDF("url", "caption")
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val fetched = frontier.join(bodies, Seq("__smUrl"))
+        .withColumn("__isIndex", instr(lower($"__body"), "<sitemapindex") > 0)
+      out = out.unionByName(
+        fetched.filter(!$"__isIndex")
+          .select(explode(extract_sitemap_images($"__body")).as("img"))
+          .select(normalize_url($"img.loc").as("url"), $"img.caption".as("caption")))
+      frontier = fetched.filter($"__isIndex")
+        .select(explode(extract_sitemap_locs($"__body")).as("loc"))
+        .select(normalize_url($"loc").as("__smUrl")).dropDuplicates()
+        .join(seen, Seq("__smUrl"), "left_anti")
+        .localCheckpoint(true)
+      seen = seen.unionByName(frontier).localCheckpoint(true)
+      depth += 1
+    }
+    // one row per image URL: min non-null caption (nulls sort last via the
+    // struct trick: (caption IS NULL, caption) min picks non-null first)
+    out.groupBy($"url")
+      .agg(min(struct($"caption".isNull.as("n"), $"caption")).as("m"))
+      .select($"url", $"m.caption".as("caption"))
+  }
 }

@@ -66,6 +66,47 @@ class SitemapSpec extends AnyFunSuite {
       Seq("http://a.com/p1", "http://a.com/p2", "http://a.com/p3"))
   }
 
+  test("image-pair extraction: block pairing, CDATA, optional caption, loc-less dropped") {
+    val xml =
+      """<urlset><url><loc>http://a.com/page</loc>
+        |<image:image><image:loc> http://a.com/i1.jpg </image:loc>
+        |<image:caption><![CDATA[a cat & dog]]></image:caption></image:image>
+        |<image:image><image:loc>http://a.com/i2.png</image:loc></image:image>
+        |<image:image><image:caption>orphan</image:caption></image:image>
+        |<image:image><image:loc>  </image:loc><image:caption>blank</image:caption></image:image>
+        |</url></urlset>""".stripMargin
+    val pairs = Seq(xml).toDF("x")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.UrlFunctions.extract_sitemap_images(
+          org.apache.spark.sql.functions.col("x"))).as("i"))
+      .select("i.loc", "i.caption").as[(String, Option[String])].collect().toSeq
+    assert(pairs == Seq(("http://a.com/i1.jpg", Some("a cat & dog")),
+      ("http://a.com/i2.png", None)))
+    // page-level loc extraction is unaffected by the image namespace
+    assert(UrlKernels.sitemapLocs(xml).toSeq == Seq("http://a.com/page"))
+  }
+
+  test("expandImages walks indexes; min non-null caption wins per image URL") {
+    val us1 = "<urlset><url><loc>http://a.com/p1</loc>" +
+      "<image:image><image:loc>http://a.com/i.jpg</image:loc>" +
+      "<image:caption>zebra</image:caption></image:image></url></urlset>"
+    val us3 = "<urlset><url><loc>http://a.com/p3</loc>" +
+      "<image:image><image:loc>http://a.com/i.jpg</image:loc>" +
+      "<image:caption>ant</image:caption></image:image>" +
+      "<image:image><image:loc>http://a.com/only.png</image:loc></image:image>" +
+      "</url></urlset>"
+    val pages = Seq(
+      sm("http://a.com/sitemap.xml", rootIndex),
+      sm("http://a.com/sm1.xml", us1),
+      sm("http://a.com/sm2.xml", index2),
+      sm("http://a.com/sm3.xml", us3)).toDS().toDF()
+    val pairs = Sitemaps.expandImages(pages,
+      Seq("http://a.com/sitemap.xml").toDF("url"))
+      .as[(String, Option[String])].collect().toMap
+    assert(pairs == Map("http://a.com/i.jpg" -> Some("ant"),
+      "http://a.com/only.png" -> None))
+  }
+
   test("end-to-end: robots sitemaps seed a polite crawl of the listed pages") {
     val web = sitemapPages ++ Seq(
       pg("http://a.com/p1", Seq("/linked")), pg("http://a.com/p2", Nil),
