@@ -11,6 +11,15 @@ final case class DocEvent(
     source: String,
     eventTime: java.sql.Timestamp)
 
+/** Streaming image+caption pair event (a fetched image with its claimed
+  * metadata — the payload-table row before curation proves w/h/fmt). */
+final case class PairEvent(
+    image_id: String,
+    bytes: Array[Byte],
+    fmt: String,
+    caption: String,
+    eventTime: java.sql.Timestamp)
+
 /** Streaming counterpart of the batch curation stages — the shape that
   * runs against a Kafka ingest topic: content dedup with BOUNDED keyed
   * state (`dropDuplicatesWithinWatermark` on the md5 content fingerprint —
@@ -59,5 +68,75 @@ object CurationStream {
       .select("doc_id", "source", "eventTime", "fingerprint",
         "n_tokens", "distinct_ratio", "top_token_frac", "top_bigram_frac",
         "n_emails", "n_phones", "n_ips", "redacted")
+  }
+
+  /** Streaming image+caption pair curation — the fetch pipeline's
+    * writeback path as a stream. Two STAGED stateless gate filters
+    * (cheapest first: caption gates read only the string and the container
+    * sniff reads 12 bytes — rows failing those are dropped BEFORE any
+    * decode exists in the plan; survivors then pay the one `image_stats`
+    * decode for the dimension/entropy gates), THEN phash dedup with
+    * BOUNDED keyed state (`dropDuplicatesWithinWatermark`) over the
+    * admitted rows only — rejected pairs never enter the state store,
+    * which at crawl scale is most of the stream. Emits exactly the
+    * payload-table shape `(image_id, bytes, w, h, fmt, caption, phash)` —
+    * w/h are the DECODED dimensions and fmt the SNIFFED canonical
+    * container (the claimed metadata is untrusted; the gates proved
+    * these) — plus `eventTime`, so a `foreachBatch` sink can
+    * `IceLite.mergeInsert` each micro-batch straight into the snapshot
+    * table (the MERGE re-checks phash against the standing corpus; the
+    * stream's state only owns the watermark horizon). Admitted rows pay
+    * two decodes (stats + phash) — the price of keeping every stage a
+    * stateless codegen'd column program. Audit tap: [[pairReasons]] is the
+    * same ladder as a stateless annotation for a side sink. */
+  def curatePairs(pairs: Dataset[PairEvent],
+      watermarkDelay: String = "1 hour",
+      minTokens: Int = 3, maxTokens: Int = 128, minAlphaRatio: Double = 0.5,
+      minW: Int = 32, minH: Int = 32, maxAspect: Double = 4.0,
+      minEntropyBits: Double = 1.0): DataFrame = {
+    import graft.ops.Multimodal
+    pairs.toDF()
+      // stage 1: no-decode gates (string + 12-byte sniff)
+      .filter(coalesce(
+        Multimodal.captionReason(col("caption"), minTokens, maxTokens, minAlphaRatio),
+        Multimodal.formatReason(col("bytes"), col("fmt"))).isNull)
+      // stage 2: one decode, evaluated once per surviving row
+      .withColumn("__s", graft.functions.ImageFunctions.image_stats(col("bytes")))
+      .filter(col("__s.decodable") &&
+        col("__s.width") >= minW && col("__s.height") >= minH &&
+        col("__s.aspect") <= maxAspect &&
+        col("__s.entropy_bits") >= minEntropyBits)
+      .withWatermark("eventTime", watermarkDelay)
+      .withColumn("phash", graft.functions.ImageFunctions.phash64(col("bytes")))
+      .dropDuplicatesWithinWatermark("phash")
+      .select(col("image_id"), col("bytes"),
+        col("__s.width").as("w"), col("__s.height").as("h"),
+        graft.functions.ImageFunctions.sniff_image_format(col("bytes")).as("fmt"),
+        col("caption"), col("phash"), col("eventTime"))
+  }
+
+  /** The pair gate ladder as a stateless annotation: adds `reason` (null =
+    * kept; else the FIRST failing gate, caption reasons before container
+    * reasons before decode reasons — same order as the batch
+    * [[graft.ops.Multimodal.curateCaptionedImages]]). The decode cannot be
+    * skipped here — an audit row must state WHICH gate failed, and rows
+    * passing the cheap gates need the stats to decide — so this tap costs
+    * one decode per row; keep it on a sampled or rejected-only side sink
+    * at scale. Works on batch and stream alike. */
+  def pairReasons(pairs: DataFrame,
+      minTokens: Int = 3, maxTokens: Int = 128, minAlphaRatio: Double = 0.5,
+      minW: Int = 32, minH: Int = 32, maxAspect: Double = 4.0,
+      minEntropyBits: Double = 1.0): DataFrame = {
+    import graft.ops.Multimodal
+    pairs
+      .withColumn("__s", graft.functions.ImageFunctions.image_stats(col("bytes")))
+      .withColumn("reason", coalesce(
+        Multimodal.captionReason(col("caption"), minTokens, maxTokens, minAlphaRatio),
+        Multimodal.formatReason(col("bytes"), col("fmt")),
+        when(!col("__s.decodable"), "undecodable")
+          .when(col("__s.width") < minW || col("__s.height") < minH, "too_small")
+          .when(col("__s.aspect") > maxAspect, "extreme_aspect")
+          .when(col("__s.entropy_bits") < minEntropyBits, "low_entropy")))
+      .drop("__s")
   }
 }

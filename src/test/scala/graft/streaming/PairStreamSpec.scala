@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.functions.{ImageKernels, TestSpark}
+import graft.sources.IceLite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming image+caption pair curation: staged stateless gates (caption /
+  * container / decoded stats), phash dedup bounded by the watermark, and a
+  * foreachBatch MERGE into the snapshot table — the full writeback path as
+  * a stream, emitting the payload-table shape with PROVEN w/h/fmt. */
+class PairStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def img(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, f(x, y))
+    ImageKernels.encode(im, "png")
+  }
+  private def checker(w: Int, h: Int) =
+    img(w, h, (x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xFFFFFF)
+  // 4 even luma bands (entropy ≈ 2 bits, clears the gate) along a
+  // seed-dependent gradient direction so every seed lands on a distinct
+  // phash (different orientation → different low-frequency DCT)
+  private def textured(seed: Int) = {
+    val d = 40 * seed + 30 * (11 - seed)
+    img(40, 30, (x, y) => ((x * seed + y * (11 - seed)) * 4 / d) match {
+      case 0 => 0x000000
+      case 1 => 0x555555
+      case 2 => 0xAAAAAA
+      case _ => 0xFFFFFF
+    })
+  }
+
+  private val goodCap = "a photo of a red barn"
+  private def ev(id: String, bytes: Array[Byte], fmt: String, cap: String, tSec: Int) =
+    PairEvent(id, bytes, fmt, cap, new Timestamp(tSec * 1000L))
+
+  test("staged gates, cross-batch phash dedup, payload shape, MERGE sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = new IceLite(spark, Files.createTempDirectory("pairstream-").toString)
+    val in = MemoryStream[PairEvent]
+    val out = CurationStream.curatePairs(in.toDS(), watermarkDelay = "1 hour",
+      minW = 16, minH = 12)
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        table.mergeInsert(batch.drop("eventTime"), "phash"); ()
+      }.start()
+    try {
+      val aBytes = textured(1)
+      in.addData(
+        ev("a", aBytes, "png", goodCap, 0),
+        ev("a-dup", aBytes, "png", "same bytes different caption here", 1),
+        ev("b", textured(2), "png", goodCap, 2),
+        ev("bad-cap", textured(3), "png", "x", 3),          // caption_too_short
+        ev("mismatch", textured(4), "jpeg", goodCap, 4),    // png bytes claimed jpeg
+        ev("garbage", Array[Byte](1, 2, 3, 4), "png", goodCap, 5), // unknown container
+        ev("tiny", checker(8, 6), "png", goodCap, 6),       // too_small
+        ev("flat", img(40, 30, (_, _) => 0x777777), "png", goodCap, 7)) // low_entropy
+      q.processAllAvailable()
+      in.addData(
+        ev("a-again", aBytes, "png", goodCap, 10),          // cross-batch dup
+        ev("c", textured(5), "png", goodCap, 11))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = table.read()
+      .select("image_id", "w", "h", "fmt", "caption", "phash")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    val ids = rows.map(_._1).toSet
+    // exactly one of {a, a-dup} admitted in batch 1; a-again dropped by state
+    assert(rows.length == 3, s"got $rows")
+    assert(ids.contains("b") && ids.contains("c") && ids.exists(Set("a", "a-dup")))
+    assert(!ids.contains("a-again"), "cross-batch duplicate not dropped")
+    // proven metadata: decoded dims + sniffed container, real phash
+    assert(rows.forall(r => r._2 == 40 && r._3 == 30 && r._4 == "png"))
+    assert(rows.map(_._6).distinct.length == 3)
+  }
+
+  test("pairReasons audit annotation labels every gate; batch and stream shapes agree") {
+    import spark.implicits._
+    val batch = Seq(
+      ev("ok", textured(6), "png", goodCap, 0),
+      ev("no-cap", textured(7), "png", "", 1),
+      ev("long-cap", textured(8), "png", Seq.fill(130)("w").mkString(" "), 2),
+      ev("digits", textured(9), "png", "1 2 3 4 5 6", 3),
+      ev("claimed-gif", textured(10), "gif", goodCap, 4),
+      ev("not-image", Array[Byte](9, 9, 9), "png", goodCap, 5),
+      ev("tiny", checker(8, 6), "png", goodCap, 6),
+      ev("stretch", checker(80, 16), "png", goodCap, 7),
+      ev("flat", img(40, 30, (_, _) => 0x313131), "png", goodCap, 8)).toDF()
+    val reasons = CurationStream.pairReasons(batch, minW = 16, minH = 12)
+      .select("image_id", "reason").as[(String, Option[String])].collect().toMap
+    assert(reasons == Map(
+      "ok" -> None,
+      "no-cap" -> Some("caption_missing"),
+      "long-cap" -> Some("caption_too_long"),
+      "digits" -> Some("caption_low_alpha"),
+      "claimed-gif" -> Some("format_mismatch"),
+      "not-image" -> Some("unknown_container"),
+      "tiny" -> Some("too_small"),
+      "stretch" -> Some("extreme_aspect"),
+      "flat" -> Some("low_entropy")))
+  }
+}
