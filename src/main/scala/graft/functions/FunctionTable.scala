@@ -27,6 +27,7 @@ object FunctionTable {
     Fn("image_psnr", 2, es => ImagePsnr(es(0), es(1))),
     Fn("sniff_image_format", 1, es => SniffImageFormat(es.head)),
     Fn("image_stats", 1, es => ImageStats(es.head)),
+    Fn("image_sig", 1, es => ImageSig(es.head)),
     Fn("array_dot", 2, es => ArrayDot(es(0), es(1))),
     Fn("array_sqdist", 2, es => ArraySqDist(es(0), es(1))),
     Fn("robots_allowed", 3, es => RobotsAllowed(es(0), es(1), es(2))))

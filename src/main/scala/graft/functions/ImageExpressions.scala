@@ -90,6 +90,33 @@ case class ImageStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Combined perceptual hash + luma statistics from ONE decode — the
+  * expression a writeback/curation pipeline wants when it needs both the
+  * dedup key and the quality gates (separate `phash64` + `image_stats`
+  * calls decode twice; the payload decode dominates the image hot path,
+  * see BENCH.md). Field-for-field equal to the standalone expressions —
+  * all three delegate to the same kernels. */
+case class ImageSig(child: Expression)
+    extends UnaryExpression with BinaryInputCheck {
+  override def dataType: DataType = StructType(Seq(
+    StructField("phash", LongType, nullable = false),
+    StructField("decodable", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("aspect", DoubleType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false),
+    StructField("stddev_luma", DoubleType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageKernels.imageSigRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKernels.imageSigRow($c)")
+  override protected def withNewChildInternal(newChild: Expression): ImageSig =
+    copy(child = newChild)
+}
+
 object ImageFunctions {
   def phash64(c: Column): Column = CB.column(PHash64(CB.expression(c)))
   def image_psnr(a: Column, b: Column): Column =
@@ -97,8 +124,9 @@ object ImageFunctions {
   def sniff_image_format(c: Column): Column =
     CB.column(SniffImageFormat(CB.expression(c)))
   def image_stats(c: Column): Column = CB.column(ImageStats(CB.expression(c)))
+  def image_sig(c: Column): Column = CB.column(ImageSig(CB.expression(c)))
 
   def registerAll(spark: SparkSession): Unit =
     FunctionTable.register(spark, FunctionTable.byName(
-      "phash64", "image_psnr", "sniff_image_format", "image_stats"))
+      "phash64", "image_psnr", "sniff_image_format", "image_stats", "image_sig"))
 }

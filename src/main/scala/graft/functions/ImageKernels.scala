@@ -76,7 +76,13 @@ object ImageKernels {
   /** 64-bit perceptual hash of encoded image bytes (SURVEY.md §2.3 C8). */
   def phash64(bytes: Array[Byte]): Long = {
     val img = decode(bytes)
-    if (img == null) return 0L
+    if (img == null) 0L else phashOf(img)
+  }
+
+  /** [[phash64]] over an already-decoded image — shared with
+    * [[imageSigRow]] so the one-decode combined signature cannot diverge
+    * from the standalone hash. */
+  def phashOf(img: BufferedImage): Long = {
     val g = grayResample(img, N)
     // 2D DCT-II, only the 8×8 low-frequency block is needed
     val block = Array.ofDim[Double](8, 8)
@@ -171,7 +177,13 @@ object ImageKernels {
   def lumaStats(bytes: Array[Byte]): LumaStats = {
     val img = try decode(bytes) catch { case _: Exception => null }
     if (img == null) LumaStats(decodable = false, -1, -1, 0.0, 0.0, 0.0, 0.0)
-    else {
+    else lumaStatsOf(img)
+  }
+
+  /** [[lumaStats]] over an already-decoded image (shared with
+    * [[imageSigRow]]). */
+  def lumaStatsOf(img: BufferedImage): LumaStats = {
+    {
       val (w, h) = (img.getWidth, img.getHeight)
       val hist = new Array[Long](256)
       var y = 0
@@ -214,5 +226,24 @@ object ImageKernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](s.decodable, s.width, s.height, s.aspect,
         s.meanLuma, s.stddevLuma, s.entropyBits))
+  }
+
+  /** Codegen entry for [[graft.functions.ImageSig]] — phash + luma stats
+    * from ONE decode ([[phashOf]] + [[lumaStatsOf]] over the same
+    * BufferedImage), for pipelines that need both (dedup key + quality
+    * gates): per-row decoder cost halves vs calling `phash64` and
+    * `image_stats` separately. Undecodable → (0L, false, -1, -1, 0…),
+    * matching both standalone kernels. */
+  def imageSigRow(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val img = try decode(bytes) catch { case _: Exception => null }
+    if (img == null)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, false, -1, -1, 0.0, 0.0, 0.0, 0.0))
+    else {
+      val s = lumaStatsOf(img)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](phashOf(img), s.decodable, s.width, s.height, s.aspect,
+          s.meanLuma, s.stddevLuma, s.entropyBits))
+    }
   }
 }

@@ -54,4 +54,34 @@ object ImageWriteback {
         Seq("image_id"), "left_semi"), "phash")
     (inserted, audit)
   }
+
+  /** Pair-gated writeback — the batch twin of the streaming
+    * `curatePairs` path: the fetched payload passes the FULL
+    * image+caption ladder ([[graft.ops.Multimodal.pairReasons]] — caption
+    * gates, container-trust sniff against the claimed `fmt`, decoded
+    * quality stats) before the MERGE, so pairs with bad captions, lying
+    * content types, or degenerate pixels never enter the snapshot table.
+    * Returns (inserted count, audit — one row per rejected pair with its
+    * first failing reason). Single relation pass: the annotation and both
+    * splits come from one projection, no join-back needed. */
+  def ingestCuratedPairs(outcome: CrawlOutcome, pages: Dataset[PageRow],
+      images: Dataset[ImageRow], table: IceLite,
+      minTokens: Int = 3, maxTokens: Int = 128, minAlphaRatio: Double = 0.5,
+      minW: Int = 32, minH: Int = 32, maxAspect: Double = 4.0,
+      minEntropyBits: Double = 1.0): (Long, DataFrame) = {
+    val annotated = graft.ops.Multimodal.pairReasons(
+        payloadRows(outcome.found, pages, images),
+        minTokens, maxTokens, minAlphaRatio, minW, minH, maxAspect,
+        minEntropyBits)
+      .cache() // two consumers (audit + merge); the gate decode runs once
+    try {
+      val audit = annotated.filter(col("reason").isNotNull)
+        .select("image_id", "reason")
+      val inserted = table.mergeInsert(
+        annotated.filter(col("reason").isNull)
+          .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash"),
+        "phash")
+      (inserted, audit.localCheckpoint(true))
+    } finally annotated.unpersist()
+  }
 }

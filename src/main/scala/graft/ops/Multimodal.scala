@@ -285,6 +285,33 @@ object Multimodal {
         "format_mismatch")
   }
 
+  /** The full image+caption pair gate ladder as a stateless annotation:
+    * adds `reason` (null = kept; else the FIRST failing gate — caption
+    * reasons, then container-trust reasons, then decoded-stats reasons,
+    * the order a 100 TB run wants: each rung is strictly more expensive).
+    * The decode cannot be staged away here — an audit row must state WHICH
+    * gate failed, and rows passing the cheap gates need the stats to
+    * decide — so this costs one decode per row. Consumers that only need
+    * the kept side should filter the cheap gates first and use `image_sig`
+    * (see [[graft.streaming.CurationStream.curatePairs]]). Requires
+    * `bytes`, `fmt`, `caption` columns; batch and stream alike. */
+  def pairReasons(pairs: DataFrame,
+      minTokens: Int = 3, maxTokens: Int = 128, minAlphaRatio: Double = 0.5,
+      minW: Int = 32, minH: Int = 32, maxAspect: Double = 4.0,
+      minEntropyBits: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    pairs
+      .withColumn("__s", graft.functions.ImageFunctions.image_stats(col("bytes")))
+      .withColumn("reason", coalesce(
+        captionReason(col("caption"), minTokens, maxTokens, minAlphaRatio),
+        formatReason(col("bytes"), col("fmt")),
+        when(!col("__s.decodable"), "undecodable")
+          .when(col("__s.width") < minW || col("__s.height") < minH, "too_small")
+          .when(col("__s.aspect") > maxAspect, "extreme_aspect")
+          .when(col("__s.entropy_bits") < minEntropyBits, "low_entropy")))
+      .drop("__s")
+  }
+
   /** Joint image+caption curation over an image-table DataFrame (the
     * IceLite shape: id + bytes + caption): caption gates first — pure
     * column predicates, no decode — then [[imageQuality]] gates on the

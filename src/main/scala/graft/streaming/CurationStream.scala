@@ -85,8 +85,9 @@ object CurationStream {
     * these) — plus `eventTime`, so a `foreachBatch` sink can
     * `IceLite.mergeInsert` each micro-batch straight into the snapshot
     * table (the MERGE re-checks phash against the standing corpus; the
-    * stream's state only owns the watermark horizon). Admitted rows pay
-    * two decodes (stats + phash) — the price of keeping every stage a
+    * stream's state only owns the watermark horizon). Rows surviving the
+    * cheap gates pay exactly ONE decode — `image_sig` computes the quality
+    * stats and the phash dedup key together — and every stage stays a
     * stateless codegen'd column program. Audit tap: [[pairReasons]] is the
     * same ladder as a stateless annotation for a side sink. */
   def curatePairs(pairs: Dataset[PairEvent],
@@ -100,43 +101,31 @@ object CurationStream {
       .filter(coalesce(
         Multimodal.captionReason(col("caption"), minTokens, maxTokens, minAlphaRatio),
         Multimodal.formatReason(col("bytes"), col("fmt"))).isNull)
-      // stage 2: one decode, evaluated once per surviving row
-      .withColumn("__s", graft.functions.ImageFunctions.image_stats(col("bytes")))
-      .filter(col("__s.decodable") &&
-        col("__s.width") >= minW && col("__s.height") >= minH &&
-        col("__s.aspect") <= maxAspect &&
-        col("__s.entropy_bits") >= minEntropyBits)
+      // stage 2: ONE decode per surviving row — image_sig yields the
+      // quality-gate stats AND the phash dedup key from the same decode
+      .withColumn("__sig", graft.functions.ImageFunctions.image_sig(col("bytes")))
+      .filter(col("__sig.decodable") &&
+        col("__sig.width") >= minW && col("__sig.height") >= minH &&
+        col("__sig.aspect") <= maxAspect &&
+        col("__sig.entropy_bits") >= minEntropyBits)
       .withWatermark("eventTime", watermarkDelay)
-      .withColumn("phash", graft.functions.ImageFunctions.phash64(col("bytes")))
+      .withColumn("phash", col("__sig.phash"))
       .dropDuplicatesWithinWatermark("phash")
       .select(col("image_id"), col("bytes"),
-        col("__s.width").as("w"), col("__s.height").as("h"),
+        col("__sig.width").as("w"), col("__sig.height").as("h"),
         graft.functions.ImageFunctions.sniff_image_format(col("bytes")).as("fmt"),
         col("caption"), col("phash"), col("eventTime"))
   }
 
-  /** The pair gate ladder as a stateless annotation: adds `reason` (null =
-    * kept; else the FIRST failing gate, caption reasons before container
-    * reasons before decode reasons — same order as the batch
-    * [[graft.ops.Multimodal.curateCaptionedImages]]). The decode cannot be
-    * skipped here — an audit row must state WHICH gate failed, and rows
-    * passing the cheap gates need the stats to decide — so this tap costs
-    * one decode per row; keep it on a sampled or rejected-only side sink
-    * at scale. Works on batch and stream alike. */
+  /** The pair gate ladder as a stateless annotation (see
+    * [[graft.ops.Multimodal.pairReasons]] — shared with the batch
+    * writeback so stream and batch verdicts cannot diverge). Works on
+    * batch and stream alike; costs one decode per row, so keep it on a
+    * sampled or rejected-only side sink at scale. */
   def pairReasons(pairs: DataFrame,
       minTokens: Int = 3, maxTokens: Int = 128, minAlphaRatio: Double = 0.5,
       minW: Int = 32, minH: Int = 32, maxAspect: Double = 4.0,
-      minEntropyBits: Double = 1.0): DataFrame = {
-    import graft.ops.Multimodal
-    pairs
-      .withColumn("__s", graft.functions.ImageFunctions.image_stats(col("bytes")))
-      .withColumn("reason", coalesce(
-        Multimodal.captionReason(col("caption"), minTokens, maxTokens, minAlphaRatio),
-        Multimodal.formatReason(col("bytes"), col("fmt")),
-        when(!col("__s.decodable"), "undecodable")
-          .when(col("__s.width") < minW || col("__s.height") < minH, "too_small")
-          .when(col("__s.aspect") > maxAspect, "extreme_aspect")
-          .when(col("__s.entropy_bits") < minEntropyBits, "low_entropy")))
-      .drop("__s")
-  }
+      minEntropyBits: Double = 1.0): DataFrame =
+    graft.ops.Multimodal.pairReasons(pairs, minTokens, maxTokens, minAlphaRatio,
+      minW, minH, maxAspect, minEntropyBits)
 }

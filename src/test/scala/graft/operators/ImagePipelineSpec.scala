@@ -104,6 +104,47 @@ class ImagePipelineSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(f => prunedDirs.exists(f.contains)))
   }
 
+  test("pair-gated writeback: caption/container/stats gates filter the MERGE") {
+    import graft.model.PageRow
+    val pages = (1 to 8).map(i => PageRow(s"http://h.com/$i", 200, None,
+      if (i < 8) Seq(s"http://h.com/${i + 1}") else Nil, None,
+      Some("text/html"), None, Some(s"img$i")))
+    val base = (1 to 8).map(i =>
+      ImageGen.imageFor(i.toLong, seed = 11L, dupEvery = 100).copy(image_id = s"img$i"))
+    def enc(i: Int, w: Int, h: Int, flat: Boolean) = {
+      val img =
+        if (flat) {
+          val im = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = im.createGraphics()
+          g.setColor(new java.awt.Color(90, 90, 90)); g.fillRect(0, 0, w, h); g.dispose()
+          im
+        } else ImageGen.render(i.toLong, 11L, w, h)
+      ImageKernels.encode(img, base(i - 1).fmt)
+    }
+    val imgs = base.map(r => r.image_id match {
+      case "img2" => r.copy(caption = "x")                     // caption_too_short
+      case "img3" => r.copy(fmt = "gif")                       // claim lies about container
+      case "img4" => r.copy(bytes = Array[Byte](1, 2, 3))      // not an image at all
+      case "img5" => r.copy(bytes = enc(5, 16, 12, flat = false)) // too_small
+      case "img6" => r.copy(bytes = enc(6, 40, 32, flat = true))  // low_entropy
+      case "img7" => r.copy(bytes = enc(7, 200, 40, flat = false)) // extreme_aspect
+      case _ => r
+    })
+    val out = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(maxConcurrent = 8)).crawl("http://h.com/1")
+    val t = new IceLite(spark, Files.createTempDirectory("icelite-pairs-").toString)
+    val (inserted, audit) = ImageWriteback.ingestCuratedPairs(
+      out, pages.toDS(), imgs.toDS(), t)
+    assert(inserted == 2) // img1 + img8 survive every gate
+    assert(t.read().select("image_id").as[String].collect().toSet == Set("img1", "img8"))
+    val reasons = audit.as[(String, String)].collect().toMap
+    assert(reasons == Map(
+      "img2" -> "caption_too_short", "img3" -> "format_mismatch",
+      "img4" -> "unknown_container", "img5" -> "too_small",
+      "img6" -> "low_entropy", "img7" -> "extreme_aspect"))
+  }
+
   test("crawl → writeback: visited pages' payloads land deduped; captions round-trip exactly") {
     val pages = SiteGraph.localPages(SiteGraph.GraphParams(nHosts = 1, pagesPerHost = 40,
       linksPerPage = 4, redirectFrac = 0.05, errorFrac = 0.05, seed = 3L))
