@@ -83,7 +83,8 @@ object SparkEntry {
     "q49_aspect_batches" -> ContractQueries.q49AspectBatches _,
     "q50_keep_best_dup" -> ContractQueries.q50KeepBestDup _,
     "q51_format_audit" -> ContractQueries.q51FormatAudit _,
-    "q52_sitemap_images" -> ContractQueries.q52SitemapImages _)
+    "q52_sitemap_images" -> ContractQueries.q52SitemapImages _,
+    "q53_verified_phash_dup" -> ContractQueries.q53VerifiedPhashDup _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -782,5 +783,14 @@ object SparkEntry {
         |  SELECT 'http://img.com/shared.jpg', 'cap ' || (doc_id % 9)
         |  FROM documents WHERE doc_id < 300 AND doc_id % 50 = 0)
         |SELECT url, min(caption) AS caption FROM pairs
-        |GROUP BY url ORDER BY url""".stripMargin)
+        |GROUP BY url ORDER BY url""".stripMargin,
+
+    // the Spark side phash-buckets real 1-pixel-edited copies (plus
+    // phash-colliding distinct gradients) and verifies survivors on
+    // decoded pixels; the oracle states the true duplicate relation
+    // (consecutive id pairs) in closed form
+    "q53_verified_phash_dup" ->
+      """SELECT doc_id AS d1, doc_id + 1 AS d2
+        |FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
+        |ORDER BY d1""".stripMargin)
 }

@@ -185,6 +185,37 @@ object Multimodal {
     Dedup.hammingPairs(images, idCol, "phash", maxHamming, bits = 64,
       maxBlockPopulation = maxBlockPopulation)
 
+  /** PSNR-verified near-duplicate image pairs: phash pigeonhole candidates
+    * ([[phashNearDup]]) re-checked against the DECODED PIXELS — a pair
+    * survives only if PSNR ≥ `minPsnrDb` (the payload contract's ≥ 40 dB
+    * allclose invariant as an operator). The candidate stage is the
+    * bucketed hamming join over (id, phash) ONLY; payload bytes re-attach
+    * to the surviving candidate pairs by two id equi-joins afterwards, so
+    * bytes never ride the bucket shuffle and each decode pays off against
+    * a real candidate (the LSH→verified-cosine pattern, applied to
+    * pixels). Size-mismatched or undecodable candidates PSNR to NaN and
+    * drop. A wider `maxHamming` only costs more verification decodes,
+    * never false positives — the pixel check owns precision. Feed the
+    * verified pairs to [[graft.ops.Dedup.dedupComponents]] /
+    * [[graft.ops.Dedup.canonicalByQuality]] for canonical selection. */
+  def verifiedPhashDup(images: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 6, minPsnrDb: Double = 40.0,
+      maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ph = images.select(col(idCol),
+      graft.functions.ImageFunctions.phash64(col(bytesCol)).as("phash"))
+    val cand = phashNearDup(ph, idCol, maxHamming, maxBlockPopulation)
+    val a = images.select(col(idCol).as("d1"), col(bytesCol).as("__ba"))
+    val b = images.select(col(idCol).as("d2"), col(bytesCol).as("__bb"))
+    cand.join(a, Seq("d1")).join(b, Seq("d2"))
+      .withColumn("psnr_db",
+        graft.functions.ImageFunctions.image_psnr(col("__ba"), col("__bb")))
+      // Spark SQL orders NaN ABOVE every number, so `psnr_db >= min` alone
+      // would admit size-mismatched/undecodable pairs — exclude explicitly
+      .filter(!isnan(col("psnr_db")) && col("psnr_db") >= minPsnrDb)
+      .select("d1", "d2", "hamming", "psnr_db")
+  }
+
   /** Per-image quality stats — one decode + one histogram pass per row,
     * delegating to the shared [[ImageKernels.lumaStats]] kernel (also the
     * body of the codegen'd `image_stats` expression, so the typed and

@@ -730,6 +730,40 @@ object ContractQueries {
     graft.sources.Sitemaps.expandImages(pages, roots).orderBy("url")
   }
 
+  /** PSNR-verified phash near-dup ([[Multimodal.verifiedPhashDup]]):
+    * consecutive ids share pixel content (ck = id/2); the odd id carries a
+    * 1-pixel perturbation (+1 on one green value) — a lightly-edited true
+    * duplicate: phash stays within the hamming radius (measured ≤ 6 over
+    * this corpus; radius 8 leaves margin) and decoded-pixel PSNR is ~84 dB
+    * ≥ the 40 dB contract bar. Distinct contents either differ in size
+    * (PSNR = NaN — exercising the Spark NaN-orders-above-everything
+    * guard) or in pixels (max same-size cross-content PSNR measured
+    * 31.4 dB, an 8.6 dB margin below the bar), even though some distinct
+    * GRADIENTS collide at phash hamming 0 and DO enter the candidate set —
+    * the pixel verification alone removes them. The verified pair set is
+    * therefore exactly the consecutive pairs, stated in closed form by the
+    * oracle. */
+  def q53VerifiedPhashDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long].repartition(8)
+    val media = ids.map { id =>
+      val ck = id / 2
+      val w = 40 + (ck % 16).toInt
+      val h = 30 + (ck % 8).toInt
+      val img = graft.sources.ImageGen.render(ck, seed = 19L, w = w, h = h)
+      if (id % 2 == 1) {
+        val rgb = img.getRGB(1, 1)
+        val g = (rgb >> 8) & 0xff
+        val g2 = if (g == 255) g - 1 else g + 1
+        img.setRGB(1, 1, (rgb & 0xffff00ff) | (g2 << 8))
+      }
+      (id, graft.functions.ImageKernels.encode(img, "png"))
+    }.toDF("doc_id", "bytes")
+    Multimodal.verifiedPhashDup(media, "doc_id", "bytes", maxHamming = 8)
+      .select(col("d1"), col("d2")).orderBy("d1")
+  }
+
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),

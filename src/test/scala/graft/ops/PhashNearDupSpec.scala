@@ -66,4 +66,24 @@ class PhashNearDupSpec extends AnyFunSuite {
     assert(inc == expected)
     assert(inc.nonEmpty) // planted dups span the epoch split (39, 47 vs 7…)
   }
+
+  test("verifiedPhashDup: re-encodes survive on pixels; decoys and size mismatches die") {
+    import graft.functions.ImageKernels
+    // contents A (ids 0/1, png+jpg), B (ids 2/3, png+jpg, same size as A),
+    // C (id 4, A's size, different pixels), D (id 5, different size).
+    // maxHamming = 64 makes EVERY pair a pigeonhole candidate (zero-width
+    // blocks match all), so the PSNR stage alone must kill: cross-content
+    // same-size pairs (low PSNR) and size-mismatch pairs (PSNR = NaN —
+    // Spark orders NaN above every number; the guard must drop them).
+    def enc(ck: Long, w: Int, h: Int, fmt: String) =
+      ImageKernels.encode(ImageGen.render(ck, seed = 23L, w = w, h = h), fmt)
+    val rows = Seq(
+      (0L, enc(100L, 48, 36, "png")), (1L, enc(100L, 48, 36, "jpg")),
+      (2L, enc(200L, 48, 36, "png")), (3L, enc(200L, 48, 36, "jpg")),
+      (4L, enc(300L, 48, 36, "png")),
+      (5L, enc(100L, 52, 36, "png"))).toDF("doc_id", "bytes")
+    val got = Multimodal.verifiedPhashDup(rows, "doc_id", "bytes", maxHamming = 64)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (2L, 3L)))
+  }
 }
