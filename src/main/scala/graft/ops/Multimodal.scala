@@ -216,6 +216,37 @@ object Multimodal {
       .select("d1", "d2", "hamming", "psnr_db")
   }
 
+  /** Incremental [[verifiedPhashDup]]: the verified pairs of
+    * `corpus ∪ delta` that TOUCH the delta (a new image batch against the
+    * standing snapshot table), candidate generation via
+    * [[graft.ops.Dedup.hammingPairsIncremental]] — cost ∝ delta × posting
+    * lists, never corpus². Delta phashes are computed here; the standing
+    * corpus should supply its stored `phash` column (`phashCol`) so the
+    * daily increment never re-decodes the corpus — corpus bytes are read
+    * only for the candidate pairs' PSNR checks. Equals the batch
+    * [[verifiedPhashDup]] restricted to delta-touching pairs (spec-pinned).
+    * Ids must be distinct across the inputs. */
+  def verifiedPhashDupIncremental(corpus: DataFrame, delta: DataFrame,
+      idCol: String, bytesCol: String, phashCol: String = "phash",
+      maxHamming: Int = 6, minPsnrDb: Double = 40.0,
+      maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val corpusSig = corpus.select(col(idCol), col(phashCol).as("__ph"))
+    val deltaSig = delta.select(col(idCol),
+      graft.functions.ImageFunctions.phash64(col(bytesCol)).as("__ph"))
+    val cand = Dedup.hammingPairsIncremental(corpusSig, deltaSig, idCol, "__ph",
+      maxHamming, bits = 64, maxBlockPopulation = maxBlockPopulation)
+    val bytesRel = corpus.select(col(idCol), col(bytesCol))
+      .unionByName(delta.select(col(idCol), col(bytesCol)))
+    val a = bytesRel.select(col(idCol).as("d1"), col(bytesCol).as("__ba"))
+    val b = bytesRel.select(col(idCol).as("d2"), col(bytesCol).as("__bb"))
+    cand.join(a, Seq("d1")).join(b, Seq("d2"))
+      .withColumn("psnr_db",
+        graft.functions.ImageFunctions.image_psnr(col("__ba"), col("__bb")))
+      .filter(!isnan(col("psnr_db")) && col("psnr_db") >= minPsnrDb)
+      .select("d1", "d2", "hamming", "psnr_db")
+  }
+
   /** Per-image quality stats — one decode + one histogram pass per row,
     * delegating to the shared [[ImageKernels.lumaStats]] kernel (also the
     * body of the codegen'd `image_stats` expression, so the typed and

@@ -86,4 +86,40 @@ class PhashNearDupSpec extends AnyFunSuite {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((0L, 1L), (2L, 3L)))
   }
+
+  test("incremental verified pairs == batch verified pairs touching the delta") {
+    import graft.functions.ImageKernels
+    // content k at ids (2k, 2k+1): original + 1-pixel edit; content 4 at a
+    // different size; id 10 = a further edit of content 0 arriving in the
+    // delta (corpus×delta true pair)
+    def render(k: Long, w: Int, h: Int, edit: Int): Array[Byte] = {
+      val img = ImageGen.render(k, seed = 29L, w = w, h = h)
+      (0 until edit).foreach { e =>
+        val rgb = img.getRGB(1 + e, 1)
+        val g = (rgb >> 8) & 0xff
+        val g2 = if (g == 255) g - 1 else g + 1
+        img.setRGB(1 + e, 1, (rgb & 0xffff00ff) | (g2 << 8))
+      }
+      ImageKernels.encode(img, "png")
+    }
+    val all = ((0L to 9L).map { id =>
+      val k = id / 2
+      val (w, h) = if (k == 4) (52, 36) else (48, 36)
+      (id, render(k, w, h, (id % 2).toInt))
+    } :+ ((10L, render(0L, 48, 36, 2)))).toDF("doc_id", "bytes")
+    val corpus = all.filter($"doc_id" <= 5)
+      .withColumn("phash", graft.functions.ImageFunctions.phash64($"bytes"))
+    val delta = all.filter($"doc_id" > 5)
+    val deltaIds = (6L to 10L).toSet
+    val batch = Multimodal.verifiedPhashDup(all, "doc_id", "bytes", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = batch.filter(p => deltaIds(p._1) || deltaIds(p._2))
+    val inc = Multimodal.verifiedPhashDupIncremental(corpus, delta,
+        "doc_id", "bytes", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == expected, s"inc=$inc expected=$expected")
+    // the corpus×delta duplicate chain is present (not a vacuous equality)
+    assert(expected.exists(p => p._1 <= 1 && p._2 == 10L))
+    assert(expected.exists(p => p._1 == 6L && p._2 == 7L)) // intra-delta
+  }
 }
