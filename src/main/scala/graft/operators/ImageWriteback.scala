@@ -55,6 +55,21 @@ object ImageWriteback {
     (inserted, audit)
   }
 
+  /** Re-crawl writeback: keep-BEST-quality MERGE upsert on phash
+    * ([[graft.sources.IceLite.mergeUpsertBest]]) — a re-fetched copy of a
+    * known phash with more pixels (default quality `w*h`; pass any
+    * expression over the payload columns) REPLACES the stored row
+    * copy-on-write at partition granularity, a new phash inserts, a worse
+    * or equal copy is a no-op. This is what the TTL/expiry cycle wants:
+    * `expireAndRequeue` re-fetches aged URLs and the upgraded payloads
+    * land without growing the table or losing the better copy already
+    * stored. Returns (inserted, upgraded). */
+  def ingestBest(outcome: CrawlOutcome, pages: Dataset[PageRow],
+      images: Dataset[ImageRow], table: IceLite,
+      quality: org.apache.spark.sql.Column =
+        col("w").cast("long") * col("h")): (Long, Long) =
+    table.mergeUpsertBest(payloadRows(outcome.found, pages, images), "phash", quality)
+
   /** Pair-gated writeback — the batch twin of the streaming
     * `curatePairs` path: the fetched payload passes the FULL
     * image+caption ladder ([[graft.ops.Multimodal.pairReasons]] — caption

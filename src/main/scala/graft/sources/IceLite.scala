@@ -28,7 +28,11 @@ object IceLite {
   /** The directory name Spark writes null partition values to. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
-  final case class Snapshot(version: Int, batches: Seq[String], rowCount: Long)
+  /** `exclusions`: per-batch partition values SUPERSEDED by a later batch
+    * in the same snapshot (copy-on-write MERGE UPDATE, see
+    * [[IceLite.mergeUpsertBest]]) — readers skip those subdirectories. */
+  final case class Snapshot(version: Int, batches: Seq[String], rowCount: Long,
+      exclusions: Map[String, Set[String]] = Map.empty)
 }
 
 /** `icelite` — a minimal Iceberg-style snapshot table (SURVEY.md §7.4).
@@ -101,9 +105,15 @@ final class IceLite(spark: SparkSession, val dir: String,
       val in = sfs.open(f)
       try props.load(in) finally in.close()
       val batches = props.getProperty("batches", "")
+      val excl = props.getProperty("exclusions", "")
       Some(Snapshot(version,
         if (batches.isEmpty) Nil else batches.split(",").toSeq,
-        props.getProperty("rowCount").toLong))
+        props.getProperty("rowCount").toLong,
+        if (excl.isEmpty) Map.empty
+        else excl.split(";").map { e =>
+          val Array(b, vs) = e.split(":", 2)
+          b -> vs.split("\\|").toSet
+        }.toMap))
     }
   }
 
@@ -129,9 +139,23 @@ final class IceLite(spark: SparkSession, val dir: String,
       case None => spark.read.parquet(s.batches.map(b => p("data", b)): _*)
       case Some(ps) =>
         // each batch root is its own partitioned layout — discover per batch
-        // and union (multi-root discovery rejects sibling partition trees)
-        s.batches.map(b => spark.read.parquet(p("data", b)).drop(ps.name))
-          .reduce(_ unionByName _)
+        // and union (multi-root discovery rejects sibling partition trees);
+        // a batch with excluded partitions reads its leaf dirs explicitly,
+        // skipping the superseded values (copy-on-write MERGE UPDATE)
+        val parts = s.batches.flatMap { b =>
+          val ex = s.exclusions.getOrElse(b, Set.empty)
+          if (ex.isEmpty) Some(spark.read.parquet(p("data", b)).drop(ps.name))
+          else {
+            val dirs = sfs.listNames(p("data", b))
+              .filter(_.startsWith(s"${ps.name}="))
+              .filterNot(d => ex.contains(d.stripPrefix(s"${ps.name}=")))
+              .map(d => p("data", b, d))
+            if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+          }
+        }
+        if (parts.isEmpty)
+          throw new IllegalStateException(s"icelite: snapshot v$version is empty")
+        parts.reduce(_ unionByName _)
     }
   }
 
@@ -146,7 +170,8 @@ final class IceLite(spark: SparkSession, val dir: String,
     for {
       s <- currentSnapshot().toSeq
       b <- s.batches
-      v <- values
+      ex = s.exclusions.getOrElse(b, Set.empty[String])
+      v <- values if !ex.contains(v) // superseded by a later batch
       d = p("data", b, s"${ps.name}=$v") if sfs.exists(d)
     } yield d
   }
@@ -244,27 +269,127 @@ final class IceLite(spark: SparkSession, val dir: String,
     try {
       val rows = cached.count()
       if (rows == 0) return 0L
-      partition match {
-        case Some(ps) =>
-          cached.withColumn(ps.name, ps.expr)
-            .write.mode("overwrite").partitionBy(ps.name)
-            .parquet(p("data", batch))
-        case None =>
-          cached.write.mode("overwrite").parquet(p("data", batch))
-      }
-      val prev = currentSnapshot().map(_.batches).getOrElse(Nil)
-      val prevCount = currentSnapshot().map(_.rowCount).getOrElse(0L)
-      publish(v, prev :+ batch, prevCount + rows)
+      writeBatch(cached, batch)
+      val prev = currentSnapshot()
+      publish(v, prev.map(_.batches).getOrElse(Nil) :+ batch,
+        prev.map(_.rowCount).getOrElse(0L) + rows,
+        // an append must carry the prior copy-on-write exclusions forward —
+        // dropping them would resurrect superseded rows
+        prev.map(_.exclusions).getOrElse(Map.empty))
       rows
     } finally cached.unpersist()
   }
 
+  private def writeBatch(df: DataFrame, batch: String): Unit = partition match {
+    case Some(ps) =>
+      val out =
+        if (df.columns.contains(ps.name)) df
+        else df.withColumn(ps.name, ps.expr)
+      out.write.mode("overwrite").partitionBy(ps.name).parquet(p("data", batch))
+    case None =>
+      df.write.mode("overwrite").parquet(p("data", batch))
+  }
+
+  /** `MERGE INTO t USING s ON t.<keyCol> <=> s.<keyCol>
+    *    WHEN MATCHED AND s.<qualityCol> > t.<qualityCol> THEN UPDATE SET *
+    *    WHEN NOT MATCHED THEN INSERT *`
+    * — keep-BEST-quality upsert, the re-crawl writeback: a fetched copy of
+    * a known phash with better quality (higher resolution, longer caption)
+    * REPLACES the stored row; new keys insert; a worse or equal copy is a
+    * no-op. Copy-on-write at PARTITION granularity: the touched partitions
+    * are rewritten into the new batch (kept rows + upgrades + inserts) and
+    * the manifest marks those partition values EXCLUDED in every prior
+    * batch — readers skip the superseded subdirectories, untouched
+    * partitions are never rewritten, and time travel still sees the old
+    * rows through the old manifests. Storage for superseded partitions is
+    * reclaimed by [[compact]] (which rewrites the live read set and clears
+    * all exclusions). The staged side is deduped per key keeping the
+    * max-(quality, remaining columns) row; NULL staged quality never
+    * upgrades. On an unpartitioned table this is a full-table rewrite (the
+    * new manifest lists only the new batch). Assumes table keys are unique
+    * (the invariant `mergeInsert`/`mergeUpsertBest` maintain; raw
+    * [[append]] can break it). Returns (inserted, upgraded). */
+  def mergeUpsertBest(df: DataFrame, keyCol: String, qualityCol: String): (Long, Long) =
+    mergeUpsertBest(df, keyCol, col(qualityCol))
+
+  /** [[mergeUpsertBest]] with the quality as an EXPRESSION over the row
+    * (e.g. `col("w") * col("h")` for an image table whose schema carries
+    * no explicit quality column) — evaluated identically on the staged and
+    * stored sides; nothing extra is written. */
+  def mergeUpsertBest(df: DataFrame, keyCol: String, quality: Column): (Long, Long) = {
+    val cols = df.columns.toSeq
+    require(cols.contains(keyCol), s"icelite: mergeUpsertBest needs $keyCol column")
+    val rest = cols.filterNot(_ == keyCol)
+    val staged = df.groupBy(col(keyCol))
+      .agg(max(struct(quality.as("__q") +: rest.map(col): _*)).as("__w"))
+      .select(cols.map(c => if (c == keyCol) col(c) else col(s"__w.$c").as(c)): _*)
+    val prev = currentSnapshot()
+    if (!prev.exists(_.batches.nonEmpty)) return (commit(staged), 0L)
+
+    def classify(existing: DataFrame, stagedRel: DataFrame)
+        : (DataFrame, DataFrame, DataFrame) = {
+      val eKeyQ = existing.select(col(keyCol).as("__ek"), quality.as("__eq"))
+      val cls = stagedRel.withColumn("__sq", quality)
+        .join(eKeyQ, col(keyCol) <=> col("__ek"), "left")
+      val inserts = cls.filter(col("__ek").isNull).drop("__ek", "__eq", "__sq")
+      val upgrades = cls.filter(col("__ek").isNotNull && col("__sq") > col("__eq"))
+        .drop("__ek", "__eq", "__sq")
+      val keep = existing.join(upgrades.select(col(keyCol).as("__uk")),
+        col(keyCol) <=> col("__uk"), "left_anti")
+      (inserts, upgrades, keep)
+    }
+
+    val v = prev.get.version + 1
+    val batch = f"batch-$v%05d"
+    partition match {
+      case Some(ps) =>
+        val stagedP = staged.withColumn(ps.name, ps.expr).persist()
+        try {
+          val touched = stagedP.select(ps.name).distinct().collect()
+            .map(r => if (r.isNullAt(0)) IceLite.NullPartition else r.get(0).toString)
+            .toSeq
+          val dirs = partitionDirs(touched) // exclusion-aware: live rows only
+          if (dirs.isEmpty) return (commit(stagedP.drop(ps.name)), 0L)
+          val existing = spark.read.parquet(dirs: _*)
+          val (inserts0, upgrades0, keep) = classify(existing, stagedP)
+          val inserts = inserts0.persist(); val upgrades = upgrades0.persist()
+          try {
+            val (nI, nU) = (inserts.count(), upgrades.count())
+            if (nI + nU == 0) return (0L, 0L)
+            writeBatch(keep.withColumn(ps.name, ps.expr)
+              .unionByName(upgrades).unionByName(inserts), batch)
+            val excl = prev.get.batches.map { b =>
+              b -> (prev.get.exclusions.getOrElse(b, Set.empty) ++ touched)
+            }.toMap
+            publish(v, prev.get.batches :+ batch, prev.get.rowCount + nI, excl)
+            (nI, nU)
+          } finally { inserts.unpersist(); upgrades.unpersist() }
+        } finally stagedP.unpersist()
+      case None =>
+        val (inserts0, upgrades0, keep) = classify(read(), staged)
+        val inserts = inserts0.persist(); val upgrades = upgrades0.persist()
+        try {
+          val (nI, nU) = (inserts.count(), upgrades.count())
+          if (nI + nU == 0) return (0L, 0L)
+          writeBatch(keep.unionByName(upgrades).unionByName(inserts), batch)
+          publish(v, Seq(batch), prev.get.rowCount + nI)
+          (nI, nU)
+        } finally { inserts.unpersist(); upgrades.unpersist() }
+    }
+  }
+
   /** Write manifest v, then swap the current pointer (both atomic). */
-  private def publish(v: Int, batches: Seq[String], rowCount: Long): Unit = {
+  private def publish(v: Int, batches: Seq[String], rowCount: Long,
+      exclusions: Map[String, Set[String]] = Map.empty): Unit = {
     val props = new Properties()
     props.setProperty("version", v.toString)
     props.setProperty("batches", batches.mkString(","))
     props.setProperty("rowCount", rowCount.toString)
+    val nonEmpty = exclusions.filter(_._2.nonEmpty)
+    if (nonEmpty.nonEmpty)
+      props.setProperty("exclusions", nonEmpty.toSeq.sortBy(_._1)
+        .map { case (b, vs) => b + ":" + vs.toSeq.sorted.mkString("|") }
+        .mkString(";"))
     sfs.writeAtomic(p("meta", s"v$v.properties"))(out => props.store(out, null))
     val cur = new Properties()
     cur.setProperty("version", v.toString)

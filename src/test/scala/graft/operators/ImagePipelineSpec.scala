@@ -145,6 +145,32 @@ class ImagePipelineSpec extends AnyFunSuite {
       "img6" -> "low_entropy", "img7" -> "extreme_aspect"))
   }
 
+  test("re-crawl writeback: keep-best upsert replaces lower-res copies, keeps better ones") {
+    import graft.model.PageRow
+    import graft.sources.ImageRow
+    def pg(i: Int, img: String) = PageRow(s"http://r.com/$i", 200, None,
+      if (i < 3) Seq(s"http://r.com/${i + 1}") else Nil, None,
+      Some("text/html"), None, Some(img))
+    val pages = (1 to 3).map(i => pg(i, s"im$i"))
+    def row(id: String, ph: Long, w: Int, h: Int) =
+      ImageRow(id, Array[Byte](1, 2), w, h, "png", s"cap $id", ph)
+    val t = new IceLite(spark, Files.createTempDirectory("icelite-best-").toString,
+      partition = Some(IceLite.phashPartition()))
+    val out = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(maxConcurrent = 8)).crawl("http://r.com/1")
+    // first pass: three fresh phashes insert
+    val first = Seq(row("im1", 100L, 10, 10), row("im2", 200L, 20, 20),
+      row("im3", 300L, 30, 30))
+    assert(ImageWriteback.ingestBest(out, pages.toDS(), first.toDS(), t) == ((3L, 0L)))
+    // re-crawl: im1 re-fetched at higher resolution (same phash) → replaces;
+    // im2 re-fetched smaller → no-op; a brand-new phash inserts
+    val second = Seq(row("im1", 100L, 50, 40), row("im2", 200L, 5, 5),
+      row("im3", 400L, 8, 8))
+    assert(ImageWriteback.ingestBest(out, pages.toDS(), second.toDS(), t) == ((1L, 1L)))
+    val got = t.read().select("phash", "w").as[(Long, Int)].collect().toMap
+    assert(got == Map(100L -> 50, 200L -> 20, 300L -> 30, 400L -> 8))
+  }
+
   test("crawl → writeback: visited pages' payloads land deduped; captions round-trip exactly") {
     val pages = SiteGraph.localPages(SiteGraph.GraphParams(nHosts = 1, pagesPerHost = 40,
       linksPerPage = 4, redirectFrac = 0.05, errorFrac = 0.05, seed = 3L))

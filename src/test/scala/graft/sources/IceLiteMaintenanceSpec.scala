@@ -99,4 +99,58 @@ class IceLiteMaintenanceSpec extends AnyFunSuite {
     assert(t.read().count() == curRows)
     intercept[IllegalStateException](t.readAt(4))
   }
+
+  test("mergeUpsertBest: better quality replaces, worse/equal no-op, new inserts; COW is partition-granular") {
+    val t = freshTable(partitioned = true)
+    // partitions by top byte of k: P0 holds k=1,2; P1 holds k=(1<<56)|3
+    t.append(Seq((1L, 10, "old1"), (2L, 10, "old2"), (1L << 56 | 3L, 10, "old3"))
+      .toDF("k", "q", "v"))
+    val vBefore = t.currentVersion()
+    val (nI, nU) = t.mergeUpsertBest(Seq(
+      (1L, 20, "new1"),   // better → replaces
+      (2L, 10, "same2"),  // equal → no-op
+      (4L, 5, "new4"),    // new key in P0 → insert
+      (4L, 7, "best4")    // staged dup of 4: max quality wins
+    ).toDF("k", "q", "v"), "k", "q")
+    assert((nI, nU) == (1L, 1L))
+    val rows = t.read().collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(rows == Map(
+      1L -> (20, "new1"), 2L -> (10, "old2"),
+      (1L << 56 | 3L) -> (10, "old3"), 4L -> (7, "best4")))
+    assert(t.currentSnapshot().get.rowCount == 4L)
+    // COW granularity: P1 untouched — its rows still come from batch 1,
+    // and the old batch's P0 dir is excluded (superseded, not deleted)
+    val s = t.currentSnapshot().get
+    assert(s.exclusions.values.flatten.toSet == Set("0"), s.exclusions.toString)
+    // pruning stays sound: a P0 lookup reads only live dirs
+    val p0dirs = t.partitionDirs(Seq("0"))
+    assert(p0dirs.size == 1 && p0dirs.head.contains(s.batches.last))
+    // time travel still sees the pre-upsert rows through the old manifest
+    assert(t.readAt(vBefore).filter($"k" === 1L).head().getString(2) == "old1")
+    // a later mergeInsert of a superseded key must NOT resurrect it
+    assert(t.mergeInsert(Seq((1L, 99, "dup")).toDF("k", "q", "v"), "k") == 0L)
+    assert(t.read().filter($"k" === 1L).head().getInt(1) == 20)
+    // a second upsert stacks exclusions; compact clears them, read set kept
+    assert(t.mergeUpsertBest(Seq((2L, 30, "newer2")).toDF("k", "q", "v"), "k", "q") == ((0L, 1L)))
+    val before = t.read().orderBy("k").collect().toSeq
+    t.compact()
+    assert(t.currentSnapshot().get.exclusions.isEmpty)
+    assert(t.read().orderBy("k").collect().toSeq == before)
+    // upsert with NO effective change commits nothing
+    val vNow = t.currentVersion()
+    assert(t.mergeUpsertBest(Seq((2L, 1, "worse")).toDF("k", "q", "v"), "k", "q") == ((0L, 0L)))
+    assert(t.currentVersion() == vNow)
+  }
+
+  test("mergeUpsertBest on an unpartitioned table: full rewrite, counts exact") {
+    val t = freshTable(partitioned = false)
+    t.append(Seq((1L, 1, "a"), (2L, 5, "b")).toDF("k", "q", "v"))
+    val (nI, nU) = t.mergeUpsertBest(
+      Seq((1L, 3, "a2"), (2L, 4, "bworse"), (3L, 1, "c")).toDF("k", "q", "v"), "k", "q")
+    assert((nI, nU) == (1L, 1L))
+    assert(t.currentSnapshot().get.batches.size == 1) // full rewrite
+    val rows = t.read().collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    assert(t.currentSnapshot().get.rowCount == 3L)
+  }
 }
