@@ -84,7 +84,8 @@ object SparkEntry {
     "q50_keep_best_dup" -> ContractQueries.q50KeepBestDup _,
     "q51_format_audit" -> ContractQueries.q51FormatAudit _,
     "q52_sitemap_images" -> ContractQueries.q52SitemapImages _,
-    "q53_verified_phash_dup" -> ContractQueries.q53VerifiedPhashDup _)
+    "q53_verified_phash_dup" -> ContractQueries.q53VerifiedPhashDup _,
+    "q54_merge_upsert" -> ContractQueries.q54MergeUpsert _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -792,5 +793,25 @@ object SparkEntry {
     "q53_verified_phash_dup" ->
       """SELECT doc_id AS d1, doc_id + 1 AS d2
         |FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
-        |ORDER BY d1""".stripMargin)
+        |ORDER BY d1""".stripMargin,
+
+    // relational replay of the copy-on-write upsert: staged dedup keeps
+    // the max-quality arrival per key, matched keys upgrade only on
+    // strictly better quality, unmatched keys insert
+    "q54_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id AS k, CAST(50 AS BIGINT) AS q, 'old' || doc_id AS v
+        |  FROM documents WHERE doc_id < 200),
+        |staged AS (
+        |  SELECT doc_id % 250 AS k, doc_id * 17 % 100 AS q, 'new' || doc_id AS v
+        |  FROM documents WHERE doc_id < 500),
+        |best AS (
+        |  SELECT k, q, v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY q DESC, v DESC) AS rn
+        |    FROM staged) WHERE rn = 1)
+        |SELECT COALESCE(b.k, s.k) AS k,
+        |  CASE WHEN b.k IS NULL OR s.q > b.q THEN s.q ELSE b.q END AS q,
+        |  CASE WHEN b.k IS NULL OR s.q > b.q THEN s.v ELSE b.v END AS v
+        |FROM base b FULL OUTER JOIN best s ON b.k = s.k
+        |ORDER BY k""".stripMargin)
 }

@@ -764,6 +764,33 @@ object ContractQueries {
       .select(col("d1"), col("d2")).orderBy("d1")
   }
 
+  /** Copy-on-write keep-best MERGE upsert
+    * ([[graft.sources.IceLite.mergeUpsertBest]]) under the hash-exact
+    * gate: a base snapshot (keys < 200, quality 50) takes a staged batch
+    * where every key 0..249 arrives TWICE (doc_id and doc_id+250, distinct
+    * qualities (doc_id*17)%100 — the staged dedup must keep the max) and
+    * the merge upgrades exactly the keys whose winning quality beats 50,
+    * inserts keys 200..249, and leaves the rest untouched. The oracle
+    * replays the dedup + merge relationally (window + full outer join) —
+    * an independent recomputation of the upsert semantics, read back from
+    * the actual on-disk table (exclusion-aware reader included). */
+  def q54MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") < 200)
+      .select(col("doc_id").as("k"), lit(50L).as("q"),
+        concat(lit("old"), col("doc_id").cast("string")).as("v"))
+    val staged = docs.filter(col("doc_id") < 500)
+      .select((col("doc_id") % 250).as("k"),
+        (col("doc_id") * 17 % 100).as("q"),
+        concat(lit("new"), col("doc_id").cast("string")).as("v"))
+    val table = new graft.sources.IceLite(spark,
+      java.nio.file.Files.createTempDirectory("q54-icelite-").toString,
+      partition = Some(graft.sources.IceLite.phashPartition("k")))
+    table.mergeInsert(base, "k")
+    table.mergeUpsertBest(staged, "k", "q")
+    table.read().select("k", "q", "v").orderBy("k")
+  }
+
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),

@@ -122,4 +122,12 @@ class PhashNearDupSpec extends AnyFunSuite {
     assert(expected.exists(p => p._1 <= 1 && p._2 == 10L))
     assert(expected.exists(p => p._1 == 6L && p._2 == 7L)) // intra-delta
   }
+
+  test("verifiedPhashDup plan: pigeonhole equi-join candidates, never a cartesian") {
+    val rows = (0L to 9L).map(id => (id, Array[Byte](1, 2, 3))).toDF("doc_id", "bytes")
+    val plan = Multimodal.verifiedPhashDup(rows, "doc_id", "bytes", maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+  }
 }
