@@ -38,6 +38,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(s2.sql("SELECT url_pattern_key('http://a.com/cal/2026/08?d=1&m=2')")
         .head().getString(0) == "a.com/cal/#/#?d&m")
       assert(s2.sql("SELECT size(extract_hrefs('<a href=\"/x\">l</a>'))").head().getInt(0) == 1)
+      // completeness: EVERY FunctionTable entry resolves through the
+      // extensions path — a new expression cannot miss the spark-submit route
+      graft.functions.FunctionTable.all.foreach { f =>
+        assert(s2.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(f.name)),
+          s"${f.name} not registered via extensions")
+      }
+      // round-4 image family evaluates end to end in SQL
+      assert(s2.sql("SELECT sniff_image_format(X'FFD8FFE0')").head().getString(0) == "jpeg")
+      assert(s2.sql("SELECT size(extract_sitemap_images(" +
+        "'<image:image><image:loc>http://a/i.jpg</image:loc></image:image>'))")
+        .head().getInt(0) == 1)
+      assert(s2.sql("SELECT image_sig(X'00').decodable").head().getBoolean(0) == false)
     } finally {
       // restore the shared default session for the other suites; never stop
       // s2 — it shares the one SparkContext
