@@ -1,0 +1,174 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry for image+caption pair curation — the payload-side
+  * counterpart of `CurateCli`: one command takes a payload table (parquet,
+  * the `input_hint` shape `image_id, bytes, w, h, fmt, caption, phash`)
+  * through
+  *
+  *   pair gates (caption → container trust → decoded stats) →
+  *   exact phash dedup (keep best quality) →
+  *   optional near-dup clustering (hamming radius, optional PSNR verify)
+  *
+  * and writes the curated pairs plus per-stage audit relations. Every
+  * stage is one of the engine's spec/oracle-verified operators; this entry
+  * composes them and records what each stage dropped.
+  *
+  * Scale shape: the gates are stateless column programs (one decode per
+  * row via `image_stats`); exact dedup is one hash agg on phash; the
+  * near-dup pass runs components over DISTINCT PHASHES (longs — one row
+  * per phash survives the exact pass), so the clustering relation is the
+  * signature space, not the row space, and the optional PSNR verification
+  * joins bytes onto candidate pairs only.
+  *
+  * Exit codes follow the CrawlCli convention: 0 success, 2 bad usage,
+  * 1 runtime failure.
+  */
+object ImageCurateCli {
+
+  private val Usage =
+    """usage: ImageCurateCli <input-parquet> <output-dir>
+      |       [--min-tokens 3] [--max-tokens 128] [--min-alpha 0.5]
+      |       [--min-w 32] [--min-h 32] [--max-aspect 4.0] [--min-entropy 1.0]
+      |       [--near-dup HAMMING] [--psnr DB]
+      |
+      |  <input-parquet>  Payload table: image_id, bytes, w, h, fmt,
+      |                   caption, phash (any FS scheme)
+      |  <output-dir>     Writes curated/ plus audit/ relations
+      |  --near-dup H     Also collapse phash clusters within hamming H
+      |                   (components over distinct phashes, keep best w*h)
+      |  --psnr DB        With --near-dup: verify candidate pairs on
+      |                   decoded pixels, keep only pairs >= DB (0 = off)""".stripMargin
+
+  final case class ImageCurateSummary(
+      input: Long,
+      droppedGates: Long,
+      droppedExact: Long,
+      droppedNearDup: Long,
+      kept: Long)
+
+  private[graft] def run(spark: SparkSession, args: Array[String]): ImageCurateSummary = {
+    var pos = Vector.empty[String]
+    var minTokens = 3; var maxTokens = 128; var minAlpha = 0.5
+    var minW = 32; var minH = 32; var maxAspect = 4.0; var minEntropy = 1.0
+    var nearDup: Option[Int] = None; var psnrDb = 0.0
+    var i = 0
+    def value(flag: String): String = {
+      i += 1
+      if (i >= args.length) throw CurateCli.CliUsageError(s"$flag requires a value")
+      args(i)
+    }
+    def num[T](flag: String, parse: String => T): T = {
+      val v = value(flag)
+      try parse(v)
+      catch { case _: NumberFormatException =>
+        throw CurateCli.CliUsageError(s"$flag: not a number: '$v'") }
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "--min-tokens" => minTokens = num("--min-tokens", _.toInt)
+        case "--max-tokens" => maxTokens = num("--max-tokens", _.toInt)
+        case "--min-alpha" => minAlpha = num("--min-alpha", _.toDouble)
+        case "--min-w" => minW = num("--min-w", _.toInt)
+        case "--min-h" => minH = num("--min-h", _.toInt)
+        case "--max-aspect" => maxAspect = num("--max-aspect", _.toDouble)
+        case "--min-entropy" => minEntropy = num("--min-entropy", _.toDouble)
+        case "--near-dup" => nearDup = Some(num("--near-dup", _.toInt))
+        case "--psnr" => psnrDb = num("--psnr", _.toDouble)
+        case flag if flag.startsWith("--") =>
+          throw CurateCli.CliUsageError(s"unknown flag: $flag")
+        case p => pos :+= p
+      }
+      i += 1
+    }
+    if (pos.length != 2)
+      throw CurateCli.CliUsageError("input-parquet and output-dir are required")
+    val Seq(in, outDir) = pos.toSeq
+    def audit(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/audit/$name")
+
+    val pairs = spark.read.parquet(in)
+    val cols = pairs.columns.toSeq
+    val nInput = pairs.count()
+
+    // 1. pair gates — stateless ladder, audit carries the first failing
+    // reason per dropped pair
+    val annotated = Multimodal.pairReasons(pairs, minTokens, maxTokens, minAlpha,
+      minW, minH, maxAspect, minEntropy)
+    audit(annotated.filter(col("reason").isNotNull)
+      .select(col("image_id"), col("reason")), "dropped_gates")
+    val gated = annotated.filter(col("reason").isNull).drop("reason").cache()
+    val nGates = gated.count()
+
+    // 2. exact phash dedup: keep the best-quality row per phash (quality =
+    // recorded pixel count; ties → max image_id, deterministic)
+    val q = col("w").cast("long") * col("h")
+    val winners = gated.groupBy(col("phash").as("__ph"))
+      .agg(max(struct(q.as("__q"), col("image_id").as("__id"))).as("__w"))
+      .select(col("__w.__id").as("image_id"))
+    val exact = gated.join(winners, Seq("image_id"), "left_semi").cache()
+    audit(gated.join(winners, Seq("image_id"), "left_anti")
+      .select(col("image_id"), col("phash")), "dropped_exact")
+    val nExact = exact.count()
+
+    // 3. near-dup clustering over DISTINCT phashes
+    val kept = nearDup match {
+      case None => exact
+      case Some(h) =>
+        val sigs = exact.select(col("phash"))
+        val cand0 = Dedup.hammingPairs(sigs, "phash", "phash", h)
+        val cand =
+          if (psnrDb <= 0) cand0.select("d1", "d2")
+          else {
+            val a = exact.select(col("phash").as("d1"), col("bytes").as("__ba"))
+            val b = exact.select(col("phash").as("d2"), col("bytes").as("__bb"))
+            cand0.join(a, Seq("d1")).join(b, Seq("d2"))
+              .withColumn("__p", graft.functions.ImageFunctions
+                .image_psnr(col("__ba"), col("__bb")))
+              // NaN (size mismatch) orders above every number — exclude
+              .filter(!isnan(col("__p")) && col("__p") >= psnrDb)
+              .select("d1", "d2")
+          }
+        val groups = Dedup.canonicalByQuality(sigs, "phash", cand,
+          exact.select(col("phash"), q.as("__q")), "__q")
+        audit(groups.filter(col("is_kept") === 0)
+          .select(col("phash"), col("component")), "dropped_near_dup")
+        exact.join(groups.filter(col("is_kept") === 1).select("phash"),
+          Seq("phash"), "left_semi")
+    }
+    val curated = kept.select(cols.map(col): _*)
+    curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    val nKept = curated.count()
+    exact.unpersist(); gated.unpersist()
+    val s = ImageCurateSummary(nInput, nInput - nGates, nGates - nExact,
+      nExact - nKept, nKept)
+    println(s"""{"input":${s.input},"dropped_gates":${s.droppedGates},""" +
+      s""""dropped_exact":${s.droppedExact},"dropped_near_dup":${s.droppedNearDup},""" +
+      s""""kept":${s.kept}}""")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-image-curate")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      // image bytes are KB-scale payload columns — cap the vectorized
+      // reader's column batch (see BENCH.md round 4 / SCALE.md §7a-bis)
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_BATCH", "256"))
+      .getOrCreate()
+    try {
+      run(spark, args)
+      ()
+    } catch {
+      case e: CurateCli.CliUsageError =>
+        System.err.println(e.getMessage); System.err.println(Usage); sys.exit(2)
+      case e: Exception =>
+        System.err.println(s"image-curate failed: $e"); sys.exit(1)
+    } finally spark.stop()
+  }
+}

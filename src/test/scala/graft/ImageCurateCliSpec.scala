@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{ImageKernels, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The image-pair curation entry end-to-end on a planted payload table:
+  * gate drops (caption / container trust), exact phash collapse
+  * (keep best recorded quality), near-dup clustering with PSNR-verified
+  * candidates, and the audit relations that explain every drop. */
+class ImageCurateCliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // seeded smooth gradient; edit = 1-pixel green bump. For ck=17/seed=31
+  // the edit flips exactly 2 phash bits at PSNR 83.7 dB (probed), so the
+  // pair is a NEAR-dup (distinct phash within radius), not an exact dup.
+  private def content(ck: Long, edit: Boolean = false): Array[Byte] = {
+    val img = graft.sources.ImageGen.render(ck, seed = 31L, w = 40, h = 30)
+    if (edit) {
+      val rgb = img.getRGB(1, 1)
+      val g = (rgb >> 8) & 0xff
+      img.setRGB(1, 1, (rgb & 0xffff00ff) | ((if (g == 255) g - 1 else g + 1) << 8))
+    }
+    ImageKernels.encode(img, "png")
+  }
+
+  test("end-to-end: gates, exact keep-best, verified near-dup, audits") {
+    val cap = "a photo of a red barn"
+    val aBytes = content(1)
+    val bBytes = content(17)
+    // premise of the near-dup plant: the edit moves the phash, within 8
+    val bEdit = content(17, edit = true)
+    val hd = ImageKernels.hamming64(
+      ImageKernels.phash64(bBytes), ImageKernels.phash64(bEdit))
+    assert(hd >= 1 && hd <= 8, s"fixture drift: edit hamming $hd")
+    def row(id: String, bytes: Array[Byte], fmt: String, c: String, w: Int, h: Int) =
+      (id, bytes, w, h, fmt, c, ImageKernels.phash64(bytes))
+    val rows = Seq(
+      row("a1", aBytes, "png", cap, 40, 30),
+      row("a2", aBytes, "png", cap, 10, 10),            // exact dup, worse q
+      row("b1", bBytes, "png", cap, 40, 30),
+      row("b2", bEdit, "png", cap, 20, 10),             // near-dup, worse q
+      row("bad-cap", content(3), "png", "x", 40, 30),   // caption_too_short
+      row("bad-fmt", content(4), "gif", cap, 40, 30))   // container lie
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val in = Files.createTempDirectory("imgcurate-in-").toString
+    rows.write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("imgcurate-out-").toString
+
+    val s = ImageCurateCli.run(spark, Array(in, out,
+      "--min-w", "16", "--min-h", "12", "--near-dup", "8", "--psnr", "40"))
+    assert(s == ImageCurateCli.ImageCurateSummary(6, 2, 1, 1, 2), s.toString)
+
+    val kept = spark.read.parquet(s"$out/curated")
+      .select("image_id").as[String].collect().toSet
+    assert(kept == Set("a1", "b1"))
+    val gateReasons = spark.read.parquet(s"$out/audit/dropped_gates")
+      .as[(String, String)].collect().toMap
+    assert(gateReasons == Map("bad-cap" -> "caption_too_short",
+      "bad-fmt" -> "format_mismatch"))
+    assert(spark.read.parquet(s"$out/audit/dropped_exact")
+      .select("image_id").as[String].collect().toSeq == Seq("a2"))
+    assert(spark.read.parquet(s"$out/audit/dropped_near_dup").count() == 1)
+  }
+
+  test("usage errors: missing positionals, unknown flag, bad number") {
+    def fails(args: Array[String]): String =
+      intercept[CurateCli.CliUsageError](ImageCurateCli.run(spark, args)).getMessage
+    assert(fails(Array("only-one")).contains("required"))
+    assert(fails(Array("a", "b", "--bogus")).contains("unknown flag"))
+    assert(fails(Array("a", "b", "--near-dup", "soon")).contains("not a number"))
+  }
+}
