@@ -96,7 +96,7 @@ object ScalingBench {
     val phaseTable = phaseKeys.filter(k => pm8(k) > 0 || pm32(k) > 0).map { k =>
       val r = if (pm32(k) > 0) pm8(k) / pm32(k) else Double.NaN
       f"| $k | ${pm8(k)}%.0f | ${pm32(k)}%.0f | $r%.2f |"
-    }.mkString("\n         ||")
+    }.mkString("\n         |")
 
     // Weak scaling: 4× cores on 4× per-round work over the same graph —
     // the operating mode of a real fleet (cluster size grows with the
