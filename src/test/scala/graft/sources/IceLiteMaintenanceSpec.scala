@@ -142,6 +142,26 @@ class IceLiteMaintenanceSpec extends AnyFunSuite {
     assert(t.currentVersion() == vNow)
   }
 
+  test("upsert + compact + expireSnapshots: superseded storage reclaimed, reads intact") {
+    val t = freshTable(partitioned = true)
+    t.append(Seq((1L, 1, "a"), (2L, 1, "b")).toDF("k", "q", "v"))        // v1
+    val vOld = t.currentVersion()
+    assert(t.mergeUpsertBest(Seq((1L, 9, "a9")).toDF("k", "q", "v"), "k", "q") == ((0L, 1L)))
+    val expected = t.read().orderBy("k").collect().toSeq
+    t.compact()                                                           // v3: exclusions cleared
+    t.expireSnapshots(1)
+    // the time-travel snapshot and the superseded batch dirs are gone
+    intercept[IllegalStateException](t.readAt(vOld))
+    val dataDirs = new java.io.File(t.dir, "data").list().count(_.startsWith("batch-"))
+    assert(dataDirs == 1, s"superseded batches not reclaimed: $dataDirs left")
+    assert(t.read().orderBy("k").collect().toSeq == expected)
+    // the table keeps working after the full maintenance cycle
+    assert(t.mergeUpsertBest(Seq((1L, 20, "a20"), (3L, 1, "c")).toDF("k", "q", "v"),
+      "k", "q") == ((1L, 1L)))
+    assert(t.read().filter($"k" === 1L).head().getString(2) == "a20")
+    assert(t.read().count() == 3L)
+  }
+
   test("mergeUpsertBest on an unpartitioned table: full rewrite, counts exact") {
     val t = freshTable(partitioned = false)
     t.append(Seq((1L, 1, "a"), (2L, 5, "b")).toDF("k", "q", "v"))
