@@ -21,6 +21,7 @@ object FunctionTable {
     Fn("extract_hrefs", 1, es => ExtractHrefs(es.head)),
     Fn("extract_sitemap_locs", 1, es => ExtractSitemapLocs(es.head)),
     Fn("extract_sitemap_images", 1, es => ExtractSitemapImages(es.head)),
+    Fn("resolved_link_digest", 2, es => ResolvedLinkDigest(es(0), es(1))),
     Fn("text_fingerprint", 1, es => TextFingerprint(es.head)),
     Fn("repetition_stats", 1, es => RepetitionStats(es.head)),
     Fn("phash64", 1, es => PHash64(es.head)),

@@ -73,9 +73,13 @@ object ImageKernels {
     math.cos(math.Pi * k * (2 * x + 1) / (2.0 * N))
   }
 
-  /** 64-bit perceptual hash of encoded image bytes (SURVEY.md §2.3 C8). */
+  /** 64-bit perceptual hash of encoded image bytes (SURVEY.md §2.3 C8).
+    * A recognized-but-corrupt container (truncated JPEG) makes ImageIO's
+    * reader THROW rather than return null — treated the same as
+    * undecodable (0L), like [[lumaStats]] does, so one bad crawl payload
+    * cannot crash a whole dedup job. */
   def phash64(bytes: Array[Byte]): Long = {
-    val img = decode(bytes)
+    val img = try decode(bytes) catch { case _: Exception => null }
     if (img == null) 0L else phashOf(img)
   }
 
@@ -115,7 +119,10 @@ object ImageKernels {
   /** PSNR in dB between two encoded images' decoded pixels; +Inf for
     * identical, NaN when undecodable/size-mismatched. */
   def psnr(aBytes: Array[Byte], bBytes: Array[Byte]): Double = {
-    val a = decode(aBytes); val b = decode(bBytes)
+    // corrupt containers throw (see phash64) — NaN, per the documented
+    // 'undecodable candidates PSNR to NaN and drop' contract
+    val a = try decode(aBytes) catch { case _: Exception => null }
+    val b = try decode(bBytes) catch { case _: Exception => null }
     if (a == null || b == null) return Double.NaN
     if (a.getWidth != b.getWidth || a.getHeight != b.getHeight) return Double.NaN
     var se = 0.0

@@ -178,6 +178,36 @@ case class ExtractSitemapImages(child: Expression)
     copy(child = newChild)
 }
 
+/** Order-insensitive digest of a page's resolved+normalized link set —
+  * `resolved_link_digest(base, links)` over (string, array<string>). The
+  * mirror-page suppression key as ONE codegen call; see
+  * [[UrlKernels.resolvedLinkDigest]] for the set semantics. */
+case class ResolvedLinkDigest(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "resolved_link_digest"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okBase = left.dataType.isInstanceOf[StringType]
+    val okLinks = right.dataType match {
+      case ArrayType(_: StringType, _) => true
+      case _ => false
+    }
+    if (okBase && okLinks) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (STRING, ARRAY<STRING>) arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override protected def nullSafeEval(base: Any, links: Any): Any =
+    UrlKernels.resolvedLinkDigest(base.asInstanceOf[UTF8String],
+      links.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, l) => s"graft.functions.UrlKernels.resolvedLinkDigest($b, $l)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : ResolvedLinkDigest = copy(left = l, right = r)
+}
+
 /** Column-DSL facade + SQL registration for the URL expression family. */
 object UrlFunctions {
   def normalize_url(c: Column): Column = CB.column(NormalizeUrl(CB.expression(c)))
@@ -190,6 +220,8 @@ object UrlFunctions {
   def extract_hrefs(c: Column): Column = CB.column(ExtractHrefs(CB.expression(c)))
   def extract_sitemap_locs(c: Column): Column = CB.column(ExtractSitemapLocs(CB.expression(c)))
   def extract_sitemap_images(c: Column): Column = CB.column(ExtractSitemapImages(CB.expression(c)))
+  def resolved_link_digest(base: Column, links: Column): Column =
+    CB.column(ResolvedLinkDigest(CB.expression(base), CB.expression(links)))
 
   /** 64-bit canonical URL key: xxhash64 over the normalized URL (C4). */
   def url_seen_key(c: Column): Column =

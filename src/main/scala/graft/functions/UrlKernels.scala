@@ -142,6 +142,49 @@ object UrlKernels {
   def urlPatternKey(url: UTF8String): UTF8String =
     UTF8String.fromString(urlPatternKeyJ(url.toString))
 
+  /** Order-insensitive 64-bit digest of a page's RESOLVED, NORMALIZED link
+    * set — the mirror-page suppression key
+    * ([[graft.operators.FrontierCrawler]]'s content dedup): two pages whose
+    * links resolve to the same URL set digest equal regardless of href
+    * spelling or document order. Equivalent to
+    * `xxhash64(sort_array(transform(links, h => normalize_url(url_resolve(
+    * base, h)))))` but a single static codegen call — the lambda form
+    * evaluates the HOF interpreted, outside WholeStageCodegen (same
+    * motivation as [[graft.functions.RobotsKernels]]' longest-match fold).
+    * Digest VALUES differ from the lambda form's (element hashes chain
+    * through XXH64 directly, no array header) — only set-sensitivity and
+    * determinism matter to the consumer, which compares digests it wrote
+    * itself. Null elements are skipped, matching `normalize_url`'s
+    * null-intolerant per-element result under the array hash. Codegen
+    * entry for [[graft.functions.ResolvedLinkDigest]]. */
+  def resolvedLinkDigest(base: UTF8String,
+      links: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = links.numElements()
+    val b = base.toString
+    val arr = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!links.isNullAt(i)) {
+        val resolved = UrlNormalizer.normalize(
+          PyUrl.urljoin(b, links.getUTF8String(i).toString))
+        arr.add(UTF8String.fromString(resolved))
+      }
+      i += 1
+    }
+    // UTF8String's binary comparator — the same total order sort_array uses;
+    // any total order canonicalizes the set, this one is allocation-free
+    java.util.Collections.sort(arr)
+    var h = 42L
+    var j = 0
+    while (j < arr.size()) {
+      val u = arr.get(j)
+      h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        u.getBaseObject, u.getBaseOffset, u.numBytes, h)
+      j += 1
+    }
+    h
+  }
+
   private val LocRe = java.util.regex.Pattern.compile(
     "(?is)<loc\\s*>\\s*(?:<!\\[CDATA\\[(.*?)\\]\\]>|(.*?))\\s*</loc\\s*>")
 

@@ -641,16 +641,17 @@ final class FrontierCrawler(
             // ContentDedupSpec asserts on≡off). Within-round repeats keep the
             // first by batchIdx; cross-round repeats anti-join the last
             // `contentDedupWindow` digest deltas (bounded per-round cost).
-            // The transform lambda evaluates interpreted, but only once per
-            // OK page over a ~links-length array — the explode path below
-            // pays the same resolution for the pages that survive.
+            // The digest is ONE codegen'd expression (resolve → normalize →
+            // sort → chained XXH64 in a static kernel) — the earlier
+            // sort_array(transform(...)) form evaluated the HOF lambda
+            // interpreted, outside WholeStageCodegen.
             var contentFresh = -1L
             val okRows =
               if (cfg.fifoParity || !cfg.contentDedup) okRows0
               else {
-                val resolvedSet = sort_array(transform($"links",
-                  h => normalize_url(url_resolve($"urlPrime", h))))
-                val hashed = okRows0.withColumn("__chash", xxhash64(resolvedSet))
+                val hashed = okRows0.withColumn("__chash",
+                  graft.functions.UrlFunctions.resolved_link_digest(
+                    $"urlPrime", $"links"))
                 val wc = Window.partitionBy($"__chash").orderBy($"batchIdx")
                 val firsts = hashed.withColumn("__crk", row_number().over(wc))
                   .filter($"__crk" === 1).drop("__crk")
@@ -730,9 +731,17 @@ final class FrontierCrawler(
               // come from the persisted relation; this round's candidates
               // rank deterministically within their pattern (urlHash, url —
               // hash first keeps the sort key compact) and only rows that
-              // fit under cap − priorCount are admitted. The window
-              // partitions BY PATTERN, so one trap pattern never funnels
-              // the relation through a single task.
+              // fit under cap − priorCount are admitted. Two-phase salted
+              // top-k (the polite scheduler's construction at the budget
+              // windows below): a hot trap pattern is BY DEFINITION the one
+              // emitting millions of distinct URLs in a round, so a plain
+              // per-pattern window would funnel exactly the hot case
+              // through one task. Phase 1 ranks within (pattern, salt) and
+              // keeps at most cap − priorCount rows per salt bucket — a
+              // superset of the global per-pattern survivors, since the
+              // phase-2 order is identical — then phase 2 ranks the
+              // ≤ saltBuckets × cap remainder per pattern. The admitted set
+              // is bit-identical to the unsalted window's.
               if (cfg.trapPatternCap <= 0) entries
               else {
                 val withPat = entries
@@ -744,10 +753,8 @@ final class FrontierCrawler(
                         .select($"pat".as("__pat"), $"cnt".as("__cnt")),
                       Seq("__pat"), "left_outer")
                     .withColumn("__cnt", coalesce($"__cnt", lit(0L)))
-                val wp = Window.partitionBy($"__pat").orderBy($"urlHash", $"url")
-                scored.withColumn("__rk", row_number().over(wp).cast("long"))
-                  .filter($"__cnt" + $"__rk" <= cfg.trapPatternCap)
-                  .drop("__pat", "__cnt", "__rk")
+                FrontierCrawler.trapGuardAdmit(scored, cfg.trapPatternCap,
+                  cfg.saltBuckets)
               }
             })
 
@@ -1099,4 +1106,33 @@ final class FrontierCrawler(
           store.readHostState(hostStateRound).filter($"notBefore" > round).select("host"),
           Seq("host"), "left_anti")
     }
+}
+
+object FrontierCrawler {
+  /** The trap guard's admission ration as a two-phase SALTED top-k — the
+    * polite scheduler's skew-safe construction applied to URL patterns.
+    * `scored` carries `__pat` (pattern hash), `__cnt` (prior lifetime
+    * admissions for the pattern — constant within a pattern), `urlHash`
+    * and `url`; at most `cap − __cnt` rows per pattern survive, ranked by
+    * (urlHash, url). Phase 1 ranks within (pattern, salt) and applies the
+    * cap per salt bucket — each bucket's survivors are a superset of the
+    * global per-pattern survivors under the SAME order, so phase 2 (the
+    * exact per-pattern rank over ≤ saltBuckets × cap rows) admits a set
+    * bit-identical to an unsalted single window's, without ever moving a
+    * hot pattern's full row set through one task. */
+  private[operators] def trapGuardAdmit(scored: DataFrame, cap: Int,
+      saltBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val patSalt = pmod(col("urlHash"), lit(math.max(saltBuckets, 1).toLong))
+    val wp1 = Window.partitionBy(col("__pat"), patSalt)
+      .orderBy(col("urlHash"), col("url"))
+    val wp2 = Window.partitionBy(col("__pat")).orderBy(col("urlHash"), col("url"))
+    scored
+      .withColumn("__rk1", row_number().over(wp1).cast("long"))
+      .filter(col("__cnt") + col("__rk1") <= cap)
+      .withColumn("__rk", row_number().over(wp2).cast("long"))
+      .filter(col("__cnt") + col("__rk") <= cap)
+      .drop("__pat", "__cnt", "__rk1", "__rk")
+  }
 }

@@ -367,6 +367,11 @@ object Multimodal {
       .withColumn("reason", coalesce(
         captionReason(col("caption"), minTokens, maxTokens, minAlphaRatio),
         formatReason(col("bytes"), col("fmt")),
+        // NULL bytes: sniff/image_stats are null-intolerant, so without an
+        // explicit branch every gate above and below evaluates to NULL and
+        // the row would be KEPT — while the stream drops it at the
+        // `__sig.decodable` filter. Same verdict, same rung: undecodable.
+        when(col("bytes").isNull, "undecodable"),
         when(!col("__s.decodable"), "undecodable")
           .when(col("__s.width") < minW || col("__s.height") < minH, "too_small")
           .when(col("__s.aspect") > maxAspect, "extreme_aspect")

@@ -123,4 +123,50 @@ class TrapGuardSpec extends AnyFunSuite {
     // the resumed crawl counts PRIOR admissions: still exactly cap in total
     assert(out.sortedFound.count(_.startsWith("http://trap.com/cal/")) == 5)
   }
+
+  test("skewed pattern: salted two-phase admits the exact unsalted set, no single-pattern window") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot trap pattern carrying ≥10× every other pattern's rows — the
+    // case a per-pattern window funnels through one task. Distributed
+    // input (spark.range), NOT a local Seq: the plan assertion below must
+    // see real exchanges.
+    val rows = spark.range(0, 4400, 1, 8)
+      .select(
+        when($"id" < 4000, lit(7L)).otherwise(pmod($"id", lit(4)) + 100L).as("__pat"),
+        concat(lit("http://t.com/p/"), $"id").as("url"))
+      .withColumn("urlHash", xxhash64($"url"))
+      .withColumn("__cnt", when($"__pat" === 7L, 2L).otherwise(0L))
+    val cap = 25
+    val admitted = FrontierCrawler.trapGuardAdmit(rows, cap, saltBuckets = 8)
+
+    // (a) plan: the FIRST (inner) window partitions by (pattern, salt) —
+    // no window in the plan partitions by the pattern alone before the
+    // salted prefilter has capped each bucket
+    val wins = admitted.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.size
+    }
+    assert(wins.size == 2, s"expected 2 windows, got $wins")
+    assert(wins.toSet == Set(1, 2),
+      s"expected one salted (2-expr) and one per-pattern window, got $wins")
+    // collect is top-down: the OUTER (last-executed) window is the 1-expr
+    // per-pattern rank over the ≤ saltBuckets × cap salted survivors
+    assert(wins.head == 1 && wins(1) == 2,
+      s"salted window must run FIRST (inner), got top-down sizes $wins")
+
+    // (b) admitted set is bit-identical to the unsalted single window's
+    val unsaltedW = Window.partitionBy($"__pat").orderBy($"urlHash", $"url")
+    val expected = rows
+      .withColumn("__rk", row_number().over(unsaltedW).cast("long"))
+      .filter($"__cnt" + $"__rk" <= cap)
+      .select("url").as[String].collect().sorted.toSeq
+    val got = admitted.select("url").as[String].collect().sorted.toSeq
+    assert(got == expected)
+    // hot pattern admitted cap − cnt, cold patterns capped at their size
+    val byPat = admitted.withColumn("__p",
+        when($"url".substr(16, 99).cast("long") < 4000, 7L).otherwise(-1L))
+      .groupBy("__p").count().as[(Long, Long)].collect().toMap
+    assert(byPat(7L) == cap - 2)
+    assert(byPat(-1L) == 4 * cap) // 4 cold patterns × 100 rows ≥ cap each
+  }
 }
