@@ -39,7 +39,8 @@ object ImageCurateCli {
       |                   caption, phash (any FS scheme)
       |  <output-dir>     Writes curated/ plus audit/ relations
       |  --near-dup H     Also collapse phash clusters within hamming H
-      |                   (components over distinct phashes, keep best w*h)
+      |                   (components over distinct phashes, keep best
+      |                   DECODED pixel count — recorded w/h are untrusted)
       |  --psnr DB        With --near-dup: verify candidate pairs on
       |                   decoded pixels, keep only pairs >= DB (0 = off)""".stripMargin
 
@@ -95,17 +96,24 @@ object ImageCurateCli {
     val nInput = pairs.count()
 
     // 1. pair gates — stateless ladder, audit carries the first failing
-    // reason per dropped pair
-    val annotated = Multimodal.pairReasons(pairs, minTokens, maxTokens, minAlpha,
-      minW, minH, maxAspect, minEntropy)
+    // reason per dropped pair. The stats-retaining variant: the gate pass
+    // decodes every row anyway, and the DECODED dimensions (not the
+    // recorded w/h, which are untrusted server metadata — a row lying
+    // about its resolution must not win its phash group) are the quality
+    // the dedup stages below rank on.
+    val annotated = Multimodal.pairReasonsWithStats(pairs, minTokens, maxTokens,
+      minAlpha, minW, minH, maxAspect, minEntropy)
     audit(annotated.filter(col("reason").isNotNull)
       .select(col("image_id"), col("reason")), "dropped_gates")
-    val gated = annotated.filter(col("reason").isNull).drop("reason").cache()
+    val gated = annotated.filter(col("reason").isNull)
+      .withColumn("__dq",
+        col("__s.width").cast("long") * col("__s.height").cast("long"))
+      .drop("reason", "__s").cache()
     val nGates = gated.count()
 
     // 2. exact phash dedup: keep the best-quality row per phash (quality =
-    // recorded pixel count; ties → max image_id, deterministic)
-    val q = col("w").cast("long") * col("h")
+    // DECODED pixel count; ties → max image_id, deterministic)
+    val q = col("__dq")
     val winners = gated.groupBy(col("phash").as("__ph"))
       .agg(max(struct(q.as("__q"), col("image_id").as("__id"))).as("__w"))
       .select(col("__w.__id").as("image_id"))

@@ -79,6 +79,41 @@ object ImageWriteback {
     * Returns (inserted count, audit — one row per rejected pair with its
     * first failing reason). Single relation pass: the annotation and both
     * splits come from one projection, no join-back needed. */
+  /** `foreachBatch` MERGE sink with incremental NEAR-dup suppression — the
+    * piece that closes the streaming gap: `curatePairs`' keyed state only
+    * dedups EXACT phashes inside the watermark, so a hamming-1..6
+    * re-encode of an image already in the snapshot table (same picture,
+    * different bytes — the common crawl case) passes the stream and, with
+    * a plain `mergeInsert` sink, lands as a new row until the next batch
+    * sweep. This sink runs [[graft.ops.Multimodal.verifiedPhashDupIncremental]]
+    * (delta = the micro-batch with its ALREADY-COMPUTED phash — no
+    * re-decode; corpus = the table with its STORED phash — never
+    * re-decoded) and drops batch rows whose PSNR-verified duplicate
+    * already sits in the table, then MERGEs the rest. Within-batch
+    * near-dups are NOT collapsed here (exact dups are, by the MERGE key) —
+    * the batch sweep owns intra-delta collapse; this sink's contract is
+    * only "never insert what the table already holds a verified copy of".
+    * Cost per micro-batch: candidates on (id, phash) signatures only,
+    * corpus bytes touched for candidate pairs alone. Returns rows
+    * inserted. */
+  def mergeInsertNearDup(table: IceLite, batch: DataFrame,
+      maxHamming: Int = 6, minPsnrDb: Double = 40.0): Long = {
+    if (table.isEmpty) return table.mergeInsert(batch, "phash")
+    val corpus = table.read().select(col("image_id"), col("bytes"), col("phash"))
+    val dup = graft.ops.Multimodal.verifiedPhashDupIncremental(
+      corpus, batch, "image_id", "bytes",
+      maxHamming = maxHamming, minPsnrDb = minPsnrDb, deltaPhashCol = "phash")
+    // batch ids whose verified pair partner is a CORPUS id (either side)
+    val corpusIds = corpus.select(col("image_id").as("__cid"))
+    val dupOfCorpus = dup.join(corpusIds, col("d1") === col("__cid"))
+        .select(col("d2").as("image_id"))
+      .unionByName(dup.join(corpusIds, col("d2") === col("__cid"))
+        .select(col("d1").as("image_id")))
+      .distinct()
+    table.mergeInsert(batch.join(dupOfCorpus, Seq("image_id"), "left_anti"),
+      "phash")
+  }
+
   def ingestCuratedPairs(outcome: CrawlOutcome, pages: Dataset[PageRow],
       images: Dataset[ImageRow], table: IceLite,
       minTokens: Int = 3, maxTokens: Int = 128, minAlphaRatio: Double = 0.5,

@@ -225,15 +225,21 @@ object Multimodal {
     * daily increment never re-decodes the corpus — corpus bytes are read
     * only for the candidate pairs' PSNR checks. Equals the batch
     * [[verifiedPhashDup]] restricted to delta-touching pairs (spec-pinned).
-    * Ids must be distinct across the inputs. */
+    * Ids must be distinct across the inputs. A delta that ALREADY carries
+    * a phash column (the streaming curation path computed one via
+    * `image_sig`) passes its name as `deltaPhashCol` to skip the
+    * per-batch re-decode. */
   def verifiedPhashDupIncremental(corpus: DataFrame, delta: DataFrame,
       idCol: String, bytesCol: String, phashCol: String = "phash",
       maxHamming: Int = 6, minPsnrDb: Double = 40.0,
-      maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
+      maxBlockPopulation: Long = Long.MaxValue,
+      deltaPhashCol: String = ""): DataFrame = {
     import org.apache.spark.sql.functions._
     val corpusSig = corpus.select(col(idCol), col(phashCol).as("__ph"))
-    val deltaSig = delta.select(col(idCol),
-      graft.functions.ImageFunctions.phash64(col(bytesCol)).as("__ph"))
+    val deltaSig =
+      if (deltaPhashCol.nonEmpty) delta.select(col(idCol), col(deltaPhashCol).as("__ph"))
+      else delta.select(col(idCol),
+        graft.functions.ImageFunctions.phash64(col(bytesCol)).as("__ph"))
     val cand = Dedup.hammingPairsIncremental(corpusSig, deltaSig, idCol, "__ph",
       maxHamming, bits = 64, maxBlockPopulation = maxBlockPopulation)
     val bytesRel = corpus.select(col(idCol), col(bytesCol))
@@ -360,6 +366,21 @@ object Multimodal {
   def pairReasons(pairs: DataFrame,
       minTokens: Int = 3, maxTokens: Int = 128, minAlphaRatio: Double = 0.5,
       minW: Int = 32, minH: Int = 32, maxAspect: Double = 4.0,
+      minEntropyBits: Double = 1.0): DataFrame =
+    pairReasonsWithStats(pairs, minTokens, maxTokens, minAlphaRatio,
+      minW, minH, maxAspect, minEntropyBits).drop("__s")
+
+  /** [[pairReasons]] retaining the DECODED stats struct as column `__s`
+    * (decodable, width, height, aspect, mean_luma, stddev_luma,
+    * entropy_bits) — for consumers that rank survivors by decoded quality
+    * (ImageCurateCli's keep-best): the gate pass already paid the decode,
+    * so carrying the result through costs nothing, and the decoded
+    * dimensions are the TRUSTED ones — the recorded w/h columns are
+    * server-supplied metadata the ladder itself treats as untrustworthy
+    * (that is what `formatReason` exists for). */
+  def pairReasonsWithStats(pairs: DataFrame,
+      minTokens: Int = 3, maxTokens: Int = 128, minAlphaRatio: Double = 0.5,
+      minW: Int = 32, minH: Int = 32, maxAspect: Double = 4.0,
       minEntropyBits: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.functions._
     pairs
@@ -376,7 +397,6 @@ object Multimodal {
           .when(col("__s.width") < minW || col("__s.height") < minH, "too_small")
           .when(col("__s.aspect") > maxAspect, "extreme_aspect")
           .when(col("__s.entropy_bits") < minEntropyBits, "low_entropy")))
-      .drop("__s")
   }
 
   /** Joint image+caption curation over an image-table DataFrame (the

@@ -10,12 +10,15 @@ import java.util.Properties
   * and kept for the table's lifetime.
   *
   * For MERGE pruning to be sound, `expr` MUST be a pure function of the
-  * merge key column ([[IceLite.mergeInsert]]'s `keyCol`) — that is what
-  * guarantees an existing key lives in a partition the staged batch also
-  * touches. [[IceLite.phashPartition]] satisfies this; an expr over other
-  * columns would let existing keys in untouched partitions be re-inserted
-  * as duplicates, so `mergeInsert` enforces it by construction of the
-  * specs this module exports and documents it here for custom specs. */
+  * merge key column ([[IceLite.mergeInsert]]'s / `mergeUpsertBest`'s
+  * `keyCol`) — that is what guarantees an existing key lives in a
+  * partition the staged batch also touches. [[IceLite.phashPartition]]
+  * satisfies this; an expr over OTHER columns would let existing keys in
+  * untouched partitions be re-inserted as duplicates (`mergeInsert`) or
+  * misclassified as inserts instead of upgrades (`mergeUpsertBest` —
+  * duplicate keys AND rowCount drift). Both merges enforce it by
+  * construction of the specs this module exports; custom specs carry the
+  * same obligation. */
 final case class PartitionSpec(name: String, expr: Column)
 
 object IceLite {
@@ -66,7 +69,16 @@ object IceLite {
   *    and storage grow linearly with commits
   */
 final class IceLite(spark: SparkSession, val dir: String,
-    partition: Option[PartitionSpec] = None) {
+    partition: Option[PartitionSpec] = None,
+    // auto-compact bound on copy-on-write bookkeeping: every
+    // mergeUpsertBest adds the touched partition set to EVERY prior
+    // batch's exclusion list, so a long-lived upsert table's manifest
+    // grows O(batches × partitions) — entries, not rows. Once the TOTAL
+    // exclusion-entry count crosses this bound, the upsert triggers
+    // compact() (one consolidated batch, all exclusions cleared; the read
+    // set is unchanged by construction). The default keeps manifests
+    // KB-scale at the 256-partition phash layout; Int.MaxValue disables.
+    maxExclusionEntries: Int = 4096) {
 
   private val sfs = StateFs(spark)
   private def p(parts: String*): String = sfs.child(dir, parts: _*)
@@ -362,6 +374,10 @@ final class IceLite(spark: SparkSession, val dir: String,
               b -> (prev.get.exclusions.getOrElse(b, Set.empty) ++ touched)
             }.toMap
             publish(v, prev.get.batches :+ batch, prev.get.rowCount + nI, excl)
+            // exclusion growth is unbounded without maintenance — fold the
+            // accumulated copy-on-write history once it crosses the bound
+            if (excl.valuesIterator.map(_.size.toLong).sum > maxExclusionEntries)
+              compact()
             (nI, nU)
           } finally { inserts.unpersist(); upgrades.unpersist() }
         } finally stagedP.unpersist()

@@ -85,7 +85,10 @@ object CurationStream {
     * these) — plus `eventTime`, so a `foreachBatch` sink can
     * `IceLite.mergeInsert` each micro-batch straight into the snapshot
     * table (the MERGE re-checks phash against the standing corpus; the
-    * stream's state only owns the watermark horizon). Rows surviving the
+    * stream's state only owns the watermark horizon) — or
+    * `ImageWriteback.mergeInsertNearDup` to additionally suppress
+    * hamming-radius re-encodes whose PSNR-verified duplicate already sits
+    * in the table (exact-dup semantics unchanged, no extra keyed state). Rows surviving the
     * cheap gates pay exactly ONE decode — `image_sig` computes the quality
     * stats and the phash dedup key together — and every stage stays a
     * stateless codegen'd column program. Audit tap: [[pairReasons]] is the

@@ -25,22 +25,36 @@ class ImageCurateCliSpec extends AnyFunSuite {
     ImageKernels.encode(img, "png")
   }
 
-  test("end-to-end: gates, exact keep-best, verified near-dup, audits") {
+  test("end-to-end: gates, exact keep-best on DECODED size, verified near-dup, audits") {
     val cap = "a photo of a red barn"
-    val aBytes = content(1)
+    val aBytes = content(1)                        // decodes 40×30
+    // genuinely smaller copy of the same content (decodes 20×15): planted
+    // into a1's phash group (the q50 growing-resolution-chain pattern —
+    // the stored phash is the table's dedup key; the spec plants the
+    // group, the CLI must pick the right member)
+    val aSmall = ImageKernels.encode(
+      graft.sources.ImageGen.render(1L, seed = 31L, w = 20, h = 15), "png")
     val bBytes = content(17)
     // premise of the near-dup plant: the edit moves the phash, within 8
     val bEdit = content(17, edit = true)
-    val hd = ImageKernels.hamming64(
-      ImageKernels.phash64(bBytes), ImageKernels.phash64(bEdit))
+    val pb1 = ImageKernels.phash64(bBytes)
+    val pb2 = ImageKernels.phash64(bEdit)
+    val hd = ImageKernels.hamming64(pb1, pb2)
     assert(hd >= 1 && hd <= 8, s"fixture drift: edit hamming $hd")
-    def row(id: String, bytes: Array[Byte], fmt: String, c: String, w: Int, h: Int) =
-      (id, bytes, w, h, fmt, c, ImageKernels.phash64(bytes))
+    def row(id: String, bytes: Array[Byte], fmt: String, c: String, w: Int, h: Int,
+        ph: Option[Long] = None) =
+      (id, bytes, w, h, fmt, c, ph.getOrElse(ImageKernels.phash64(bytes)))
+    val pa = ImageKernels.phash64(aBytes)
     val rows = Seq(
       row("a1", aBytes, "png", cap, 40, 30),
-      row("a2", aBytes, "png", cap, 10, 10),            // exact dup, worse q
+      // honest-but-smaller copy: recorded w*h SMALLER too — must lose on
+      // decoded pixels (and would also lose on recorded)
+      row("a2", aSmall, "png", cap, 10, 10, Some(pa)),
+      // the LIAR: decodes 20×15 but CLAIMS 999×999 — under recorded-w*h
+      // ranking this row would beat a1; under decoded ranking it loses
+      row("a3", aSmall, "png", cap, 999, 999, Some(pa)),
       row("b1", bBytes, "png", cap, 40, 30),
-      row("b2", bEdit, "png", cap, 20, 10),             // near-dup, worse q
+      row("b2", bEdit, "png", cap, 20, 10),             // near-dup re-encode
       row("bad-cap", content(3), "png", "x", 40, 30),   // caption_too_short
       row("bad-fmt", content(4), "gif", cap, 40, 30))   // container lie
       .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
@@ -50,17 +64,23 @@ class ImageCurateCliSpec extends AnyFunSuite {
 
     val s = ImageCurateCli.run(spark, Array(in, out,
       "--min-w", "16", "--min-h", "12", "--near-dup", "8", "--psnr", "40"))
-    assert(s == ImageCurateCli.ImageCurateSummary(6, 2, 1, 1, 2), s.toString)
+    assert(s == ImageCurateCli.ImageCurateSummary(7, 2, 2, 1, 2), s.toString)
 
+    // b1/b2 decode to the SAME 40×30, so the near-dup keep-best ties on
+    // decoded pixels and falls to canonicalByQuality's deterministic
+    // tie-break (smallest signed phash)
+    val keepB = if (pb1 < pb2) "b1" else "b2"
     val kept = spark.read.parquet(s"$out/curated")
       .select("image_id").as[String].collect().toSet
-    assert(kept == Set("a1", "b1"))
+    assert(kept == Set("a1", keepB))
     val gateReasons = spark.read.parquet(s"$out/audit/dropped_gates")
       .as[(String, String)].collect().toMap
     assert(gateReasons == Map("bad-cap" -> "caption_too_short",
       "bad-fmt" -> "format_mismatch"))
+    // BOTH smaller copies lost — a3's inflated recorded dimensions did not
+    // buy it the group (the round-4 defect this spec pins)
     assert(spark.read.parquet(s"$out/audit/dropped_exact")
-      .select("image_id").as[String].collect().toSeq == Seq("a2"))
+      .select("image_id").as[String].collect().toSet == Set("a2", "a3"))
     assert(spark.read.parquet(s"$out/audit/dropped_near_dup").count() == 1)
   }
 

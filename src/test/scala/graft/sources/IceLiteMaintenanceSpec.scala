@@ -162,6 +162,35 @@ class IceLiteMaintenanceSpec extends AnyFunSuite {
     assert(t.read().count() == 3L)
   }
 
+  test("auto-compact: N repeated upserts keep exclusion entries bounded, read set exact throughout") {
+    val dir = Files.createTempDirectory("graft-icelite-maint-").toString
+    val bound = 4
+    val t = new IceLite(spark, dir, Some(IceLite.phashPartition("k")),
+      maxExclusionEntries = bound)
+    // two partitions (top byte 0 and 1); every upsert upgrades both, so
+    // each adds 2 exclusion entries PER PRIOR BATCH — unmanaged, the
+    // manifest grows O(batches × partitions)
+    def entries(): Long = t.currentSnapshot().get
+      .exclusions.valuesIterator.map(_.size.toLong).sum
+    t.append(Seq((1L, 0, "a0"), (1L << 56 | 2L, 0, "b0")).toDF("k", "q", "v"))
+    (1 to 8).foreach { i =>
+      val (nI, nU) = t.mergeUpsertBest(
+        Seq((1L, i, s"a$i"), (1L << 56 | 2L, i, s"b$i")).toDF("k", "q", "v"),
+        "k", "q")
+      assert((nI, nU) == (0L, 2L))
+      // the bound holds after EVERY upsert (auto-compact fired whenever
+      // the accumulated history crossed it)...
+      assert(entries() <= bound, s"upsert $i: ${entries()} exclusion entries")
+      // ...and the read set is exactly the latest-quality rows
+      val rows = t.read().collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+      assert(rows == Map(1L -> (i, s"a$i"), (1L << 56 | 2L) -> (i, s"b$i")))
+      assert(t.currentSnapshot().get.rowCount == 2L)
+    }
+    // compaction genuinely fired (batches folded at least once)
+    assert(t.currentSnapshot().get.batches.size < 9)
+  }
+
   test("mergeUpsertBest on an unpartitioned table: full rewrite, counts exact") {
     val t = freshTable(partitioned = false)
     t.append(Seq((1L, 1, "a"), (2L, 5, "b")).toDF("k", "q", "v"))

@@ -82,6 +82,59 @@ class PairStreamSpec extends AnyFunSuite {
     assert(rows.map(_._6).distinct.length == 3)
   }
 
+  test("near-dup MERGE sink: a hamming-radius re-encode of a stored image is NOT inserted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = new IceLite(spark, Files.createTempDirectory("pairstream-nd-").toString)
+    // seeded smooth gradient + 1-pixel green bump: flips a few phash bits
+    // at archival PSNR (the planted-near-dup pattern — the banded
+    // `textured` fixtures are DCT-stable under single-pixel edits, and
+    // JPEG re-encodes of smooth synthetics flip too many bits to pin)
+    def grad(edit: Boolean): Array[Byte] = {
+      val im = graft.sources.ImageGen.render(17L, seed = 31L, w = 40, h = 30)
+      if (edit) {
+        val rgb = im.getRGB(1, 1)
+        val g = (rgb >> 8) & 0xff
+        im.setRGB(1, 1, (rgb & 0xffff00ff) | ((if (g == 255) g - 1 else g + 1) << 8))
+      }
+      ImageKernels.encode(im, "png")
+    }
+    val aBytes = grad(edit = false)
+    val aEdit = grad(edit = true)
+    val hd = ImageKernels.hamming64(
+      ImageKernels.phash64(aBytes), ImageKernels.phash64(aEdit))
+    assert(hd >= 1 && hd <= 6, s"fixture drift: edit hamming $hd")
+
+    val in = MemoryStream[PairEvent]
+    val out = CurationStream.curatePairs(in.toDS(), watermarkDelay = "1 hour",
+      minW = 16, minH = 12)
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.ImageWriteback.mergeInsertNearDup(
+          table, batch.drop("eventTime")); ()
+      }.start()
+    try {
+      // tSec 100+: a first event at exactly epoch 0 sits ON the initial
+      // watermark and dropDuplicatesWithinWatermark discards it as late
+      in.addData(ev("a", aBytes, "png", goodCap, 100),
+        ev("b", textured(2), "png", goodCap, 101))
+      q.processAllAvailable()
+      in.addData(
+        // hamming-`hd` re-encode: DIFFERENT phash, so neither the stream's
+        // exact-dedup state nor the MERGE key catches it — only the
+        // incremental verified near-dup against the standing table does
+        ev("a-re", aEdit, "png", goodCap, 200),
+        // exact cross-batch dup: unchanged behavior (MERGE key drops it)
+        ev("b-again", textured(2), "png", goodCap, 201),
+        // genuinely new content: must still insert
+        ev("c", textured(5), "png", goodCap, 202))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = table.read().select("image_id").as[String].collect().toSet
+    assert(ids == Set("a", "b", "c"), s"got $ids")
+  }
+
   test("pairReasons audit annotation labels every gate; batch and stream shapes agree") {
     import spark.implicits._
     val batch = Seq(
