@@ -29,7 +29,12 @@ object ExpireCli {
       |                     resumed crawl will run with — requeued rows take
       |                     their host's rank priority (absent host →
       |                     Int.MaxValue) instead of BFS depth, keeping the
-      |                     frontier on ONE priority scale""".stripMargin
+      |                     frontier on ONE priority scale
+      |  --recency PATH     Parquet (url, lastmod timestamp) recency relation
+      |                     (e.g. Sitemaps.recencyRelation over sitemap
+      |                     lastmod claims) — requeued URLs with a known
+      |                     lastmod re-fetch fresher-first within their
+      |                     priority class (polite mode only)""".stripMargin
 
   private[graft] final case class CliUsageError(msg: String) extends Exception(msg)
 
@@ -42,6 +47,7 @@ object ExpireCli {
     var requeue = true
     var fifo = false
     var authority: Option[String] = None
+    var recency: Option[String] = None
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -63,6 +69,7 @@ object ExpireCli {
         case "--no-requeue" => requeue = false
         case "--fifo" => fifo = true
         case "--authority" => authority = Some(value("--authority"))
+        case "--recency" => recency = Some(value("--recency"))
         case flag if flag.startsWith("-") => throw CliUsageError(s"unknown flag: $flag")
         case pos if dir.isEmpty => dir = Some(pos)
         case pos => throw CliUsageError(s"unexpected argument: $pos")
@@ -76,8 +83,11 @@ object ExpireCli {
     val m = store.latestManifest().getOrElse(
       throw new IllegalStateException(s"no checkpoint manifest under $d"))
     val expire = rounds.getOrElse(m.visitedRounds.takeRight(lastK.get))
+    if (recency.isDefined && fifo)
+      throw CliUsageError("--recency requires the polite (non --fifo) layout")
     val m2 = store.expireAndRequeue(expire, requeue = requeue, fifoIdx = fifo,
-      hostPriority = authority.map(spark.read.parquet(_)))
+      hostPriority = authority.map(spark.read.parquet(_)),
+      recency = recency.map(spark.read.parquet(_)))
     println(s"expired rounds ${expire.mkString(",")} " +
       s"(${m.visitedRounds.size - m2.visitedRounds.size} of ${m.visitedRounds.size}); " +
       (if (m2.bloomRound >= 0) s"seen-filter snapshot updated in place (${m2.seenKind})"

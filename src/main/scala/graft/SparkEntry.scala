@@ -85,7 +85,8 @@ object SparkEntry {
     "q51_format_audit" -> ContractQueries.q51FormatAudit _,
     "q52_sitemap_images" -> ContractQueries.q52SitemapImages _,
     "q53_verified_phash_dup" -> ContractQueries.q53VerifiedPhashDup _,
-    "q54_merge_upsert" -> ContractQueries.q54MergeUpsert _)
+    "q54_merge_upsert" -> ContractQueries.q54MergeUpsert _,
+    "q55_sitemap_recency" -> ContractQueries.q55SitemapRecency _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -813,5 +814,22 @@ object SparkEntry {
         |  CASE WHEN b.k IS NULL OR s.q > b.q THEN s.q ELSE b.q END AS q,
         |  CASE WHEN b.k IS NULL OR s.q > b.q THEN s.v ELSE b.v END AS v
         |FROM base b FULL OUTER JOIN best s ON b.k = s.k
-        |ORDER BY k""".stripMargin)
+        |ORDER BY k""".stripMargin,
+
+    // closed-form recency: every lastmod instant is doc_id arithmetic over
+    // a fixed epoch base, so the oracle recomputes claim counts and
+    // freshest epochs without parsing any datetime string
+    "q55_sitemap_recency" ->
+      """WITH e AS (
+        |  SELECT 'http://s.com/p' || (doc_id % 100) AS url,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 1767225600 + (doc_id % 50) * 86400
+        |      WHEN 1 THEN 1767225600 + doc_id * 3600
+        |      ELSE NULL END AS epoch
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'http://s.com/q' || (doc_id % 7), NULL FROM documents)
+        |SELECT url, count(*) AS claims, count(epoch) AS with_lastmod,
+        |  max(epoch) AS freshest_epoch
+        |FROM e GROUP BY url ORDER BY url""".stripMargin)
 }

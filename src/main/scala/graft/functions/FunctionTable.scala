@@ -20,6 +20,7 @@ object FunctionTable {
     Fn("url_security_valid", 1, es => UrlSecurityValid(es.head)),
     Fn("extract_hrefs", 1, es => ExtractHrefs(es.head)),
     Fn("extract_sitemap_locs", 1, es => ExtractSitemapLocs(es.head)),
+    Fn("extract_sitemap_entries", 1, es => ExtractSitemapEntries(es.head)),
     Fn("extract_sitemap_images", 1, es => ExtractSitemapImages(es.head)),
     Fn("resolved_link_digest", 2, es => ResolvedLinkDigest(es(0), es(1))),
     Fn("text_fingerprint", 1, es => TextFingerprint(es.head)),

@@ -159,6 +159,25 @@ case class ExtractSitemapLocs(child: Expression)
     copy(child = newChild)
 }
 
+/** 1→N (loc, lastmod) generator over a sitemap-XML column — the block view
+  * of [[ExtractSitemapLocs]]: each `<url>`/`<sitemap>` block's loc pairs
+  * with its optional W3C-datetime `<lastmod>` (NULL when absent), the
+  * recency signal the TTL re-crawl machinery prioritizes by. */
+case class ExtractSitemapEntries(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("loc", StringType, nullable = false),
+    StructField("lastmod", StringType, nullable = true))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_sitemap_entries"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKernels.sitemapEntriesArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.sitemapEntriesArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractSitemapEntries =
+    copy(child = newChild)
+}
+
 /** 1→N image-pair generator over a sitemap-XML column — the image-sitemap
   * extension's `<image:image>` blocks as `array<struct<loc, caption>>`
   * (caption NULL when the block carries none). The source-side origin of
@@ -219,6 +238,7 @@ object UrlFunctions {
   def url_security_valid(c: Column): Column = CB.column(UrlSecurityValid(CB.expression(c)))
   def extract_hrefs(c: Column): Column = CB.column(ExtractHrefs(CB.expression(c)))
   def extract_sitemap_locs(c: Column): Column = CB.column(ExtractSitemapLocs(CB.expression(c)))
+  def extract_sitemap_entries(c: Column): Column = CB.column(ExtractSitemapEntries(CB.expression(c)))
   def extract_sitemap_images(c: Column): Column = CB.column(ExtractSitemapImages(CB.expression(c)))
   def resolved_link_digest(base: Column, links: Column): Column =
     CB.column(ResolvedLinkDigest(CB.expression(base), CB.expression(links)))

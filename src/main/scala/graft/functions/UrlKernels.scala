@@ -209,6 +209,46 @@ object UrlKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       sitemapLocs(xml.toString).map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
 
+  private val EntryBlockRe = java.util.regex.Pattern.compile(
+    "(?is)<(url|sitemap)\\s*>(.*?)</\\1\\s*>")
+  private val LastmodRe = java.util.regex.Pattern.compile(
+    "(?is)<lastmod\\s*>\\s*(?:<!\\[CDATA\\[(.*?)\\]\\]>|(.*?))\\s*</lastmod\\s*>")
+
+  /** Document-order (loc, lastmod) extraction from a sitemap XML body —
+    * the `<url>` / `<sitemap>` BLOCK view of [[sitemapLocs]]: each block's
+    * required `<loc>` pairs with its optional `<lastmod>` (W3C datetime,
+    * plain text or CDATA; missing/empty → NULL lastmod — the string is
+    * NOT parsed here, callers convert with `try_to_timestamp` so a
+    * malformed date degrades to "recency unknown" instead of failing the
+    * scan). Blocks without a non-empty loc are dropped. The lastmod is
+    * what connects sitemap ingestion to the TTL re-crawl machinery:
+    * fresher-lastmod URLs requeue ahead (see
+    * [[graft.operators.CheckpointStore]]'s `expireAndRequeue` recency
+    * relation). Codegen entry for
+    * [[graft.functions.ExtractSitemapEntries]]. */
+  def sitemapEntriesArray(xml: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = EntryBlockRe.matcher(xml.toString)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    while (b.find()) {
+      val block = b.group(2)
+      val lm = LocRe.matcher(block)
+      if (lm.find()) {
+        val lv = (if (lm.group(1) != null) lm.group(1) else lm.group(2)).trim
+        if (lv.nonEmpty) {
+          val mm = LastmodRe.matcher(block)
+          val mod =
+            if (mm.find()) {
+              val mv = (if (mm.group(1) != null) mm.group(1) else mm.group(2)).trim
+              if (mv.isEmpty) null else UTF8String.fromString(mv)
+            } else null
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](UTF8String.fromString(lv), mod))
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   private val ImageBlockRe = java.util.regex.Pattern.compile(
     "(?is)<image:image\\s*>(.*?)</image:image\\s*>")
   private val ImageLocRe = java.util.regex.Pattern.compile(

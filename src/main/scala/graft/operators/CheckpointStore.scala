@@ -48,6 +48,12 @@ object CheckpointStore {
     * ones and a requeued segment can claim the next block. */
   val IdxSpan: Long = 1L << 40
 
+  /** First slots of a requeue round's idx block reserved for
+    * lastmod-known rows (epoch seconds fit until ~2514); the hash-spread
+    * band for unknown-recency rows starts after it. See
+    * `expireAndRequeue`'s `recency` parameter. */
+  val RecencyBand: Long = 1L << 34
+
   final case class SegInfo(seg: Int, minIdx: Long, maxIdx: Long, rows: Long)
 
   final case class Manifest(
@@ -415,11 +421,25 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     * consumed rows), and once no longer filtered by the visited anti-join
     * they re-schedule anyway. Use the default for deterministic re-crawl
     * semantics; `requeue = false` only for measuring the filter update.
-    */
+    *
+    * `recency` — optional `(url, lastmod:timestamp)` relation (e.g.
+    * [[graft.sources.Sitemaps]]'s `recencyRelation` over sitemap
+    * `<lastmod>` claims; urls must be in the crawl's normalized space):
+    * requeued rows with a known lastmod take a discoveryIdx that DECREASES
+    * with freshness, ahead of the hash-spread block for unknown-recency
+    * rows — so within the same priority class (the scheduler orders by
+    * (priority, nextFetchTime, discoveryIdx, url)) fresher URLs re-fetch
+    * first, WITHOUT touching the authority scale the contract above pins.
+    * One broadcast-sized left join; no window, no extra shuffle beyond the
+    * join. Polite (hash-idx) mode only — fifoIdx assigns arrival order by
+    * construction. */
   def expireAndRequeue(rounds: Seq[Int], requeue: Boolean = true,
       fifoIdx: Boolean = false,
-      hostPriority: Option[DataFrame] = None): CheckpointStore.Manifest = {
+      hostPriority: Option[DataFrame] = None,
+      recency: Option[DataFrame] = None): CheckpointStore.Manifest = {
     import org.apache.spark.sql.functions._
+    require(recency.isEmpty || !fifoIdx,
+      "recency-prioritized requeue requires the hash-idx (polite) mode")
     val m = latestManifest().getOrElse(
       throw new IllegalStateException(s"no checkpoint manifest under $dir"))
     val expireSet = rounds.toSet
@@ -471,15 +491,41 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
               .withColumn("__prio",
                 coalesce(col("__hostPrio"), lit(Int.MaxValue)).cast("int"))
         }
-        val entries = prioed
-          .withColumn("discoveryIdx",
-            if (fifoIdx)
-              lit(m.nextIdx) +
-                row_number().over(org.apache.spark.sql.expressions.Window
-                  .orderBy(col("url"))).cast("long") - 1
-            else
-              lit((r.toLong + 1) * CheckpointStore.IdxSpan) +
-                pmod(xxhash64(col("url")), lit(CheckpointStore.IdxSpan)))
+        // recency-aware idx (polite mode): the synthetic round's idx block
+        // [(r+1)·IdxSpan, (r+2)·IdxSpan) splits into a LASTMOD band (first
+        // RecencyBand slots — idx = band_end − clamped epoch seconds, so
+        // fresher ⇒ smaller ⇒ scheduled earlier) followed by the
+        // hash-spread band for unknown-recency rows. Epoch seconds fit the
+        // 2^34 band until ~year 2514; clamping keeps adversarial lastmod
+        // claims inside the band instead of colliding into other rounds'.
+        val recencied = recency match {
+          case None => prioed
+          case Some(rel) =>
+            prioed.join(
+                rel.select(rel("url"), rel("lastmod").as("__lm")),
+                Seq("url"), "left_outer")
+        }
+        val band = CheckpointStore.RecencyBand
+        val idxCol =
+          if (fifoIdx)
+            lit(m.nextIdx) +
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy(col("url"))).cast("long") - 1
+          else if (recency.isEmpty)
+            lit((r.toLong + 1) * CheckpointStore.IdxSpan) +
+              pmod(xxhash64(col("url")), lit(CheckpointStore.IdxSpan))
+          else {
+            val epoch = greatest(lit(0L),
+              least(col("__lm").cast("long"), lit(band - 1)))
+            when(col("__lm").isNotNull,
+              lit((r.toLong + 1) * CheckpointStore.IdxSpan) + (lit(band - 1) - epoch))
+              .otherwise(
+                lit((r.toLong + 1) * CheckpointStore.IdxSpan + band) +
+                  pmod(xxhash64(col("url")),
+                    lit(CheckpointStore.IdxSpan - band)))
+          }
+        val entries = recencied
+          .withColumn("discoveryIdx", idxCol)
           .select(col("url"), col("urlHash"), col("host"), col("depth"),
             col("__prio").as("priority"), col("discoveryIdx"),
             lit(0L).as("nextFetchTime"))

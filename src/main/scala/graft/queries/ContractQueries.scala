@@ -673,7 +673,7 @@ object ContractQueries {
         case 1 | 2 => enc("jpg")
         case 3 => enc("gif")
         case 4 => enc("bmp")
-        case 5 => "RIFF    WEBPVP8 ".getBytes("ISO-8859-1")
+        case 5 => "RIFF\u0000\u0000\u0000\u0000WEBPVP8 ".getBytes("ISO-8859-1")
         // consecutive byte values mod 251 can never spell a magic prefix
         case _ => Array.tabulate(16)(i => ((id + i) % 251).toByte)
       }
@@ -789,6 +789,47 @@ object ContractQueries {
     table.mergeInsert(base, "k")
     table.mergeUpsertBest(staged, "k", "q")
     table.read().select("k", "q", "v").orderBy("k")
+  }
+
+  /** Sitemap `<lastmod>` entry extraction + W3C-datetime recency parsing
+    * ([[graft.functions.ExtractSitemapEntries]] →
+    * [[graft.sources.Sitemaps.recencyRelation]]) with a closed-form
+    * oracle: the XML is BUILT with engine expressions from doc_id
+    * (plain-date / CDATA-datetime / missing / garbage lastmod by id % 4,
+    * every instant id arithmetic over a fixed epoch base), so DuckDB
+    * re-derives each URL's claim count and freshest epoch from doc_id
+    * directly — the extract + parse pipeline is independently recomputed,
+    * never restated. Session tz is UTC (Verify), so the date-only form
+    * parses to exact midnight epochs on the Spark side. */
+  def q55SitemapRecency(spark: SparkSession, dir: String): DataFrame = {
+    val base = 1767225600L // 2026-01-01T00:00:00Z
+    val lastmod = when(col("doc_id") % 4 === 0,
+        concat(lit("<lastmod>"),
+          date_format(timestamp_seconds(lit(base) + col("doc_id") % 50 * 86400),
+            "yyyy-MM-dd"), lit("</lastmod>")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("<lastmod><![CDATA[ "),
+          date_format(timestamp_seconds(lit(base) + col("doc_id") * 3600),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit(" ]]></lastmod>")))
+      .when(col("doc_id") % 4 === 3,
+        concat(lit("<lastmod>not-a-date-"), col("doc_id").cast("string"),
+          lit("</lastmod>")))
+      .otherwise(lit(""))
+    val entries = t(spark, dir, "documents")
+      .select(concat(
+        lit("<urlset><url><loc>http://s.com/p"),
+        (col("doc_id") % 100).cast("string"), lit("</loc>"), lastmod,
+        lit("</url><url><loc> http://s.com/q"),
+        (col("doc_id") % 7).cast("string"), lit(" </loc></url></urlset>")).as("xml"))
+      .select(explode(
+        graft.functions.UrlFunctions.extract_sitemap_entries(col("xml"))).as("e"))
+      .select(col("e.loc").as("url"), col("e.lastmod").as("lastmod"))
+    graft.sources.Sitemaps.recencyRelation(entries)
+      .groupBy("url")
+      .agg(count(lit(1)).as("claims"),
+        count(col("lastmod")).as("with_lastmod"),
+        max(col("lastmod").cast("long")).as("freshest_epoch"))
+      .orderBy("url")
   }
 
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =

@@ -58,6 +58,61 @@ object Sitemaps {
     out.dropDuplicates()
   }
 
+  /** [[expand]] carrying each page's `<lastmod>` along: a distinct
+    * `(url, lastmod)` relation where `lastmod` is the FRESHEST non-null
+    * W3C-datetime string any urlset claimed for that normalized URL (ISO
+    * date/datetime strings order chronologically as strings, so `max`
+    * picks the freshest; NULL when no block carried one). This is the
+    * source-side half of lastmod-prioritized re-crawling: feed
+    * `recencyRelation` of the result to
+    * [[graft.operators.CheckpointStore]]'s `expireAndRequeue` and expired
+    * URLs with fresher sitemap claims are fetched first. Same per-level
+    * join + explode shape as [[expand]]. */
+  def expandEntries(pages: DataFrame, roots: DataFrame, maxDepth: Int = 4): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bodies = pages
+      .select(normalize_url($"url").as("__smUrl"),
+        coalesce($"html", lit("")).as("__body"))
+    var frontier = roots.select(normalize_url($"url").as("__smUrl")).dropDuplicates()
+    var seen = frontier
+    var out: DataFrame = Seq.empty[(String, String)].toDF("url", "lastmod")
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val fetched = frontier.join(bodies, Seq("__smUrl"))
+        .withColumn("__isIndex", instr(lower($"__body"), "<sitemapindex") > 0)
+      out = out.unionByName(
+        fetched.filter(!$"__isIndex")
+          .select(explode(extract_sitemap_entries($"__body")).as("e"))
+          .select(normalize_url($"e.loc").as("url"), $"e.lastmod".as("lastmod")))
+      frontier = fetched.filter($"__isIndex")
+        .select(explode(extract_sitemap_locs($"__body")).as("loc"))
+        .select(normalize_url($"loc").as("__smUrl")).dropDuplicates()
+        .join(seen, Seq("__smUrl"), "left_anti")
+        .localCheckpoint(true)
+      seen = seen.unionByName(frontier).localCheckpoint(true)
+      depth += 1
+    }
+    // freshest non-null claim per url (struct trick: non-null sorts above
+    // null on the isNotNull flag, then max string = max ISO instant)
+    out.groupBy($"url")
+      .agg(max(struct($"lastmod".isNotNull.as("k"), $"lastmod")).as("m"))
+      .select($"url", $"m.lastmod".as("lastmod"))
+  }
+
+  /** `(url, lastmod:timestamp)` recency relation from [[expandEntries]]
+    * output — the shape `expireAndRequeue` consumes. W3C datetime admits
+    * date-only and full offset forms; `try_to_timestamp` degrades anything
+    * unparseable to NULL (= recency unknown) instead of failing the scan
+    * under ANSI mode. Rows with NULL lastmod are kept — the consumer
+    * treats them as unknown, not absent. */
+  def recencyRelation(entries: DataFrame): DataFrame =
+    entries.select(col("url"),
+      coalesce(
+        try_to_timestamp(col("lastmod")),
+        try_to_timestamp(col("lastmod"), lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        try_to_timestamp(col("lastmod"), lit("yyyy-MM-dd"))).as("lastmod"))
+
   /** Image-pair expansion: same index walk as [[expand]], but the yield is
     * the image-sitemap extension's `<image:image>` blocks — a distinct
     * `(url, caption)` relation (caption NULL when the block carries none;

@@ -233,6 +233,62 @@ class RecrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("recency requeue: fresher lastmod is re-fetched first within the same priority class") {
+    val dir = Files.createTempDirectory("graft-recrawl-rec-").toString
+    crawlPolite(dir, "cuckoo")
+    val store = new CheckpointStore(spark, dir, visitedFromLog = true)
+    val m1 = store.latestManifest().get
+    val expireRounds = m1.visitedRounds.takeRight(2)
+    val expired = store.readVisited(expireRounds).get
+      .select("url").as[String].collect().sorted.toSeq
+    val s0 = expired.filter(_.startsWith("http://site0.com")).sorted
+    assert(s0.length >= 2, s"fixture drift: ${s0.length} site0 urls expired")
+    // freshness CONTRADICTS the url tie-break: the lexicographically
+    // LARGEST url claims the freshest lastmod — only the recency idx can
+    // produce fresher-first order
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+    val rec = s0.zipWithIndex.map { case (u, i) =>
+      (u, new java.sql.Timestamp((base + i * 86400L) * 1000L))
+    }.toDF("url", "lastmod")
+    // one shared authority class per host, so discoveryIdx (not priority)
+    // decides intra-host order — the contract's "same authority scale"
+    val hp = (0 until params.nHosts).map(h => (s"site$h.com", 1)).toDF("host", "priority")
+    val m2 = store.expireAndRequeue(expireRounds, hostPriority = Some(hp),
+      recency = Some(rec))
+
+    // segment-level: lastmod rows sit in the recency band in freshness
+    // order; unknown-recency rows (every other host) land after the band
+    val seg = store.readSegsRaw(Seq(m2.liveSegs.last.seg))
+      .select("url", "discoveryIdx").as[(String, Long)].collect().toMap
+    val segBase = (m2.round.toLong + 1) * CheckpointStore.IdxSpan
+    val bandEnd = segBase + CheckpointStore.RecencyBand
+    s0.foreach(u => assert(seg(u) >= segBase && seg(u) < bandEnd,
+      s"$u idx ${seg(u)} outside the recency band"))
+    val idxOrder = s0.sortBy(seg) // ascending idx = scheduled order
+    assert(idxOrder == s0.reverse,
+      s"recency band order $idxOrder != fresher-first ${s0.reverse}")
+    (seg.keySet -- s0).foreach(u => assert(seg(u) >= bandEnd,
+      s"unknown-recency $u idx ${seg(u)} inside the band"))
+
+    // end-to-end: resume with budget 1 — site0 drains one URL per round,
+    // so visited-round numbers are the fetch order; the freshest must come
+    // back before every staler one
+    val pages = SiteGraph.localPages(params)
+    new FrontierCrawler(spark, pages.toDS(),
+      politeCfg(dir, "cuckoo", 8).copy(perHostBudget = 1),
+      hostPriority = Some(hp)).crawlSeeds(seedsOf(pages).toDF("url"))
+    val m3 = store.latestManifest().get
+    val newRounds = (m3.visitedRounds.toSet -- m2.visitedRounds.toSet).toSeq.sorted
+    val roundOf = newRounds.flatMap { r =>
+      store.readVisited(Seq(r)).get.select("url").as[String].collect()
+        .filter(s0.contains).map(_ -> r)
+    }.toMap
+    assert(roundOf.keySet == s0.toSet, s"resume missed ${s0.toSet -- roundOf.keySet}")
+    val fetchOrder = s0.sortBy(roundOf)
+    assert(fetchOrder == s0.reverse,
+      s"fetch order $fetchOrder != fresher-first ${s0.reverse}")
+  }
+
   test("bloom expiry: pointer dropped (no delete), resume rebuilds and re-fetches exactly") {
     val dir = Files.createTempDirectory("graft-recrawl-bloom-").toString
     val out1 = crawlPolite(dir, "bloom")
@@ -267,11 +323,33 @@ class RecrawlSpec extends AnyFunSuite {
     intercept[ExpireCli.CliUsageError](ExpireCli.run(spark, Array(dir, "--rounds", "x")))
     intercept[ExpireCli.CliUsageError](ExpireCli.run(spark, Array(dir, "--last")))
     intercept[ExpireCli.CliUsageError](ExpireCli.run(spark, Array(dir, "--bogus")))
+    intercept[ExpireCli.CliUsageError](
+      ExpireCli.run(spark, Array(dir, "--last", "1", "--fifo", "--recency", "/x")))
 
     val store = new CheckpointStore(spark, dir, visitedFromLog = true)
     val m1 = store.latestManifest().get
     val expected = Seq(m1.visitedRounds.last)
-    assert(ExpireCli.run(spark, Array(dir, "--last", "1")) == expected)
+    // --recency routes through expireAndRequeue's recency join: expired
+    // URLs with a lastmod land in the recency band of the requeue segment
+    val recDir = Files.createTempDirectory("graft-recrawl-clirec-").toString + "/rec"
+    val someExpired = store.readVisited(expected).get.select("url")
+      .as[String].head(2).toSeq
+    someExpired.map((_, new java.sql.Timestamp(1767225600000L)))
+      .toDF("url", "lastmod").write.parquet(recDir)
+    assert(ExpireCli.run(spark,
+      Array(dir, "--last", "1", "--recency", recDir)) == expected)
+    val m1b = store.latestManifest().get
+    val segIdx = store.readSegsRaw(Seq(m1b.liveSegs.last.seg))
+      .select("url", "discoveryIdx").as[(String, Long)].collect().toMap
+    val segBase = (m1b.round.toLong + 1) * CheckpointStore.IdxSpan
+    someExpired.foreach(u => assert(
+      segIdx(u) >= segBase && segIdx(u) < segBase + CheckpointStore.RecencyBand,
+      s"$u idx ${segIdx(u)} outside the recency band"))
+    // and the re-crawl still re-fetches exactly (found set invariant below)
+    val out1b = crawlPolite(dir, "cuckoo")
+    assert(out1b.sortedFound == out1.sortedFound)
+    val expected2 = Seq(store.latestManifest().get.visitedRounds.last)
+    assert(ExpireCli.run(spark, Array(dir, "--last", "1")) == expected2)
     val out2 = crawlPolite(dir, "cuckoo")
     assert(out2.sortedFound == out1.sortedFound)
   }

@@ -66,6 +66,63 @@ class SitemapSpec extends AnyFunSuite {
       Seq("http://a.com/p1", "http://a.com/p2", "http://a.com/p3"))
   }
 
+  test("entry extraction: lastmod missing/plain/CDATA/empty; sitemap blocks too; loc-less dropped") {
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>http://a.com/1</loc><lastmod>2026-08-01</lastmod></url>
+        |<url><loc>http://a.com/2</loc></url>
+        |<url><loc>http://a.com/3</loc><lastmod><![CDATA[ 2026-08-02T10:30:00+02:00 ]]></lastmod></url>
+        |<url><loc>http://a.com/4</loc><lastmod>  </lastmod></url>
+        |<url><lastmod>2026-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val got = Seq(xml).toDF("x")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.UrlFunctions.extract_sitemap_entries(
+          org.apache.spark.sql.functions.col("x"))).as("e"))
+      .select("e.loc", "e.lastmod").as[(String, Option[String])].collect().toSeq
+    assert(got == Seq(
+      ("http://a.com/1", Some("2026-08-01")),
+      ("http://a.com/2", None),
+      ("http://a.com/3", Some("2026-08-02T10:30:00+02:00")),
+      ("http://a.com/4", None)))
+    // index documents pair child-sitemap locs with THEIR lastmods the same way
+    val idx = "<sitemapindex><sitemap><loc>http://a.com/s1.xml</loc>" +
+      "<lastmod>2026-07-15</lastmod></sitemap></sitemapindex>"
+    assert(UrlKernels.sitemapEntriesArray(
+      org.apache.spark.unsafe.types.UTF8String.fromString(idx)).numElements() == 1)
+  }
+
+  test("expandEntries walks indexes; freshest non-null lastmod wins per URL; recencyRelation parses") {
+    val us1 = "<urlset><url><loc>http://a.com/p1</loc><lastmod>2026-02-01</lastmod></url>" +
+      "<url><loc>http://a.com/p2</loc></url></urlset>"
+    val us3 = "<urlset><url><loc>http://a.com/p3</loc><lastmod>garbage-date</lastmod></url>" +
+      "<url><loc>http://a.com/p1</loc><lastmod>2026-03-05T06:00:00Z</lastmod></url></urlset>"
+    val pages = Seq(
+      sm("http://a.com/sitemap.xml", rootIndex),
+      sm("http://a.com/sm1.xml", us1),
+      sm("http://a.com/sm2.xml", index2),
+      sm("http://a.com/sm3.xml", us3)).toDS().toDF()
+    val entries = Sitemaps.expandEntries(pages,
+      Seq("http://a.com/sitemap.xml").toDF("url"))
+    val got = entries.as[(String, Option[String])].collect().toMap
+    assert(got == Map(
+      "http://a.com/p1" -> Some("2026-03-05T06:00:00Z"), // freshest of two claims
+      "http://a.com/p2" -> None,
+      "http://a.com/p3" -> Some("garbage-date")))
+    // timestamp conversion: ISO instant and date-only parse; garbage → NULL
+    // (recency unknown), never an ANSI parse error
+    val rec = Sitemaps.recencyRelation(entries)
+      .selectExpr("url", "cast(lastmod as long)")
+      .as[(String, Option[Long])].collect().toMap
+    assert(rec("http://a.com/p1").contains(
+      java.time.Instant.parse("2026-03-05T06:00:00Z").getEpochSecond))
+    assert(rec("http://a.com/p2").isEmpty && rec("http://a.com/p3").isEmpty)
+    assert(Sitemaps.recencyRelation(
+        Seq(("u", "2026-08-19")).toDF("url", "lastmod"))
+      .selectExpr("cast(lastmod as long)").as[Option[Long]].head()
+      .contains(java.time.Instant.parse("2026-08-19T00:00:00Z").getEpochSecond))
+  }
+
   test("image-pair extraction: block pairing, CDATA, optional caption, loc-less dropped") {
     val xml =
       """<urlset><url><loc>http://a.com/page</loc>
