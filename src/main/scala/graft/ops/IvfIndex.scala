@@ -36,6 +36,27 @@ object IvfIndex {
   def build(spark: SparkSession, dir: String, emb: DataFrame,
       idCol: String, vecCol: String, nLists: Int = 16,
       fitSample: Long = 200000L): IvfIndex = {
+    val sfs = StateFs(spark)
+    val nRows = fitAssignWrite(spark, dir, emb, idCol, vecCol, nLists, fitSample)
+    val props = new Properties()
+    props.setProperty("nLists", nLists.toString)
+    props.setProperty("rows", nRows.toString)
+    // frozen-quantizer drift guard: `rows` grows with every append while
+    // `builtRows` never moves — their ratio is the recall-degradation
+    // signal [[IvfIndex#needsRebuild]] exposes
+    props.setProperty("builtRows", nRows.toString)
+    sfs.writeAtomic(sfs.child(dir, "_meta.properties"))(out => props.store(out, null))
+    new IvfIndex(spark, dir, nLists)
+  }
+
+  /** Fit + assign + persist under `dataRoot` (the gen-addressed data
+    * directory — `dir` itself for a fresh build, `dir/gen-N` for a
+    * [[maintain]] rebuild). Returns the corpus row count. One full count
+    * (sampling denominator) and one KMeans fit happen HERE and never
+    * again for this generation. */
+  private def fitAssignWrite(spark: SparkSession, dataRoot: String,
+      emb: DataFrame, idCol: String, vecCol: String, nLists: Int,
+      fitSample: Long): Long = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
@@ -55,20 +76,58 @@ object IvfIndex {
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("list", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(sfs.child(dir, "centroids"))
+      .coalesce(1).write.mode("overwrite").parquet(sfs.child(dataRoot, "centroids"))
     model.transform(e).withColumnRenamed("prediction", "list")
       .select(col(idCol).as("id"), col("e"), col("list"))
       .write.mode("overwrite").partitionBy("list")
-      .parquet(sfs.child(dir, "assignments"))
+      .parquet(sfs.child(dataRoot, "assignments"))
+    nRows
+  }
+
+  /** The maintenance entry [[IvfIndex#needsRebuild]] cues: if (and only
+    * if) appends have drifted past `threshold` × built corpus, refit the
+    * quantizer and re-partition the posting lists FROM THE INDEX'S OWN
+    * postings (build + every append — no external corpus relation, no
+    * re-decode/re-embed), then reset the drift counters. Returns whether a
+    * rebuild ran.
+    *
+    * Crash-safe the same way the crawl's seen-filter snapshots are
+    * (orphan files, never a dangling pointer): the new generation is fully
+    * written under `dir/gen-N` before one atomic `_meta` flip publishes
+    * it; a crash mid-rebuild leaves the live generation untouched. The
+    * superseded generation's files are deleted best-effort AFTER the flip
+    * — handles opened before the flip keep their loaded centroids but
+    * should be re-[[load]]ed to see the new postings. */
+  def maintain(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      nLists: Option[Int] = None, fitSample: Long = 200000L): Boolean = {
+    val idx = load(spark, dir)
+    if (!idx.needsRebuild(threshold)) return false
+    val sfs = StateFs(spark)
     val props = new Properties()
-    props.setProperty("nLists", nLists.toString)
-    props.setProperty("rows", nRows.toString)
-    // frozen-quantizer drift guard: `rows` grows with every append while
-    // `builtRows` never moves — their ratio is the recall-degradation
-    // signal [[IvfIndex#needsRebuild]] exposes
-    props.setProperty("builtRows", nRows.toString)
+    val in = sfs.open(sfs.child(dir, "_meta.properties"))
+    try props.load(in) finally in.close()
+    val oldGen = Option(props.getProperty("gen")).map(_.toInt)
+    val newGen = oldGen.getOrElse(-1) + 1
+    val oldRoot = oldGen.fold(dir)(g => sfs.child(dir, s"gen-$g"))
+    val newRoot = sfs.child(dir, s"gen-$newGen")
+    val lists = nLists.getOrElse(idx.nLists)
+    val n = fitAssignWrite(spark, newRoot,
+      spark.read.parquet(sfs.child(oldRoot, "assignments")).select("id", "e"),
+      "id", "e", lists, fitSample)
+    props.setProperty("gen", newGen.toString)
+    props.setProperty("nLists", lists.toString)
+    props.setProperty("rows", n.toString)
+    props.setProperty("builtRows", n.toString)
     sfs.writeAtomic(sfs.child(dir, "_meta.properties"))(out => props.store(out, null))
-    new IvfIndex(spark, dir, nLists)
+    // best-effort reclaim of the superseded generation (legacy layout:
+    // the root-level data dirs); the pointer already moved, so a failure
+    // here only leaks files
+    try {
+      sfs.delete(sfs.child(oldRoot, "centroids"))
+      sfs.delete(sfs.child(oldRoot, "assignments"))
+      if (oldGen.isDefined) sfs.delete(oldRoot)
+    } catch { case _: Exception => () }
+    true
   }
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
@@ -76,20 +135,27 @@ object IvfIndex {
     val props = new Properties()
     val in = sfs.open(sfs.child(dir, "_meta.properties"))
     try props.load(in) finally in.close()
-    new IvfIndex(spark, dir, props.getProperty("nLists").toInt)
+    new IvfIndex(spark, dir, props.getProperty("nLists").toInt,
+      Option(props.getProperty("gen")).map(_.toInt))
   }
 }
 
-final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
+final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int,
+    val gen: Option[Int] = None) {
   private val sfs = StateFs(spark)
+
+  /** Gen-addressed data directory: rebuilds ([[IvfIndex.maintain]]) write
+    * `dir/gen-N` and flip the `_meta` pointer; a fresh [[IvfIndex.build]]
+    * uses `dir` itself (gen absent — the legacy layout). */
+  private def dataRoot: String = gen.fold(dir)(g => sfs.child(dir, s"gen-$g"))
 
   /** The quantizer: nLists rows, loaded once per index handle. */
   @transient lazy val centroids: Array[(Int, Array[Double])] =
-    spark.read.parquet(sfs.child(dir, "centroids")).collect()
+    spark.read.parquet(sfs.child(dataRoot, "centroids")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
 
   private def assignments: DataFrame =
-    spark.read.parquet(sfs.child(dir, "assignments"))
+    spark.read.parquet(sfs.child(dataRoot, "assignments"))
 
   /** Incrementally absorb new vectors (the serving pipeline's path for
     * freshly crawled embeddings): assign each to its nearest EXISTING
@@ -120,7 +186,7 @@ final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
       .select(col("id"), col("e"), col("list"))
     val obs = org.apache.spark.sql.Observation()
     assigned.observe(obs, count(lit(1)).as("n"))
-      .write.mode("append").partitionBy("list").parquet(sfs.child(dir, "assignments"))
+      .write.mode("append").partitionBy("list").parquet(sfs.child(dataRoot, "assignments"))
     val n = obs.get("n").asInstanceOf[Long]
     val props = new Properties()
     val in = sfs.open(sfs.child(dir, "_meta.properties"))
@@ -214,7 +280,7 @@ final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int) {
       k: Int, nProbe: Int = 4, excludeQueryIds: Boolean = true): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"),
       col(vecCol).cast("array<double>").as("qe"))
-    val cents = spark.read.parquet(sfs.child(dir, "centroids"))
+    val cents = spark.read.parquet(sfs.child(dataRoot, "centroids"))
     val dist = graft.functions.VectorFunctions.array_sqdist(col("centroid"), col("qe"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("cdist", dist)

@@ -171,4 +171,81 @@ class IvfIndexSpec extends AnyFunSuite {
     // same signal — it lives in _meta, not the handle
     assert(IvfIndex.load(spark, dir).needsRebuild())
   }
+
+  test("maintain: drift past threshold refits from own postings, resets counters, recall holds") {
+    val dir = Files.createTempDirectory("graft-ivfm-").toString
+    val n = emb.count()
+    val built = (n * 2) / 5 // 40% built, 60% appended → fraction 1.5 > 0.5
+    IvfIndex.build(spark, dir, emb.filter($"vec_id" < built), "vec_id", "embedding",
+      nLists = 8)
+    IvfIndex.load(spark, dir).append(emb.filter($"vec_id" >= built),
+      "vec_id", "embedding")
+
+    // below-threshold maintain is a no-op (no job, no gen flip)
+    assert(!IvfIndex.maintain(spark, dir, threshold = 2.0))
+    assert(IvfIndex.load(spark, dir).gen.isEmpty)
+
+    assert(IvfIndex.maintain(spark, dir), "drifted index must rebuild")
+    val idx = IvfIndex.load(spark, dir)
+    // counters reset: the rebuilt corpus IS the built corpus now
+    assert(idx.rows == n && idx.builtRows == n)
+    assert(idx.appendedFraction == 0.0 && !idx.needsRebuild())
+    // generation flipped; the superseded root-layout postings are reclaimed
+    assert(idx.gen.contains(0))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/assignments")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/gen-0/assignments")))
+
+    // rebuild sourced the index's own postings: every id survives exactly once
+    val stored = spark.read.parquet(s"$dir/gen-0/assignments")
+    assert(stored.count() == n)
+    assert(stored.select("id").distinct().count() == n)
+
+    // the refit quantizer recalls appended-region queries and still prunes
+    val qid = built + 3
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", queryId = qid, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = idx.topKById(emb, "vec_id", "embedding", qid, 10, nProbe = 4)
+      .select("id").as[Long].collect().toSet
+    val recall = exact.intersect(got).size.toDouble / 10
+    assert(recall >= 0.5, s"post-rebuild recall too low: $recall")
+    val qvec = emb.filter($"vec_id" === qid)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val scanned = idx.probeScan(idx.probeLists(qvec, 4))
+    val partFilters = scanned.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .head.metadata.getOrElse("PartitionFilters", "")
+    assert(partFilters.contains("list"), s"no partition filter on list: $partFilters")
+    assert(scanned.count() < n)
+
+    // a second drift cycle stacks generations: gen-0 → gen-1, gen-0 reclaimed
+    idx.append(emb.select(($"vec_id" + 100000).as("vec_id"), $"embedding"),
+      "vec_id", "embedding")
+    assert(IvfIndex.maintain(spark, dir))
+    assert(IvfIndex.load(spark, dir).gen.contains(1))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/gen-0")))
+    assert(spark.read.parquet(s"$dir/gen-1/assignments").count() == 2 * n)
+  }
+
+  test("IvfMaintainCli: flag parsing, drift-gated rebuild, --force") {
+    import graft.IvfMaintainCli
+    val dir = Files.createTempDirectory("graft-ivfcli-").toString
+    val n = emb.count()
+    IvfIndex.build(spark, dir, emb.filter($"vec_id" < n / 2), "vec_id", "embedding",
+      nLists = 8)
+    intercept[IvfMaintainCli.CliUsageError](IvfMaintainCli.run(spark, Array.empty))
+    intercept[IvfMaintainCli.CliUsageError](
+      IvfMaintainCli.run(spark, Array(dir, "--threshold", "x")))
+    intercept[IvfMaintainCli.CliUsageError](
+      IvfMaintainCli.run(spark, Array(dir, "--bogus")))
+    // fresh index: below threshold → no rebuild
+    assert(!IvfMaintainCli.run(spark, Array(dir)))
+    // --force rebuilds regardless and re-partitions per --nlists
+    assert(IvfMaintainCli.run(spark, Array(dir, "--force", "--nlists", "4")))
+    val idx = IvfIndex.load(spark, dir)
+    assert(idx.nLists == 4 && idx.gen.contains(0) && idx.builtRows == n / 2)
+    // drift past threshold → the plain invocation rebuilds
+    idx.append(emb.filter($"vec_id" >= n / 2), "vec_id", "embedding")
+    assert(IvfMaintainCli.run(spark, Array(dir, "--threshold", "0.5")))
+    assert(IvfIndex.load(spark, dir).builtRows == n)
+  }
 }
