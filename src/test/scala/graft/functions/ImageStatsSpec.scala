@@ -28,7 +28,7 @@ class ImageStatsSpec extends AnyFunSuite {
     assert(ImageKernels.sniffFormatJ(ImageKernels.encode(gray, "jpg")) == "jpeg")
     assert(ImageKernels.sniffFormatJ(ImageKernels.encode(gray, "gif")) == "gif")
     assert(ImageKernels.sniffFormatJ(ImageKernels.encode(gray, "bmp")) == "bmp")
-    assert(ImageKernels.sniffFormatJ(b("RIFFWEBPVP8 ")) == "webp")
+    assert(ImageKernels.sniffFormatJ(b("RIFF\u0001\u0002\u0003\u0004WEBPVP8 ")) == "webp")
     assert(ImageKernels.sniffFormatJ(b("RIFF1234WAVEfmt ")) == "unknown") // RIFF but not WEBP
     assert(ImageKernels.sniffFormatJ(b("II*\u0000rest")) == "tiff")
     assert(ImageKernels.sniffFormatJ(b("MM\u0000*rest")) == "tiff")
