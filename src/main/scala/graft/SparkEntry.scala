@@ -86,7 +86,8 @@ object SparkEntry {
     "q52_sitemap_images" -> ContractQueries.q52SitemapImages _,
     "q53_verified_phash_dup" -> ContractQueries.q53VerifiedPhashDup _,
     "q54_merge_upsert" -> ContractQueries.q54MergeUpsert _,
-    "q55_sitemap_recency" -> ContractQueries.q55SitemapRecency _)
+    "q55_sitemap_recency" -> ContractQueries.q55SitemapRecency _,
+    "q56_training_resample" -> ContractQueries.q56TrainingResample _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -831,5 +832,21 @@ object SparkEntry {
         |  SELECT 'http://s.com/q' || (doc_id % 7), NULL FROM documents)
         |SELECT url, count(*) AS claims, count(epoch) AS with_lastmod,
         |  max(epoch) AS freshest_epoch
-        |FROM e GROUP BY url ORDER BY url""".stripMargin)
+        |FROM e GROUP BY url ORDER BY url""".stripMargin,
+
+    // the Spark side resamples REAL PNGs through the pinned floor-division
+    // point sample; the oracle replays that sampling arithmetic per output
+    // pixel — the mean over 32 gray values is an exact dyadic double
+    "q56_training_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS src_w,
+        |         CAST(6 + doc_id % 3 AS INT) AS src_h
+        |  FROM documents WHERE doc_id < 192),
+        |g AS (
+        |  SELECT m.doc_id, m.src_w, m.src_h,
+        |    (((x.x * m.src_w) // 8) * 37 + ((y.y * m.src_h) // 4) * 11
+        |      + m.doc_id * 7) % 256 AS v
+        |  FROM m, generate_series(0, 7) x(x), generate_series(0, 3) y(y))
+        |SELECT doc_id, src_w, src_h, SUM(v) / 32.0 AS mean_luma
+        |FROM g GROUP BY doc_id, src_w, src_h ORDER BY doc_id""".stripMargin)
 }

@@ -30,6 +30,8 @@ object FunctionTable {
     Fn("sniff_image_format", 1, es => SniffImageFormat(es.head)),
     Fn("image_stats", 1, es => ImageStats(es.head)),
     Fn("image_sig", 1, es => ImageSig(es.head)),
+    Fn("image_dims", 1, es => ImageDims(es.head)),
+    Fn("image_resample", 4, es => ImageResample(es(0), es(1), es(2), es(3))),
     Fn("array_dot", 2, es => ArrayDot(es(0), es(1))),
     Fn("array_sqdist", 2, es => ArraySqDist(es(0), es(1))),
     Fn("robots_allowed", 3, es => RobotsAllowed(es(0), es(1), es(2))))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => CB}
 import org.apache.spark.sql.types._
 
@@ -117,6 +117,65 @@ case class ImageSig(child: Expression)
     copy(child = newChild)
 }
 
+/** Header-only (width, height) probe — container-header parse (PNG IHDR /
+  * JPEG SOF / GIF / BMP), never decodes pixel data. Tens of bytes read per
+  * row vs megabytes for a decode: the scan-projection form of "how big is
+  * this image" for banding, size gates, and batch assignment at crawl
+  * scale. (-1, -1) when the header is missing or truncated. Trustworthy
+  * where the table's recorded `w`/`h` columns are not: these dims come
+  * from the payload itself. */
+case class ImageDims(child: Expression)
+    extends UnaryExpression with BinaryInputCheck {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_dims"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageKernels.imageDimsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKernels.imageDimsRow($c)")
+  override protected def withNewChildInternal(newChild: Expression): ImageDims =
+    copy(child = newChild)
+}
+
+/** Deterministic exact-target resample to lossless PNG bytes — the
+  * codegen'd column form of [[ImageKernels.resampleOf]]'s pinned integer
+  * sampling (`nearest` = floor-division point sample, `area` = integer-cell
+  * box average, both stated in closed form so outputs are reproducible by
+  * an external system). Returns NULL for undecodable payloads (one corrupt
+  * crawl payload must gate, not crash) — hence nullable despite
+  * nullIntolerant inputs. */
+case class ImageResample(bytes: Expression, dstW: Expression, dstH: Expression,
+    mode: Expression) extends QuaternaryExpression {
+  override def first: Expression = bytes
+  override def second: Expression = dstW
+  override def third: Expression = dstH
+  override def fourth: Expression = mode
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_resample"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val want = Seq(BinaryType, IntegerType, IntegerType, StringType)
+    val got = children.map(_.dataType)
+    if (got == want) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, INT, INT, STRING), got " +
+        got.map(_.catalogString).mkString(", "))
+  }
+  override protected def nullSafeEval(b: Any, w: Any, h: Any, m: Any): Any =
+    ImageKernels.resample(b.asInstanceOf[Array[Byte]], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], m.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w, h, m) => s"""
+      ${ev.value} = graft.functions.ImageKernels.resample($b, $w, $h, $m);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): ImageResample = copy(a, b, c, d)
+}
+
 object ImageFunctions {
   def phash64(c: Column): Column = CB.column(PHash64(CB.expression(c)))
   def image_psnr(a: Column, b: Column): Column =
@@ -125,8 +184,18 @@ object ImageFunctions {
     CB.column(SniffImageFormat(CB.expression(c)))
   def image_stats(c: Column): Column = CB.column(ImageStats(CB.expression(c)))
   def image_sig(c: Column): Column = CB.column(ImageSig(CB.expression(c)))
+  def image_dims(c: Column): Column = CB.column(ImageDims(CB.expression(c)))
+  def image_resample(c: Column, dstW: Int, dstH: Int, mode: String): Column =
+    CB.column(ImageResample(CB.expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(dstW),
+      org.apache.spark.sql.catalyst.expressions.Literal(dstH),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(mode, StringType)))
+  def image_resample(c: Column, dstW: Column, dstH: Column, mode: Column): Column =
+    CB.column(ImageResample(CB.expression(c), CB.expression(dstW),
+      CB.expression(dstH), CB.expression(mode)))
 
   def registerAll(spark: SparkSession): Unit =
     FunctionTable.register(spark, FunctionTable.byName(
-      "phash64", "image_psnr", "sniff_image_format", "image_stats", "image_sig"))
+      "phash64", "image_psnr", "sniff_image_format", "image_stats", "image_sig",
+      "image_dims", "image_resample"))
 }

@@ -145,6 +145,131 @@ object ImageKernels {
     if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
   }
 
+  /** Deterministic exact-target resample with PINNED integer sampling —
+    * unlike [[graft.ops.Multimodal.resizeImages]]' fit-within bilinear
+    * (whose Graphics2D filter taps are JDK-internal), both modes here are
+    * stated in closed form so an external system (or a SQL oracle) can
+    * reproduce every output pixel from the input pixels:
+    *
+    *  - `nearest`: dst(x,y) = src(x·srcW/dstW, y·srcH/dstH) — floor
+    *    integer division (non-negative operands).
+    *  - `area`: box average over the integer cell
+    *    [x0,x1)×[y0,y1), x0 = x·srcW/dstW, x1 = max(x0+1, (x+1)·srcW/dstW)
+    *    (the same cell bounds [[grayResample]] uses), each RGB channel
+    *    averaged with round-half-up: (2·sum + n) / (2·n).
+    *
+    * `area` is the downscale mode a training pipeline wants (every source
+    * pixel contributes); `nearest` is the bit-pinnable mode contract
+    * queries verify. Upscaling degenerates both to pixel replication. */
+  def resampleOf(img: BufferedImage, dstW: Int, dstH: Int, mode: String): BufferedImage = {
+    require(dstW > 0 && dstH > 0, s"bad target ${dstW}x$dstH")
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+    val nearest = mode match {
+      case "nearest" => true
+      case "area"    => false
+      case m         => throw new IllegalArgumentException(s"unknown resample mode: $m")
+    }
+    var y = 0
+    while (y < dstH) {
+      var x = 0
+      while (x < dstW) {
+        val rgb =
+          if (nearest) img.getRGB(x * sw / dstW, y * sh / dstH) & 0xffffff
+          else {
+            val x0 = x * sw / dstW; val x1 = math.max(x0 + 1, (x + 1) * sw / dstW)
+            val y0 = y * sh / dstH; val y1 = math.max(y0 + 1, (y + 1) * sh / dstH)
+            var r = 0L; var g = 0L; var b = 0L
+            var sy = y0
+            while (sy < y1) {
+              var sx = x0
+              while (sx < x1) {
+                val p = img.getRGB(sx, sy)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                sx += 1
+              }
+              sy += 1
+            }
+            val n = (x1 - x0).toLong * (y1 - y0)
+            val rr = ((2 * r + n) / (2 * n)).toInt
+            val gg = ((2 * g + n) / (2 * n)).toInt
+            val bb = ((2 * b + n) / (2 * n)).toInt
+            (rr << 16) | (gg << 8) | bb
+          }
+        out.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** [[resampleOf]] over encoded bytes, re-encoded as lossless PNG (so the
+    * pinned pixels survive the round-trip bit-exactly). Undecodable or
+    * corrupt payloads return null — the expression layer surfaces that as
+    * a NULL column value, matching the 'drop undecodable' curation
+    * contract (never crash the job on one bad crawl payload). */
+  def resampleJ(bytes: Array[Byte], dstW: Int, dstH: Int, mode: String): Array[Byte] = {
+    val img = try decode(bytes) catch { case _: Exception => null }
+    if (img == null) null else encode(resampleOf(img, dstW, dstH, mode), "png")
+  }
+
+  /** Codegen entry for [[graft.functions.ImageResample]]. */
+  def resample(bytes: Array[Byte], dstW: Int, dstH: Int,
+      mode: org.apache.spark.unsafe.types.UTF8String): Array[Byte] =
+    resampleJ(bytes, dstW, dstH, mode.toString)
+
+  /** Header-only dimension probe: (width, height) parsed from the
+    * container header — PNG IHDR, JPEG SOF scan, GIF/BMP fixed fields —
+    * WITHOUT decoding any pixel data. Reads tens of bytes where a decode
+    * touches megabytes: at 100 TB this is what lets aspect banding, batch
+    * assignment, and size gates run as a near-free scan projection while
+    * the one real decode waits until a row has earned it. Unlike the
+    * payload table's recorded `w`/`h` columns (server-supplied, untrusted),
+    * these dims come from the payload container itself — they are what the
+    * decoder will actually produce. Unparseable/truncated → (-1, -1). */
+  def dimsFastJ(bytes: Array[Byte]): (Int, Int) = {
+    if (bytes == null) return (-1, -1)
+    @inline def u8(i: Int) = bytes(i) & 0xff
+    @inline def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    @inline def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    try sniffFormatJ(bytes) match {
+      case "png" if bytes.length >= 24 =>
+        // 8-byte signature + 4-byte length + "IHDR" + w,h big-endian
+        (be32(16), be32(20))
+      case "jpeg" =>
+        // walk marker segments to the first SOFn frame header
+        var i = 2
+        var out = (-1, -1)
+        var done = false
+        while (!done && i + 9 < bytes.length) {
+          if (u8(i) != 0xff) { i += 1 } // filler/garbage between segments
+          else {
+            val m = u8(i + 1)
+            if (m == 0xff) i += 1 // fill bytes before a marker
+            else if (m == 0xd9) done = true // EOI before any SOF: no frame
+            else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
+            else if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              out = (be16(i + 7), be16(i + 5)); done = true // SOFn: h then w
+            } else i += 2 + be16(i + 2) // segment length includes itself
+          }
+        }
+        out
+      case "gif" if bytes.length >= 10 => (le16(6), le16(8))
+      case "bmp" if bytes.length >= 26 => (le32(18), math.abs(le32(22)))
+      case _ => (-1, -1)
+    } catch { case _: IndexOutOfBoundsException => (-1, -1) }
+  }
+
+  /** Codegen entry for [[graft.functions.ImageDims]] — header dims as an
+    * InternalRow (width, height). */
+  def imageDimsRow(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val (w, h) = dimsFastJ(bytes)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](w, h))
+  }
+
   /** Magic-byte container sniff over the payload's first bytes — the
     * primitive behind the fmt-vs-bytes consistency gate (the claimed `fmt`
     * column of the payload table is server-supplied and untrusted; at

@@ -478,6 +478,77 @@ object Multimodal {
     out.select(col(idCol), col("band"), col("shard"), col("batch_ix"), col("slot"))
   }
 
+  /** Training-batch materialization: band every image by its HEADER
+    * dimensions (`image_dims` — container-header parse, no pixel decode),
+    * number rows into batches of `batchSize` per (band, shard) over the
+    * slim (id, band) projection, then decode ONCE in the post-join
+    * projection and resample to the band's exact target resolution
+    * ([[ImageKernels.resampleOf]]'s pinned sampling, `area` by default).
+    *
+    * Banding uses the same integer milli-aspect rule as [[aspectBatches]]
+    * (`floor(w·1000/h)` against ascending `bands`) but over dims parsed
+    * from the payload container itself — trustworthy where the table's
+    * recorded `w`/`h` are not, and what the decoder will actually produce.
+    *
+    * Shuffle discipline at 100 TB: the header probe is a scan projection
+    * (tens of bytes per row); batch numbering shuffles only (id, band) —
+    * the per-(band, shard) window sorts slim rows, never payloads; the
+    * original bytes cross exactly ONE equi-join shuffle to meet their
+    * (batch_ix, slot), and the single decode+resample runs after that
+    * join, so only rows that made a complete batch ever decode. Rows with
+    * unparseable headers drop at banding; the rare header-ok/body-corrupt
+    * row surfaces as NULL bytes in its slot (visible to the loader) rather
+    * than silently renumbering — run the curation gate ladder upstream to
+    * keep those out. */
+  def trainingBatches(pairs: DataFrame, idCol: String, bytesCol: String,
+      targets: Map[String, (Int, Int)],
+      batchSize: Int, shards: Int = 1,
+      bands: Seq[(Int, String)] = Seq(800 -> "tall", 1250 -> "square", 2000 -> "wide"),
+      topBand: String = "ultrawide", resampleMode: String = "area",
+      dropIncomplete: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ImageFunctions.{image_dims, image_resample}
+    require(batchSize > 0 && shards > 0)
+    require((bands.map(_._2) :+ topBand).forall(targets.contains),
+      s"targets must cover every band: ${(bands.map(_._2) :+ topBand).mkString(", ")}")
+    val mil = floor(col("__d.width").cast("long") * 1000 / col("__d.height")).cast("long")
+    val band = bands.foldRight(lit(topBand)) { case ((thr, name), acc) =>
+      when(mil < thr, lit(name)).otherwise(acc)
+    }
+    // slim pass: header dims -> band; no pixel ever decodes here
+    val slim = pairs
+      .withColumn("__d", image_dims(col(bytesCol)))
+      .filter(col("__d.width") > 0 && col("__d.height") > 0)
+      .select(col(idCol), band.as("band"))
+      .withColumn("shard", pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int"))
+    val w = Window.partitionBy("band", "shard").orderBy(col(idCol))
+    val assigned0 = slim
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .withColumn("batch_ix", floor(col("__rn") / batchSize).cast("long"))
+      .withColumn("slot", col("__rn") % batchSize)
+    val assigned =
+      if (!dropIncomplete) assigned0
+      else {
+        val cw = Window.partitionBy("band", "shard")
+        assigned0.withColumn("__n", count(lit(1)).over(cw))
+          .filter(col("__rn") < col("__n") - (col("__n") % batchSize))
+          .drop("__n")
+      }
+    // per-band target dims as a when-chain (engine-independent constants)
+    val allBands = bands.map(_._2) :+ topBand
+    def tgt(pick: ((Int, Int)) => Int) = allBands.tail.foldLeft(
+      when(col("band") === allBands.head, lit(pick(targets(allBands.head))))) {
+      (acc, b) => acc.when(col("band") === b, lit(pick(targets(b))))
+    }
+    assigned.select(col(idCol), col("band"), col("shard"), col("batch_ix"), col("slot"))
+      .join(pairs.select(col(idCol), col(bytesCol)), Seq(idCol))
+      .withColumn("width", tgt(_._1).cast("int"))
+      .withColumn("height", tgt(_._2).cast("int"))
+      .select(col(idCol), col("band"), col("shard"), col("batch_ix"), col("slot"),
+        col("width"), col("height"),
+        image_resample(col(bytesCol), col("width"), col("height"), lit(resampleMode)).as("bytes"))
+  }
+
   /** Sample `n` frames per video row (1→N expansion); stub decode. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

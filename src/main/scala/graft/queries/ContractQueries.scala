@@ -832,6 +832,46 @@ object ContractQueries {
       .orderBy("url")
   }
 
+  /** Pinned-sampling resample + header-dims probe with a closed-form
+    * oracle: gradient PNGs whose pixel (x,y) is the gray value
+    * `(x·37 + y·11 + id·7) mod 256` at id-derived sizes, pushed through
+    * `image_resample(·, 8, 4, 'nearest')` (floor-division point sample —
+    * every output pixel is stated by arithmetic) and `image_stats`. The
+    * mean over the 32 sampled gray values is an exact dyadic double
+    * (integer sum / 32), so the oracle re-derives it bit-exactly by
+    * replaying the sampling arithmetic in SQL; `src_w`/`src_h` come from
+    * the header-only `image_dims` probe and must equal the constructed
+    * sizes. */
+  def q56TrainingResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    import graft.functions.{ImageFunctions => IF}
+    val ids = t(spark, dir, "documents").filter(col("doc_id") < 192)
+      .select(col("doc_id")).as[Long].repartition(8)
+    val media = ids.map { id =>
+      val w = 8 + (id % 5).toInt; val h = 6 + (id % 3).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((x * 37 + y * 11 + id * 7) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      (id, ImageKernels.encode(img, "png"))
+    }.toDF("doc_id", "bytes")
+    media.select(col("doc_id"),
+        IF.image_dims(col("bytes")).getField("width").as("src_w"),
+        IF.image_dims(col("bytes")).getField("height").as("src_h"),
+        IF.image_stats(IF.image_resample(col("bytes"), 8, 4, "nearest"))
+          .getField("mean_luma").as("mean_luma"))
+      .orderBy("doc_id")
+  }
+
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
