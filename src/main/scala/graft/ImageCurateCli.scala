@@ -42,20 +42,32 @@ object ImageCurateCli {
       |                   (components over distinct phashes, keep best
       |                   DECODED pixel count — recorded w/h are untrusted)
       |  --psnr DB        With --near-dup: verify candidate pairs on
-      |                   decoded pixels, keep only pairs >= DB (0 = off)""".stripMargin
+      |                   decoded pixels, keep only pairs >= DB (0 = off)
+      |  --batches N      Also materialize training batches of N images to
+      |                   batches/: header-dims aspect banding, resample to
+      |                   each band's target resolution, complete batches
+      |                   only (columns: image_id, band, shard, batch_ix,
+      |                   slot, width, height, bytes, caption)
+      |  --batch-side S   Band target scale (default 512): tall 3S/4 x S,
+      |                   square S x S, wide S x 3S/4, ultrawide 3S/2 x 3S/4
+      |  --batch-mode M   Resample mode: area (default) | nearest
+      |  --batch-shards K Per-band shards for distributed numbering (dflt 1)""".stripMargin
 
   final case class ImageCurateSummary(
       input: Long,
       droppedGates: Long,
       droppedExact: Long,
       droppedNearDup: Long,
-      kept: Long)
+      kept: Long,
+      batchRows: Long = -1) // -1: --batches not requested
 
   private[graft] def run(spark: SparkSession, args: Array[String]): ImageCurateSummary = {
     var pos = Vector.empty[String]
     var minTokens = 3; var maxTokens = 128; var minAlpha = 0.5
     var minW = 32; var minH = 32; var maxAspect = 4.0; var minEntropy = 1.0
     var nearDup: Option[Int] = None; var psnrDb = 0.0
+    var batches: Option[Int] = None; var batchSide = 512
+    var batchMode = "area"; var batchShards = 1
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -79,6 +91,13 @@ object ImageCurateCli {
         case "--min-entropy" => minEntropy = num("--min-entropy", _.toDouble)
         case "--near-dup" => nearDup = Some(num("--near-dup", _.toInt))
         case "--psnr" => psnrDb = num("--psnr", _.toDouble)
+        case "--batches" => batches = Some(num("--batches", _.toInt))
+        case "--batch-side" => batchSide = num("--batch-side", _.toInt)
+        case "--batch-mode" =>
+          batchMode = value("--batch-mode")
+          if (batchMode != "area" && batchMode != "nearest")
+            throw CurateCli.CliUsageError(s"--batch-mode: area or nearest, got '$batchMode'")
+        case "--batch-shards" => batchShards = num("--batch-shards", _.toInt)
         case flag if flag.startsWith("--") =>
           throw CurateCli.CliUsageError(s"unknown flag: $flag")
         case p => pos :+= p
@@ -151,11 +170,32 @@ object ImageCurateCli {
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     val nKept = curated.count()
     exact.unpersist(); gated.unpersist()
+
+    // 4. optional training-batch materialization over the CURATED pairs:
+    // header-dims banding + pinned resample + complete batches only (see
+    // Multimodal.trainingBatches for the shuffle discipline). Captions ride
+    // the final id-join so each batch row is a complete training pair.
+    val nBatchRows = batches match {
+      case None => -1L
+      case Some(bs) =>
+        val s = batchSide
+        val targets = Map(
+          "tall" -> ((s * 3 / 4, s)), "square" -> ((s, s)),
+          "wide" -> ((s, s * 3 / 4)), "ultrawide" -> ((s * 3 / 2, s * 3 / 4)))
+        val curatedBack = spark.read.parquet(s"$outDir/curated")
+        val b = Multimodal.trainingBatches(curatedBack, "image_id", "bytes",
+          targets, bs, shards = batchShards, resampleMode = batchMode)
+          .join(curatedBack.select(col("image_id"), col("caption")), Seq("image_id"))
+        b.write.mode("overwrite").parquet(s"$outDir/batches")
+        spark.read.parquet(s"$outDir/batches").count()
+    }
+
     val s = ImageCurateSummary(nInput, nInput - nGates, nGates - nExact,
-      nExact - nKept, nKept)
+      nExact - nKept, nKept, nBatchRows)
+    val batchJson = if (s.batchRows >= 0) s""","batch_rows":${s.batchRows}""" else ""
     println(s"""{"input":${s.input},"dropped_gates":${s.droppedGates},""" +
       s""""dropped_exact":${s.droppedExact},"dropped_near_dup":${s.droppedNearDup},""" +
-      s""""kept":${s.kept}}""")
+      s""""kept":${s.kept}$batchJson}""")
     s
   }
 

@@ -84,6 +84,38 @@ class ImageCurateCliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/audit/dropped_near_dup").count() == 1)
   }
 
+  test("--batches: banded, resampled, complete training batches over curated pairs") {
+    // 9 distinct landscape images (40x30 -> milli-aspect 1333 -> band
+    // 'wide'); batch size 4 with dropIncomplete keeps 8 rows (2 batches),
+    // each resampled to the wide target 16 x 12 (--batch-side 16)
+    val rows = (0 until 9).map { i =>
+      ("img%02d".format(i), content(100 + i), 40, 30, "png",
+        s"a photo of test scene number $i", ImageKernels.phash64(content(100 + i)))
+    }.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val in = Files.createTempDirectory("imgbatch-in-").toString
+    rows.write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("imgbatch-out-").toString
+
+    val s = ImageCurateCli.run(spark, Array(in, out,
+      "--min-w", "16", "--min-h", "12",
+      "--batches", "4", "--batch-side", "16", "--batch-mode", "area"))
+    assert(s == ImageCurateCli.ImageCurateSummary(9, 0, 0, 0, 9, 8), s.toString)
+
+    val b = spark.read.parquet(s"$out/batches")
+      .select("image_id", "band", "batch_ix", "slot", "width", "height", "bytes", "caption")
+      .collect()
+    assert(b.length == 8)
+    assert(b.forall(_.getString(1) == "wide"))
+    assert(b.map(r => (r.getLong(2), r.getLong(3))).toSet ==
+      (for (bi <- 0 to 1; sl <- 0 to 3) yield (bi.toLong, sl.toLong)).toSet)
+    for (r <- b) {
+      assert((r.getInt(4), r.getInt(5)) == (16, 12))
+      val dec = ImageKernels.decode(r.getAs[Array[Byte]]("bytes"))
+      assert((dec.getWidth, dec.getHeight) == (16, 12))
+      assert(r.getString(7).startsWith("a photo of test scene"))
+    }
+  }
+
   test("usage errors: missing positionals, unknown flag, bad number") {
     def fails(args: Array[String]): String =
       intercept[CurateCli.CliUsageError](ImageCurateCli.run(spark, args)).getMessage
