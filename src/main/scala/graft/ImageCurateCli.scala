@@ -186,7 +186,10 @@ object ImageCurateCli {
         val b = Multimodal.trainingBatches(curatedBack, "image_id", "bytes",
           targets, bs, shards = batchShards, resampleMode = batchMode)
           .join(curatedBack.select(col("image_id"), col("caption")), Seq("image_id"))
-        b.write.mode("overwrite").parquet(s"$outDir/batches")
+        // directory per band: a training loader consumes one fixed-shape
+        // band at a time, and the band column prunes at the path level
+        b.write.mode("overwrite").partitionBy("band")
+          .parquet(s"$outDir/batches")
         spark.read.parquet(s"$outDir/batches").count()
     }
 

@@ -114,7 +114,17 @@ class ImageResampleSpec extends AnyFunSuite {
       "wide" -> ((8, 4)), "ultrawide" -> ((12, 4)))
     val out = graft.ops.Multimodal.trainingBatches(
       rows.toDF("id", "bytes"), "id", "bytes", targets,
-      batchSize = 3, shards = 1, resampleMode = "area").cache()
+      batchSize = 3, shards = 1, resampleMode = "area")
+    // plan: batch numbering runs over the slim (id, band) projection — no
+    // Window node may see the payload column (bytes cross one equi-join
+    // AFTER assignment, never a sort)
+    val winInputs = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.child.output.map(_.name)
+    }
+    assert(winInputs.nonEmpty &&
+      winInputs.forall(cols => !cols.contains("bytes")), winInputs.toString)
+    out.cache()
     val got = out.select($"id", $"band", $"batch_ix", $"slot", $"width", $"height", $"bytes")
       .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
         r.getInt(4), r.getInt(5), r.getAs[Array[Byte]](6))))
