@@ -11,19 +11,61 @@ import org.apache.spark.unsafe.types.UTF8String
 
 object RobotsKernels {
 
-  /** Best (longest) matching prefix length over a rule list, in CHARACTERS
-    * — the HOF it replaces compares `length(p)`, which is a character
-    * count, so ties between multi-byte and ASCII rules must break the same
-    * way. Null rule elements are skipped (the HOF's `filter` drops them:
-    * a null predicate result excludes the element). */
+  private val Star = UTF8String.fromString("*")
+  private val Dollar = UTF8String.fromString("$")
+
+  /** RFC 9309 §2.2.3 wildcard rule match over raw UTF-8 bytes: `*` matches
+    * any (possibly empty) byte sequence, a trailing `$` anchors the match
+    * to the end of the path; without `$` the rule matches any PREFIX of
+    * the path (the classic robots semantics). Byte-level comparison is
+    * correct because `*`/`$` are ASCII and UTF-8 never embeds an ASCII
+    * byte inside a multi-byte sequence. Iterative single-star backtracking
+    * — no regex, no allocation beyond the two byte views. */
+  private def wildcardMatch(path: Array[Byte], pat: Array[Byte], patLen: Int,
+      anchored: Boolean): Boolean = {
+    var s = 0; var p = 0
+    var star = -1; var ss = 0
+    while (s < path.length) {
+      if (!anchored && p == patLen) return true // pattern consumed: prefix hit
+      if (p < patLen && pat(p) == '*') { star = p; p += 1; ss = s }
+      else if (p < patLen && pat(p) == path(s)) { p += 1; s += 1 }
+      else if (star >= 0) { p = star + 1; ss += 1; s = ss }
+      else return false
+    }
+    // path consumed — trailing stars match empty
+    while (p < patLen && pat(p) == '*') p += 1
+    p == patLen
+  }
+
+  /** Best (longest) matching rule length over a rule list, in CHARACTERS
+    * — the HOF the plain-prefix path replaces compares `length(p)`, a
+    * character count, so ties between multi-byte and ASCII rules must
+    * break the same way; wildcard rules count as written (`*`/`$`
+    * included), the RFC's most-octets specificity on the rule text (the
+    * common crawler implementation choice). Rules containing no `*`/`$`
+    * take the zero-allocation `startsWith` fast path with behavior
+    * identical to the pre-wildcard kernel. Null rule elements are skipped
+    * (the HOF's `filter` drops them: a null predicate result excludes the
+    * element). */
   def bestMatchLen(path: UTF8String, rules: ArrayData): Int = {
     var best = 0
+    var pathBytes: Array[Byte] = null
     val n = rules.numElements()
     var i = 0
     while (i < n) {
       if (!rules.isNullAt(i)) {
         val p = rules.getUTF8String(i)
-        if (path.startsWith(p)) {
+        val wild = p.contains(Star) || p.contains(Dollar)
+        val hit =
+          if (!wild) path.startsWith(p)
+          else {
+            if (pathBytes == null) pathBytes = path.getBytes
+            val pb = p.getBytes
+            val anchored = pb.length > 0 && pb(pb.length - 1) == '$'
+            wildcardMatch(pathBytes, pb, if (anchored) pb.length - 1 else pb.length,
+              anchored)
+          }
+        if (hit) {
           val l = p.numChars()
           if (l > best) best = l
         }
@@ -52,10 +94,13 @@ object RobotsKernels {
   * the scheduling hot path. This expression is one JIT-compiled loop per
   * side, fused into the surrounding filter's codegen stage.
   *
-  * `TRUE` iff the best matching Allow prefix is at least as specific
-  * (character length) as the best matching Disallow prefix. Null on any
-  * null input — identical to the HOF (a null rule array poisons the fold,
-  * and the filter then drops the row).
+  * `TRUE` iff the best matching Allow rule is at least as specific
+  * (character length) as the best matching Disallow rule. Rules carrying
+  * the RFC 9309 §2.2.3 metacharacters (`*` any-sequence, trailing `$`
+  * end-anchor — "crawlers MUST support" both) evaluate through the
+  * byte-level wildcard matcher; plain rules stay on the zero-allocation
+  * prefix fast path. Null on any null input — identical to the HOF (a
+  * null rule array poisons the fold, and the filter then drops the row).
   */
 case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {

@@ -16,9 +16,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * convention + RFC 9309 rule precedence):
   *  - `Disallow: /` (exactly root) ⇒ `disallowAll`; the whole host is
   *    excluded unless an `Allow:` rule overrides for specific paths
-  *  - `Disallow: <prefix>` / `Allow: <prefix>` ⇒ path-prefix rules; the
-  *    LONGEST matching rule wins and Allow wins length ties (RFC 9309
-  *    §2.2.2); an empty `Disallow:` allows everything
+  *  - `Disallow: <rule>` / `Allow: <rule>` ⇒ path rules; the LONGEST
+  *    matching rule wins and Allow wins length ties (RFC 9309 §2.2.2); an
+  *    empty `Disallow:` allows everything. Rules pass through verbatim —
+  *    the RFC 9309 §2.2.3 `*`/`$` wildcards are evaluated at match time by
+  *    [[graft.functions.RobotsKernels.bestMatchLen]] (plain rules are
+  *    prefix matches)
   *  - `Crawl-delay: N` ⇒ per-host delay (seconds)
   *  - `Sitemap: <url>` ⇒ collected from ANYWHERE in the body (the
   *    sitemaps.org directive is group-independent), feeding

@@ -40,6 +40,43 @@ class RobotsExpressionsSpec extends AnyFunSuite {
     assert(df.filter(!$"native").count() > 0)
   }
 
+  test("RFC 9309 wildcards: * spans segments, $ anchors, plain rules unchanged") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def len(path: String, rules: String*): Int =
+      RobotsKernels.bestMatchLen(UTF8String.fromString(path),
+        ArrayData.toArrayData(rules.map(UTF8String.fromString).toArray))
+    // $ anchor: extension rule hits only at end-of-path
+    assert(len("/docs/a.pdf", "/*.pdf$") == 7)
+    assert(len("/docs/a.pdfx", "/*.pdf$") == 0)
+    assert(len("/a.pdf/b", "/*.pdf$") == 0)
+    // unanchored * rule is a substring-in-order prefix match
+    assert(len("/docs/a.pdf?x=1", "/*.pdf") == 6)
+    assert(len("/private/x/data", "/private*/data") == 14)
+    assert(len("/private/x/docs", "/private*/data") == 0)
+    // multiple stars; star matches empty
+    assert(len("/a/b/c", "/a*b*c") == 6)
+    assert(len("/abc", "/a*b*c") == 6)
+    assert(len("/a/c/b", "/a*b*c") == 0)
+    // exact-path anchor
+    assert(len("/a", "/a$") == 3)
+    assert(len("/a/", "/a$") == 0)
+    // lone star matches everything (length 1 — less specific than any
+    // literal rule, per most-octets precedence)
+    assert(len("/anything", "*") == 1)
+    // plain rules keep the pre-wildcard behavior bit-for-bit
+    assert(len("/a/b/", "/a", "/a/b") == 4)
+    assert(len("/統計/", "/統計") == 3) // character count, not bytes
+    // verdict level: Allow /*.html$ outweighs Disallow /private (longest
+    // rule wins), through the column API
+    val df = Seq(("/private/index.html", Seq("/private"), Seq("/*.html$")),
+      ("/private/data.bin", Seq("/private"), Seq("/*.html$")))
+      .toDF("path", "dis", "allow")
+      .withColumn("ok", RF.robots_allowed($"path", $"dis", $"allow"))
+    assert(df.orderBy($"path").as[(String, Seq[String], Seq[String], Boolean)]
+      .collect().map(_._4).toSeq == Seq(false, true))
+  }
+
   test("null semantics: null on any null input; the filter drops such rows") {
     // null RULE arrays poison the HOF fold the same way (null <= x = null);
     // a null PATH is the one divergence — the HOF's two empty folds compare
