@@ -21,11 +21,11 @@ object RobotsKernels {
     * correct because `*`/`$` are ASCII and UTF-8 never embeds an ASCII
     * byte inside a multi-byte sequence. Iterative single-star backtracking
     * — no regex, no allocation beyond the two byte views. */
-  private def wildcardMatch(path: Array[Byte], pat: Array[Byte], patLen: Int,
-      anchored: Boolean): Boolean = {
+  private def wildcardMatch(path: Array[Byte], pathLen: Int, pat: Array[Byte],
+      patLen: Int, anchored: Boolean): Boolean = {
     var s = 0; var p = 0
     var star = -1; var ss = 0
-    while (s < path.length) {
+    while (s < pathLen) {
       if (!anchored && p == patLen) return true // pattern consumed: prefix hit
       if (p < patLen && pat(p) == '*') { star = p; p += 1; ss = s }
       else if (p < patLen && pat(p) == path(s)) { p += 1; s += 1 }
@@ -62,8 +62,19 @@ object RobotsKernels {
             if (pathBytes == null) pathBytes = path.getBytes
             val pb = p.getBytes
             val anchored = pb.length > 0 && pb(pb.length - 1) == '$'
-            wildcardMatch(pathBytes, pb, if (anchored) pb.length - 1 else pb.length,
-              anchored)
+            val patLen = if (anchored) pb.length - 1 else pb.length
+            // anchored rules anchor at the CANONICAL resource boundary:
+            // the scheduler matches against `url_path(url) + "/"` (the
+            // canonicalizer strips trailing slashes, and the appended
+            // slash lets a rule `/a/` match the URL whose `/a/` normalized
+            // to `/a`), so `$` must also accept the subject with that one
+            // trailing slash removed — otherwise no `$` rule could ever
+            // fire through politeBatch
+            wildcardMatch(pathBytes, pathBytes.length, pb, patLen, anchored) ||
+              (anchored && pathBytes.length > 0 &&
+                pathBytes(pathBytes.length - 1) == '/' &&
+                wildcardMatch(pathBytes, pathBytes.length - 1, pb, patLen,
+                  anchored = true))
           }
         if (hit) {
           val l = p.numChars()

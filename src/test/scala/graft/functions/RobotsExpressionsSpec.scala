@@ -58,9 +58,14 @@ class RobotsExpressionsSpec extends AnyFunSuite {
     assert(len("/a/b/c", "/a*b*c") == 6)
     assert(len("/abc", "/a*b*c") == 6)
     assert(len("/a/c/b", "/a*b*c") == 0)
-    // exact-path anchor
+    // exact-path anchor; one trailing slash is tolerated because the
+    // scheduler's subject is the canonical path + "/" (a $ rule must
+    // anchor at the canonical resource boundary or it could never fire
+    // through politeBatch)
     assert(len("/a", "/a$") == 3)
-    assert(len("/a/", "/a$") == 0)
+    assert(len("/a/", "/a$") == 3)
+    assert(len("/a/b", "/a$") == 0)
+    assert(len("/a//", "/a$") == 0) // only ONE canonical slash stripped
     // lone star matches everything (length 1 — less specific than any
     // literal rule, per most-octets precedence)
     assert(len("/anything", "*") == 1)

@@ -185,6 +185,33 @@ class RobotsSpec extends AnyFunSuite {
     assert(!visited.contains("http://site0.com/c"))
   }
 
+  test("RFC 9309 wildcard rules steer the scheduler end-to-end: $ anchor, * extension block") {
+    import graft.model.PageRow
+    def page(url: String, links: Seq[String] = Nil) =
+      PageRow(url, 200, None, links, None, Some("text/html"), None, None)
+    val pages = Seq(
+      page("http://w.com/", Seq("/doc.pdf", "/doc.pdfx", "/exact", "/exact/sub", "/keep")),
+      page("http://w.com/doc.pdf"),
+      page("http://w.com/doc.pdfx"),
+      page("http://w.com/exact", Seq("/exact/sub")),
+      page("http://w.com/exact/sub"),
+      page("http://w.com/keep"))
+    // /*.pdf$ blocks only true .pdf paths (not .pdfx); /exact$ blocks the
+    // exact path but NOT /exact/sub (the anchor stops prefix bleed)
+    val robots = Robots.parse(Seq(
+      ("w.com", "User-agent: *\nDisallow: /*.pdf$\nDisallow: /exact$")).toDS())
+    val cfg = CrawlConfig(fifoParity = false, sameDomainOnly = false,
+      perHostBudget = 8, bloomEnabled = false)
+    val out = new FrontierCrawler(spark, pages.toDS(), cfg, robots = Some(robots))
+      .crawlSeeds(Seq("http://w.com/").toDF("url"))
+    val visited = out.sortedFound.toSet
+    assert(!visited.contains("http://w.com/doc.pdf"), visited.toString)
+    assert(visited.contains("http://w.com/doc.pdfx"), visited.toString)
+    assert(!visited.contains("http://w.com/exact"), visited.toString)
+    assert(visited.contains("http://w.com/exact/sub"), visited.toString)
+    assert(visited.contains("http://w.com/keep"), visited.toString)
+  }
+
   test("parsed bodies drive the polite scheduler exactly like a hand-built cache") {
     val p = SiteGraph.GraphParams(nHosts = 3, pagesPerHost = 20, linksPerPage = 3,
       redirectFrac = 0.0, errorFrac = 0.0, deadLinkFrac = 0.0, crossHostFrac = 0.3, seed = 21L)
