@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * through
   *
   *   pair gates (caption → container trust → decoded stats) →
+  *   optional CLIP-score alignment gate (inference-output embeddings) →
   *   exact phash dedup (keep best quality) →
   *   optional near-dup clustering (hamming radius, optional PSNR verify)
   *
@@ -33,11 +34,17 @@ object ImageCurateCli {
     """usage: ImageCurateCli <input-parquet> <output-dir>
       |       [--min-tokens 3] [--max-tokens 128] [--min-alpha 0.5]
       |       [--min-w 32] [--min-h 32] [--max-aspect 4.0] [--min-entropy 1.0]
+      |       [--align PARQUET] [--align-min 0.3]
       |       [--near-dup HAMMING] [--psnr DB]
       |
       |  <input-parquet>  Payload table: image_id, bytes, w, h, fmt,
       |                   caption, phash (any FS scheme)
       |  <output-dir>     Writes curated/ plus audit/ relations
+      |  --align P        CLIP-score alignment gate: P is an inference-output
+      |                   parquet (image_id, image_emb, caption_emb); pairs
+      |                   scoring below --align-min — or missing from P —
+      |                   are dropped (audit: dropped_alignment)
+      |  --align-min S    Minimum alignment cosine (default 0.3)
       |  --near-dup H     Also collapse phash clusters within hamming H
       |                   (components over distinct phashes, keep best
       |                   DECODED pixel count — recorded w/h are untrusted)
@@ -59,13 +66,15 @@ object ImageCurateCli {
       droppedExact: Long,
       droppedNearDup: Long,
       kept: Long,
-      batchRows: Long = -1) // -1: --batches not requested
+      batchRows: Long = -1,        // -1: --batches not requested
+      droppedAlignment: Long = -1) // -1: --align not requested
 
   private[graft] def run(spark: SparkSession, args: Array[String]): ImageCurateSummary = {
     var pos = Vector.empty[String]
     var minTokens = 3; var maxTokens = 128; var minAlpha = 0.5
     var minW = 32; var minH = 32; var maxAspect = 4.0; var minEntropy = 1.0
     var nearDup: Option[Int] = None; var psnrDb = 0.0
+    var align: Option[String] = None; var alignMin = 0.3
     var batches: Option[Int] = None; var batchSide = 512
     var batchMode = "area"; var batchShards = 1
     var i = 0
@@ -89,6 +98,8 @@ object ImageCurateCli {
         case "--min-h" => minH = num("--min-h", _.toInt)
         case "--max-aspect" => maxAspect = num("--max-aspect", _.toDouble)
         case "--min-entropy" => minEntropy = num("--min-entropy", _.toDouble)
+        case "--align" => align = Some(value("--align"))
+        case "--align-min" => alignMin = num("--align-min", _.toDouble)
         case "--near-dup" => nearDup = Some(num("--near-dup", _.toInt))
         case "--psnr" => psnrDb = num("--psnr", _.toDouble)
         case "--batches" => batches = Some(num("--batches", _.toInt))
@@ -130,14 +141,38 @@ object ImageCurateCli {
       .drop("reason", "__s").cache()
     val nGates = gated.count()
 
+    // 1b. optional CLIP-score alignment gate: scores come from an
+    // inference-output parquet keyed by image_id — only the slim
+    // (image_id, embeddings) columns ride the scoring join; the payload
+    // bytes re-attach to the surviving ids by semi-join, the same
+    // bytes-off-the-shuffle discipline as every other stage. A pair
+    // MISSING from the inference output is unscorable → dropped with a
+    // null alignment in the audit (the gate's null-fails-the-filter
+    // contract, Multimodal.alignmentGate).
+    val aligned = align match {
+      case None => gated
+      case Some(path) =>
+        val emb = spark.read.parquet(path)
+          .select(col("image_id"), col("image_emb"), col("caption_emb"))
+        val scoredIds = gated.select(col("image_id"))
+          .join(emb, Seq("image_id"), "left")
+        val (keptIds, dropped) = Multimodal.alignmentGate(
+          scoredIds, "image_emb", "caption_emb", alignMin)
+        audit(dropped.select(col("image_id"), col("alignment")),
+          "dropped_alignment")
+        gated.join(keptIds.select("image_id"), Seq("image_id"), "left_semi")
+          .cache()
+    }
+    val nAlign = aligned.count()
+
     // 2. exact phash dedup: keep the best-quality row per phash (quality =
     // DECODED pixel count; ties → max image_id, deterministic)
     val q = col("__dq")
-    val winners = gated.groupBy(col("phash").as("__ph"))
+    val winners = aligned.groupBy(col("phash").as("__ph"))
       .agg(max(struct(q.as("__q"), col("image_id").as("__id"))).as("__w"))
       .select(col("__w.__id").as("image_id"))
-    val exact = gated.join(winners, Seq("image_id"), "left_semi").cache()
-    audit(gated.join(winners, Seq("image_id"), "left_anti")
+    val exact = aligned.join(winners, Seq("image_id"), "left_semi").cache()
+    audit(aligned.join(winners, Seq("image_id"), "left_anti")
       .select(col("image_id"), col("phash")), "dropped_exact")
     val nExact = exact.count()
 
@@ -169,7 +204,9 @@ object ImageCurateCli {
     val curated = kept.select(cols.map(col): _*)
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     val nKept = curated.count()
-    exact.unpersist(); gated.unpersist()
+    exact.unpersist()
+    if (align.isDefined) aligned.unpersist()
+    gated.unpersist()
 
     // 4. optional training-batch materialization over the CURATED pairs:
     // header-dims banding + pinned resample + complete batches only (see
@@ -193,10 +230,14 @@ object ImageCurateCli {
         spark.read.parquet(s"$outDir/batches").count()
     }
 
-    val s = ImageCurateSummary(nInput, nInput - nGates, nGates - nExact,
-      nExact - nKept, nKept, nBatchRows)
+    val s = ImageCurateSummary(nInput, nInput - nGates, nAlign - nExact,
+      nExact - nKept, nKept, nBatchRows,
+      if (align.isDefined) nGates - nAlign else -1L)
     val batchJson = if (s.batchRows >= 0) s""","batch_rows":${s.batchRows}""" else ""
-    println(s"""{"input":${s.input},"dropped_gates":${s.droppedGates},""" +
+    val alignJson =
+      if (s.droppedAlignment >= 0) s""","dropped_alignment":${s.droppedAlignment}"""
+      else ""
+    println(s"""{"input":${s.input},"dropped_gates":${s.droppedGates}$alignJson,""" +
       s""""dropped_exact":${s.droppedExact},"dropped_near_dup":${s.droppedNearDup},""" +
       s""""kept":${s.kept}$batchJson}""")
     s

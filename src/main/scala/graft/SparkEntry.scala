@@ -87,7 +87,8 @@ object SparkEntry {
     "q53_verified_phash_dup" -> ContractQueries.q53VerifiedPhashDup _,
     "q54_merge_upsert" -> ContractQueries.q54MergeUpsert _,
     "q55_sitemap_recency" -> ContractQueries.q55SitemapRecency _,
-    "q56_training_resample" -> ContractQueries.q56TrainingResample _)
+    "q56_training_resample" -> ContractQueries.q56TrainingResample _,
+    "q57_pair_alignment" -> ContractQueries.q57PairAlignment _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -848,5 +849,22 @@ object SparkEntry {
         |      + m.doc_id * 7) % 256 AS v
         |  FROM m, generate_series(0, 7) x(x), generate_series(0, 3) y(y))
         |SELECT doc_id, src_w, src_h, SUM(v) / 32.0 AS mean_luma
-        |FROM g GROUP BY doc_id, src_w, src_h ORDER BY doc_id""".stripMargin)
+        |FROM g GROUP BY doc_id, src_w, src_h ORDER BY doc_id""".stripMargin,
+
+    // CLIP-score-style alignment gate: the oracle replays the cosine with
+    // DuckDB's list_dot_product over the same double-cast embeddings (the
+    // q36-proven fold parity) and re-derives the gate verdict
+    "q57_pair_alignment" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+        |img AS (SELECT vec_id // 2 AS pair_id, ee AS ie FROM e WHERE vec_id % 2 = 0),
+        |cap AS (SELECT (vec_id - 1) // 2 AS pair_id, ee AS ce FROM e WHERE vec_id % 2 = 1),
+        |s AS (
+        |  SELECT pair_id,
+        |    round(list_dot_product(ie, ce)
+        |      / (sqrt(list_dot_product(ie, ie)) * sqrt(list_dot_product(ce, ce))), 6)
+        |      AS alignment
+        |  FROM img JOIN cap USING (pair_id))
+        |SELECT pair_id, alignment,
+        |  CASE WHEN alignment >= 0.05 THEN 1 ELSE 0 END AS is_aligned
+        |FROM s ORDER BY pair_id""".stripMargin)
 }

@@ -399,6 +399,51 @@ object Multimodal {
           .when(col("__s.entropy_bits") < minEntropyBits, "low_entropy")))
   }
 
+  /** CLIP-score-style image–caption alignment: cosine between the pair's
+    * image embedding and its caption embedding — the central semantic gate
+    * of LAION-style pair curation (a pair whose caption does not describe
+    * the image scores low no matter how good each half looks alone). The
+    * embeddings come from an upstream inference stage (the encoder model
+    * does not ship in this environment); this operator owns the Spark
+    * side: the score is a pure codegen'd column program (three
+    * [[graft.functions.ArrayDot]] folds in double precision — same
+    * deterministic sequential fold as every other cosine surface in the
+    * engine), no shuffle, rounded to 6 places for engine-portable
+    * comparison. NULL — not NaN — when either embedding is null, lengths
+    * mismatch (ArrayDot nulls), or either norm is zero (undefined
+    * direction): a null score fails any `>=` gate, so broken pairs drop
+    * instead of riding Spark's NaN-sorts-above-everything ordering
+    * through a threshold filter. */
+  def alignmentScore(imgEmb: org.apache.spark.sql.Column,
+      capEmb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val ie = imgEmb.cast("array<double>")
+    val ce = capEmb.cast("array<double>")
+    val d = graft.functions.VectorFunctions.array_dot(ie, ce)
+    val ni = graft.functions.VectorFunctions.array_dot(ie, ie)
+    val nc = graft.functions.VectorFunctions.array_dot(ce, ce)
+    when(ni > 0 && nc > 0, round(d / (sqrt(ni) * sqrt(nc)), 6))
+  }
+
+  /** Alignment gate over a pair relation carrying per-pair embedding
+    * columns: returns (kept, audit) where kept rows score `>= minScore`
+    * and the audit holds every other row (below threshold OR unscorable —
+    * null/mismatched/zero-norm embeddings) with its score column attached.
+    * The two sides partition the input exactly. Scale shape: scoring adds
+    * NO shuffle (column program inside whatever scan delivers the rows);
+    * when embeddings live in a separate inference-output table, join them
+    * on the pair id BEFORE this gate — slim (id, embedding) columns, the
+    * payload bytes never ride that join (see ImageCurateCli `--align`). */
+  def alignmentGate(pairs: DataFrame, imgEmbCol: String, capEmbCol: String,
+      minScore: Double, scoreCol: String = "alignment")
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val scored = pairs.withColumn(scoreCol,
+      alignmentScore(col(imgEmbCol), col(capEmbCol)))
+    (scored.filter(col(scoreCol) >= minScore),
+      scored.filter(col(scoreCol).isNull || col(scoreCol) < minScore))
+  }
+
   /** Joint image+caption curation over an image-table DataFrame (the
     * IceLite shape: id + bytes + caption): caption gates first — pure
     * column predicates, no decode — then [[imageQuality]] gates on the

@@ -872,6 +872,31 @@ object ContractQueries {
       .orderBy("doc_id")
   }
 
+  /** CLIP-score-style pair-alignment gate
+    * ([[graft.ops.Multimodal.alignmentGate]]): deterministic pairs from
+    * the embeddings table — each even vec_id is a pair's image embedding,
+    * the following odd vec_id its caption embedding — scored with the
+    * codegen'd double-precision cosine fold and gated at 0.05. Both the
+    * kept and the audited side are returned with the gate's verdict so
+    * the oracle checks the partition, not just the arithmetic; DuckDB
+    * replays score and verdict with list_dot_product over the same
+    * double-cast embeddings. */
+  def q57PairAlignment(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val img = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select((col("vec_id") / 2).cast("long").as("pair_id"),
+        col("embedding").as("ie"))
+    val cap = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(((col("vec_id") - 1) / 2).cast("long").as("pair_id"),
+        col("embedding").as("ce"))
+    val (kept, audit) = graft.ops.Multimodal.alignmentGate(
+      img.join(cap, Seq("pair_id")), "ie", "ce", minScore = 0.05)
+    kept.select(col("pair_id"), col("alignment"), lit(1).as("is_aligned"))
+      .unionByName(audit.select(col("pair_id"), col("alignment"),
+        lit(0).as("is_aligned")))
+      .orderBy("pair_id")
+  }
+
   def q44RepetitionStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),

@@ -116,6 +116,41 @@ class ImageCurateCliSpec extends AnyFunSuite {
     }
   }
 
+  test("--align: CLIP-score gate drops misaligned, unscorable and unscored pairs") {
+    // 4 honest pairs that pass every quality gate; alignment is decided
+    // entirely by the planted inference-output embeddings
+    val rows = (0 until 4).map { i =>
+      ("img%02d".format(i), content(200 + i), 40, 30, "png",
+        s"a photo of test scene number $i", ImageKernels.phash64(content(200 + i)))
+    }.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val emb = Seq(
+      ("img00", Seq(1.0, 0.0), Seq(2.0, 0.0)),  // cos 1.0  → kept
+      ("img01", Seq(1.0, 0.0), Seq(0.0, 1.0)),  // cos 0.0  → dropped
+      ("img02", Seq(1.0, 0.0), Seq(0.0, 0.0)))  // zero-norm → unscorable
+      // img03 missing from the inference output → unscorable
+      .toDF("image_id", "image_emb", "caption_emb")
+    val in = Files.createTempDirectory("imgalign-in-").toString
+    val embDir = Files.createTempDirectory("imgalign-emb-").toString
+    rows.write.mode("overwrite").parquet(in)
+    emb.write.mode("overwrite").parquet(embDir)
+    val out = Files.createTempDirectory("imgalign-out-").toString
+
+    val s = ImageCurateCli.run(spark, Array(in, out,
+      "--min-w", "16", "--min-h", "12", "--align", embDir, "--align-min", "0.3"))
+    assert(s == ImageCurateCli.ImageCurateSummary(4, 0, 0, 0, 1, -1, 3),
+      s.toString)
+    assert(spark.read.parquet(s"$out/curated")
+      .select("image_id").as[String].collect().toSeq == Seq("img00"))
+    // the audit ledger: scored-but-low carries its score, unscorable rows
+    // carry NULL (zero-norm and missing-from-inference look the same to
+    // the gate — no direction to compare)
+    val dropped = spark.read.parquet(s"$out/audit/dropped_alignment")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(dropped == Map("img01" -> Some(0.0), "img02" -> None,
+      "img03" -> None), dropped.toString)
+  }
+
   test("usage errors: missing positionals, unknown flag, bad number") {
     def fails(args: Array[String]): String =
       intercept[CurateCli.CliUsageError](ImageCurateCli.run(spark, args)).getMessage
