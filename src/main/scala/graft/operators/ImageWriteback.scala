@@ -98,20 +98,59 @@ object ImageWriteback {
     * inserted. */
   def mergeInsertNearDup(table: IceLite, batch: DataFrame,
       maxHamming: Int = 6, minPsnrDb: Double = 40.0): Long = {
-    if (table.isEmpty) return table.mergeInsert(batch, "phash")
+    // Truncate the micro-batch's lineage ONCE per trigger (eager
+    // localCheckpoint): a foreachBatch DataFrame is a PLAN, not data — the
+    // DAG below references the batch in three places (delta signatures,
+    // bytes-attach union, MERGE staging) and triggers several actions, and
+    // with the raw plan EVERY TASK of EVERY downstream stage carries the
+    // serialized streaming subtree (state-store RDD chain + decode
+    // expressions) in its task binary: jstack during a slow sink showed
+    // all executor threads inside ObjectInputStream.readObject, and a
+    // persist()+count (which caches the DATA but keeps the recompute
+    // lineage in every task) left the sink 3-10× slower than the identical
+    // batch-mode merge. After the checkpoint the sink's stages see a flat
+    // LogicalRDD. A micro-batch is bounded by the trigger, so the
+    // checkpointed blocks are bounded at any corpus scale (the TABLE is
+    // never cached here); the ContextCleaner reclaims them once the batch
+    // DataFrame is unreachable, and a lost block fails-and-retries the
+    // trigger (foreachBatch sinks are at-least-once either way).
+    val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      if (dbg) println(f"    [sink] $label ${(System.nanoTime() - t0) / 1e9}%.1f s @${System.currentTimeMillis}")
+      r
+    }
+    val b = timed("replay+checkpoint batch")(batch.localCheckpoint())
+    if (table.isEmpty) return timed("mergeInsert(empty)")(
+      table.mergeInsert(b, "phash"))
     val corpus = table.read().select(col("image_id"), col("bytes"), col("phash"))
     val dup = graft.ops.Multimodal.verifiedPhashDupIncremental(
-      corpus, batch, "image_id", "bytes",
-      maxHamming = maxHamming, minPsnrDb = minPsnrDb, deltaPhashCol = "phash")
-    // batch ids whose verified pair partner is a CORPUS id (either side)
-    val corpusIds = corpus.select(col("image_id").as("__cid"))
-    val dupOfCorpus = dup.join(corpusIds, col("d1") === col("__cid"))
-        .select(col("d2").as("image_id"))
-      .unionByName(dup.join(corpusIds, col("d2") === col("__cid"))
-        .select(col("d1").as("image_id")))
-      .distinct()
-    table.mergeInsert(batch.join(dupOfCorpus, Seq("image_id"), "left_anti"),
-      "phash")
+      corpus, b, "image_id", "bytes",
+      maxHamming = maxHamming, minPsnrDb = minPsnrDb, deltaPhashCol = "phash",
+      // per-trigger shape: candidates checkpoint eagerly so the corpus
+      // bytes attach is ONE semi-join-pruned scan (see the scaladoc there)
+      materializeCandidates = true)
+      .persist()
+    try {
+      // `dup` is scanned twice below (both pair orientations); without the
+      // persist each scan re-runs the whole candidate join + PSNR decode
+      // subtree. Verified pairs touching one micro-batch are O(batch), so
+      // the cache is trigger-bounded like `b` itself.
+      timed("near-dup candidates+PSNR")(dup.count())
+      // batch ids whose verified pair partner is a CORPUS id: ids are
+      // distinct across corpus and delta (the function's contract), so the
+      // partner is in the corpus iff it is NOT a batch id — resolved
+      // against the checkpointed batch's own id column, no table scan
+      val batchIds = b.select(col("image_id").as("__bid"))
+      val dupOfCorpus = dup.select(col("d1").as("image_id"), col("d2").as("__p"))
+        .unionByName(dup.select(col("d2").as("image_id"), col("d1").as("__p")))
+        .join(batchIds, col("image_id") === col("__bid"), "left_semi")
+        .join(batchIds, col("__p") === col("__bid"), "left_anti")
+        .select("image_id").distinct()
+      if (dbg) timed("dupOfCorpus")(dupOfCorpus.count())
+      timed("merge")(table.mergeInsert(
+        b.join(dupOfCorpus, Seq("image_id"), "left_anti"), "phash"))
+    } finally dup.unpersist()
   }
 
   def ingestCuratedPairs(outcome: CrawlOutcome, pages: Dataset[PageRow],

@@ -233,17 +233,32 @@ object Multimodal {
       idCol: String, bytesCol: String, phashCol: String = "phash",
       maxHamming: Int = 6, minPsnrDb: Double = 40.0,
       maxBlockPopulation: Long = Long.MaxValue,
-      deltaPhashCol: String = ""): DataFrame = {
+      deltaPhashCol: String = "",
+      materializeCandidates: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val corpusSig = corpus.select(col(idCol), col(phashCol).as("__ph"))
     val deltaSig =
       if (deltaPhashCol.nonEmpty) delta.select(col(idCol), col(deltaPhashCol).as("__ph"))
       else delta.select(col(idCol),
         graft.functions.ImageFunctions.phash64(col(bytesCol)).as("__ph"))
-    val cand = Dedup.hammingPairsIncremental(corpusSig, deltaSig, idCol, "__ph",
+    val cand0 = Dedup.hammingPairsIncremental(corpusSig, deltaSig, idCol, "__ph",
       maxHamming, bits = 64, maxBlockPopulation = maxBlockPopulation)
-    val bytesRel = corpus.select(col(idCol), col(bytesCol))
+    // `materializeCandidates` is the per-trigger (streaming sink) shape:
+    // the candidate relation is signature-space SMALL by construction
+    // (bounded by the planted-duplicate density × delta size, and capped
+    // by maxBlockPopulation), so an eager localCheckpoint lets the bytes
+    // attach below semi-join-prune the corpus scan to candidate ids —
+    // ONE pruned pass over the payload column instead of two full ones.
+    // The default (lazy) keeps the one-action batch-sweep plan: there the
+    // whole result is consumed once and Catalyst sees a single tree.
+    val cand = if (materializeCandidates) cand0.localCheckpoint() else cand0
+    val bytesRel0 = corpus.select(col(idCol), col(bytesCol))
       .unionByName(delta.select(col(idCol), col(bytesCol)))
+    val bytesRel = if (materializeCandidates) {
+      val candIds = cand.select(col("d1").as(idCol))
+        .unionByName(cand.select(col("d2").as(idCol))).distinct()
+      bytesRel0.join(candIds, Seq(idCol), "left_semi")
+    } else bytesRel0
     val a = bytesRel.select(col(idCol).as("d1"), col(bytesCol).as("__ba"))
     val b = bytesRel.select(col(idCol).as("d2"), col(bytesCol).as("__bb"))
     cand.join(a, Seq("d1")).join(b, Seq("d2"))
