@@ -94,10 +94,20 @@ object ImageWriteback {
     * the batch sweep owns intra-delta collapse; this sink's contract is
     * only "never insert what the table already holds a verified copy of".
     * Cost per micro-batch: candidates on (id, phash) signatures only,
-    * corpus bytes touched for candidate pairs alone. Returns rows
-    * inserted. */
+    * corpus bytes touched for candidate pairs alone.
+    *
+    * `corpusWindow` bounds the near-dup corpus to the table's newest K
+    * commits ([[graft.sources.IceLite.readRecent]]) — the knob for tables
+    * too large to scan per trigger (SCALE.md §7d: a persisted block index
+    * measured SLOWER than the scan, so the affordable check is a bounded
+    * one). Windowed contract: re-encodes of the last K commits are
+    * suppressed here; older duplicates land and the periodic incremental
+    * batch sweep collapses them. EXACT-dup suppression (the MERGE key)
+    * always covers the full table — the window only bounds the
+    * hamming-radius check. Returns rows inserted. */
   def mergeInsertNearDup(table: IceLite, batch: DataFrame,
-      maxHamming: Int = 6, minPsnrDb: Double = 40.0): Long = {
+      maxHamming: Int = 6, minPsnrDb: Double = 40.0,
+      corpusWindow: Int = Int.MaxValue): Long = {
     // Truncate the micro-batch's lineage ONCE per trigger (eager
     // localCheckpoint): a foreachBatch DataFrame is a PLAN, not data — the
     // DAG below references the batch in three places (delta signatures,
@@ -123,7 +133,9 @@ object ImageWriteback {
     val b = timed("replay+checkpoint batch")(batch.localCheckpoint())
     if (table.isEmpty) return timed("mergeInsert(empty)")(
       table.mergeInsert(b, "phash"))
-    val corpus = table.read().select(col("image_id"), col("bytes"), col("phash"))
+    val corpus = (if (corpusWindow == Int.MaxValue) table.read()
+      else table.readRecent(corpusWindow))
+      .select(col("image_id"), col("bytes"), col("phash"))
     val dup = graft.ops.Multimodal.verifiedPhashDupIncremental(
       corpus, b, "image_id", "bytes",
       maxHamming = maxHamming, minPsnrDb = minPsnrDb, deltaPhashCol = "phash",

@@ -145,16 +145,35 @@ final class IceLite(spark: SparkSession, val dir: String,
       .getOrElse(throw new IllegalStateException(
         s"icelite: no snapshot v$version at $dir (never committed, or expired " +
           "by expireSnapshots)"))
-    if (s.batches.isEmpty)
-      throw new IllegalStateException(s"icelite: snapshot v$version is empty")
+    readBatchesOf(s, s.batches)
+  }
+
+  /** Read only the newest `lastBatches` commits of the current snapshot —
+    * the bounded-recency scan for per-increment consumers that cannot
+    * afford the whole table per call (e.g. the streaming MERGE sink's
+    * near-dup corpus, SCALE.md §7d: the per-trigger check covers what it
+    * can afford to scan; the periodic batch sweep owns full history).
+    * Batches are manifest-ordered by commit, so the window is exact, and
+    * copy-on-write exclusions still apply — superseded rows never
+    * resurrect through a window read. */
+  def readRecent(lastBatches: Int): DataFrame = {
+    require(lastBatches >= 1, s"icelite: readRecent($lastBatches)")
+    val s = currentSnapshot()
+      .getOrElse(throw new IllegalStateException(s"icelite: empty table at $dir"))
+    readBatchesOf(s, s.batches.takeRight(lastBatches))
+  }
+
+  private def readBatchesOf(s: IceLite.Snapshot, batches: Seq[String]): DataFrame = {
+    if (batches.isEmpty)
+      throw new IllegalStateException(s"icelite: snapshot v${s.version} is empty")
     partition match {
-      case None => spark.read.parquet(s.batches.map(b => p("data", b)): _*)
+      case None => spark.read.parquet(batches.map(b => p("data", b)): _*)
       case Some(ps) =>
         // each batch root is its own partitioned layout — discover per batch
         // and union (multi-root discovery rejects sibling partition trees);
         // a batch with excluded partitions reads its leaf dirs explicitly,
         // skipping the superseded values (copy-on-write MERGE UPDATE)
-        val parts = s.batches.flatMap { b =>
+        val parts = batches.flatMap { b =>
           val ex = s.exclusions.getOrElse(b, Set.empty)
           if (ex.isEmpty) Some(spark.read.parquet(p("data", b)).drop(ps.name))
           else {
@@ -166,7 +185,7 @@ final class IceLite(spark: SparkSession, val dir: String,
           }
         }
         if (parts.isEmpty)
-          throw new IllegalStateException(s"icelite: snapshot v$version is empty")
+          throw new IllegalStateException(s"icelite: snapshot v${s.version} is empty")
         parts.reduce(_ unionByName _)
     }
   }
