@@ -29,6 +29,15 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "96000").toLong
+    // 10 ms event spacing × nEvents must stay inside curatePairs' 1-hour
+    // watermark horizon, or hash-distributed later files get silently
+    // dropped as late data — deterministically, so every assertion would
+    // still pass while the bench measured a truncated corpus
+    require(nEvents <= 360000L,
+      s"SPARK_GRAFT_STREAM_EVENTS=$nEvents exceeds the watermark horizon " +
+        "(10 ms spacing × 1 h watermark caps the corpus at 360,000 events)")
+    val shmBase = Paths.get("/dev/shm/spark-scratch")
+    Files.createDirectories(shmBase)
     // 8 micro-batches per run, each trigger ingesting one file per core:
     // the gate+decode work runs in the SCAN stage (image_sig feeds the
     // dedup key, so it sits below the first exchange), and scan
@@ -42,7 +51,7 @@ object StreamBench {
       val s = SparkSession.builder().master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
-        .config("spark.local.dir", "/dev/shm/spark-scratch")
+        .config("spark.local.dir", shmBase.toString)
         // KB-binary payload scan rule (BENCH.md round 4 / SCALE.md §7a-bis)
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         // micro-batch sink stages move KBs, not GBs: let AQE coalesce
@@ -123,10 +132,9 @@ object StreamBench {
       val filesPerTrigger = cpus
       val spark = session(cpus)
       import spark.implicits._
-      val tableBase = Paths.get("/dev/shm/spark-scratch")
-      Files.createDirectories(tableBase)
-      val table = new IceLite(spark,
-        Files.createTempDirectory(tableBase, s"stream-table-$cpus-").toString)
+      val tableDir = Files.createTempDirectory(shmBase, s"stream-table-$cpus-")
+      val ckptDir = Files.createTempDirectory(shmBase, s"stream-ckpt-$cpus-")
+      val table = new IceLite(spark, tableDir.toString)
       val schema = spark.read.parquet(corpus).schema
       val in = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", filesPerTrigger).parquet(corpus)
@@ -139,11 +147,8 @@ object StreamBench {
       // the sandbox's /tmp disk those fsyncs dwarf the work (32 partitions
       // × 8 batches measured ~30 s/batch); a real deployment puts state on
       // local NVMe (or RocksDB) for exactly this reason
-      val ckptBase = Paths.get("/dev/shm/spark-scratch")
-      Files.createDirectories(ckptBase)
       val q = out.writeStream.outputMode("append")
-        .option("checkpointLocation",
-          Files.createTempDirectory(ckptBase, "stream-ckpt-").toString)
+        .option("checkpointLocation", ckptDir.toString)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           val b0 = System.nanoTime()
@@ -157,6 +162,13 @@ object StreamBench {
       val wall = (System.nanoTime() - t0) / 1e9
       val kept = table.read().count()
       spark.stop(); fresh()
+      // tmpfs is RAM: drop this cell's table + checkpoint + state before
+      // the next cell, or four cells of PNG rows and state deltas stay
+      // resident and perturb the very timings being measured
+      Seq(tableDir, ckptDir).foreach { d =>
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
       (wall, kept)
     }
 

@@ -104,7 +104,11 @@ object ImageWriteback {
     * suppressed here; older duplicates land and the periodic incremental
     * batch sweep collapses them. EXACT-dup suppression (the MERGE key)
     * always covers the full table — the window only bounds the
-    * hamming-radius check. Returns rows inserted. */
+    * hamming-radius check. The window counts COMMITS, so `IceLite.compact`
+    * (which consolidates history into one batch) widens it to the full
+    * table until new commits accumulate — compact on a coarser cadence
+    * than the trigger, or sweep-and-archive (see `readRecent`). Returns
+    * rows inserted. */
   def mergeInsertNearDup(table: IceLite, batch: DataFrame,
       maxHamming: Int = 6, minPsnrDb: Double = 40.0,
       corpusWindow: Int = Int.MaxValue): Long = {

@@ -155,7 +155,15 @@ final class IceLite(spark: SparkSession, val dir: String,
     * can afford to scan; the periodic batch sweep owns full history).
     * Batches are manifest-ordered by commit, so the window is exact, and
     * copy-on-write exclusions still apply — superseded rows never
-    * resurrect through a window read. */
+    * resurrect through a window read.
+    *
+    * The window is COMMIT-denominated: [[compact]] rewrites all history
+    * into ONE consolidated batch, after which any window spans the whole
+    * table until new commits accumulate again. A deployment that relies
+    * on `readRecent` to bound per-call cost (the streaming sink's
+    * `corpusWindow`) should therefore compact the table on a coarser
+    * cadence than it reads it — or sweep-and-archive instead of
+    * compacting in place. */
   def readRecent(lastBatches: Int): DataFrame = {
     require(lastBatches >= 1, s"icelite: readRecent($lastBatches)")
     val s = currentSnapshot()
