@@ -88,7 +88,8 @@ object SparkEntry {
     "q54_merge_upsert" -> ContractQueries.q54MergeUpsert _,
     "q55_sitemap_recency" -> ContractQueries.q55SitemapRecency _,
     "q56_training_resample" -> ContractQueries.q56TrainingResample _,
-    "q57_pair_alignment" -> ContractQueries.q57PairAlignment _)
+    "q57_pair_alignment" -> ContractQueries.q57PairAlignment _,
+    "q58_duplicate_spans" -> ContractQueries.q58DuplicateSpans _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -866,5 +867,28 @@ object SparkEntry {
         |  FROM img JOIN cap USING (pair_id))
         |SELECT pair_id, alignment,
         |  CASE WHEN alignment >= 0.05 THEN 1 ELSE 0 END AS is_aligned
-        |FROM s ORDER BY pair_id""".stripMargin)
+        |FROM s ORDER BY pair_id""".stripMargin,
+
+    // span-level exact-substring dedup: windows with positions, corpus-wide
+    // occurrence counts, covered token positions, token-level reconstruction
+    "q58_duplicate_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, i AS pos, array_to_string(list_slice(toks, i, i + 7), ' ') AS win
+        |      FROM t, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS r(i)),
+        |d AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        |cov AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+        |rem AS (SELECT DISTINCT c.doc_id, j
+        |        FROM cov c, unnest(range(c.pos, c.pos + 8)) AS r(j)),
+        |tok AS (SELECT doc_id, j, toks[j] AS tok
+        |        FROM t, unnest(range(1, len(toks) + 1)) AS r(j)),
+        |kept AS (SELECT tok.doc_id, tok.j, tok.tok FROM tok
+        |         LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.j = rem.j
+        |         WHERE rem.j IS NULL),
+        |clean AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |          array_to_string(list(tok ORDER BY j), ' ') AS clean_text
+        |          FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+        |  (len(t.toks) - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
+        |  coalesce(c.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN clean c USING (doc_id) ORDER BY doc_id""".stripMargin)
 }

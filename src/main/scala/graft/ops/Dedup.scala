@@ -450,4 +450,74 @@ object Dedup {
       .select(col(idCol), col("component"),
         (col(idCol).cast("long") === col("__keep")).cast("int").as("is_kept"))
   }
+
+  /** Every `n`-token window of every document, with its 1-based start
+    * position: `(idCol, pos, win)`. NOT distinct — position multiplicity is
+    * the point (span-level dedup counts occurrences, not documents). The
+    * tokenization binds once through `__toks` (see [[shingleTokens]]). */
+  def spanWindows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"dedup: span window n=$n must be >= 1")
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+          s"i -> struct(i AS pos, array_join(slice(__toks, i, $n), ' ') AS win))")).as("__w"))
+      .select(col(idCol), col("__w.pos").as("pos"), col("__w.win").as("win"))
+  }
+
+  /** Audit side of [[dropDuplicateSpans]]: the duplicated window strings and
+    * their corpus-wide occurrence counts (`(win, n_occurrences)`), descending
+    * by count — what the boilerplate actually is, for eyeballing before a
+    * destructive span-removal run. */
+  def duplicateSpanWindows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minOccurrences: Long = 2L): DataFrame =
+    spanWindows(df, idCol, textCol, n)
+      .groupBy("win").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minOccurrences)
+
+  /** Span-level exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") — the span complement of
+    * the document-level operators above: a doc that shares boilerplate with
+    * others keeps its unique content and loses only the repeated span,
+    * where doc-level dedup would either keep or drop it whole.
+    *
+    * An `n`-token window whose exact text occurs at ≥ `minOccurrences`
+    * (doc, position) sites across the corpus (across docs OR repeated inside
+    * one doc) is a duplicated span; every token any duplicated window covers
+    * is removed. This is the aggressive ALL-occurrences variant: removing
+    * every copy is a pure function of the corpus, deterministic under any
+    * partitioning — keep-one-copy needs a global occurrence order and makes
+    * the survivor partition-dependent. Removal can create new adjacencies in
+    * the output, so the result is not guaranteed free of duplicated windows
+    * (Lee et al. §4.1 note the same of their reconstruction).
+    *
+    * Shape at 100 TB: windows are a narrow generator (≈ one (id, pos, win)
+    * row per token — document text never rides the shuffle); the duplicate
+    * test is ONE hash aggregation on the window string (production would
+    * hash windows to int64 first; the string keeps this engine-portable and
+    * oracle-exact); covered start positions return to each doc by id
+    * equi-join as one array; reconstruction is a per-row HOF over the
+    * already-split token array. Per-row cost is O(tokens × dup-starts) worst
+    * case — fine at document scale, where starts ≪ tokens.
+    *
+    * Returns `(idCol, n_tokens, n_removed, <outCol>)`; `outCol` is the
+    * surviving tokens rejoined with single spaces ('' if fully removed). */
+  def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minOccurrences: Long = 2L, outCol: String = "clean_text"): DataFrame = {
+    val wins = spanWindows(df, idCol, textCol, n)
+    val dup = wins.groupBy("win").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minOccurrences)
+      .select("win")
+    val starts = wins.join(dup, Seq("win"))
+      .groupBy(idCol).agg(collect_set("pos").as("__starts"))
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .join(starts, Seq(idCol), "left")
+      .withColumn("__kept", when(col("__starts").isNull, col("__toks"))
+        .otherwise(expr("filter(__toks, (t, j) -> NOT exists(__starts, " +
+          s"p -> p <= j + 1 AND j + 1 <= p + ${n - 1}))")))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as(outCol))
+  }
 }

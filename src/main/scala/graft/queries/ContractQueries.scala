@@ -906,4 +906,15 @@ object ContractQueries {
         col("r.n_bigrams").as("n_bigrams"),
         col("r.top_bigram_frac").as("top_bigram_frac"))
       .orderBy("doc_id")
+
+  /** Span-level exact-substring dedup ([[graft.ops.Dedup.dropDuplicateSpans]],
+    * Lee et al. 2022): every 8-token window occurring at ≥2 (doc, position)
+    * sites is removed from every document. The synthetic corpus carries
+    * planted boilerplate (47 docs share spans at sf0.01, 24 are duplicated
+    * in full), so the oracle checks real removals, partial survivors, AND
+    * fully-emptied docs; DuckDB replays windows, occurrence counts, covered
+    * positions, and the token-level reconstruction relationally. */
+  def q58DuplicateSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateSpans(t(spark, dir, "documents"), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
 }
