@@ -32,6 +32,7 @@ object FunctionTable {
     Fn("image_sig", 1, es => ImageSig(es.head)),
     Fn("image_dims", 1, es => ImageDims(es.head)),
     Fn("image_resample", 4, es => ImageResample(es(0), es(1), es(2), es(3))),
+    Fn("strip_image_metadata", 1, es => StripImageMetadata(es.head)),
     Fn("array_dot", 2, es => ArrayDot(es(0), es(1))),
     Fn("array_sqdist", 2, es => ArraySqDist(es(0), es(1))),
     Fn("robots_allowed", 3, es => RobotsAllowed(es(0), es(1), es(2))))

@@ -176,6 +176,26 @@ case class ImageResample(bytes: Expression, dstW: Expression, dstH: Expression,
       c: Expression, d: Expression): ImageResample = copy(a, b, c, d)
 }
 
+/** Decode-free metadata strip ([[ImageKernels.stripMetadataJ]]): EXIF / XMP
+  * / comment / text-chunk provenance removed from JPEG/PNG/WEBP containers
+  * by byte-level segment surgery — the compressed pixel stream copies
+  * verbatim, so the output decodes bit-identically. Unstrippable containers
+  * (gif/bmp/tiff/unknown) and malformed payloads return unchanged, never
+  * throw: this runs inside the scan projection at crawl scale, where one
+  * corrupt payload must not fail the job. */
+case class StripImageMetadata(child: Expression)
+    extends UnaryExpression with BinaryInputCheck {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "strip_image_metadata"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageKernels.stripMetadataJ(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKernels.stripMetadataJ($c)")
+  override protected def withNewChildInternal(newChild: Expression): StripImageMetadata =
+    copy(child = newChild)
+}
+
 object ImageFunctions {
   def phash64(c: Column): Column = CB.column(PHash64(CB.expression(c)))
   def image_psnr(a: Column, b: Column): Column =
@@ -185,6 +205,8 @@ object ImageFunctions {
   def image_stats(c: Column): Column = CB.column(ImageStats(CB.expression(c)))
   def image_sig(c: Column): Column = CB.column(ImageSig(CB.expression(c)))
   def image_dims(c: Column): Column = CB.column(ImageDims(CB.expression(c)))
+  def strip_image_metadata(c: Column): Column =
+    CB.column(StripImageMetadata(CB.expression(c)))
   def image_resample(c: Column, dstW: Int, dstH: Int, mode: String): Column =
     CB.column(ImageResample(CB.expression(c),
       org.apache.spark.sql.catalyst.expressions.Literal(dstW),
@@ -197,5 +219,5 @@ object ImageFunctions {
   def registerAll(spark: SparkSession): Unit =
     FunctionTable.register(spark, FunctionTable.byName(
       "phash64", "image_psnr", "sniff_image_format", "image_stats", "image_sig",
-      "image_dims", "image_resample"))
+      "image_dims", "image_resample", "strip_image_metadata"))
 }

@@ -378,4 +378,107 @@ object ImageKernels {
           s.meanLuma, s.stddevLuma, s.entropyBits))
     }
   }
+
+  /** Byte-level metadata strip — the privacy scrub a crawled-image training
+    * corpus needs (EXIF GPS fixes, camera serials, XMP author blocks, PNG
+    * text/time chunks) performed WITHOUT a decode: the compressed pixel
+    * stream is copied verbatim, so the output decodes bit-identically to
+    * the input while the provenance metadata is gone. Per container:
+    *  - JPEG: drops APP1–APP15 and COM marker segments (EXIF and XMP ride
+    *    APP1, ICC APP2, Adobe APP14 — all provenance-bearing); APP0 (JFIF)
+    *    is kept (pixel density, no provenance). From SOS on, bytes copy
+    *    verbatim (entropy-coded data, no markers to parse).
+    *  - PNG: drops tEXt / zTXt / iTXt / eXIf / tIME ancillary chunks;
+    *    critical and rendering-relevant chunks copy verbatim.
+    *  - WEBP: drops the EXIF and XMP RIFF chunks, clears the matching VP8X
+    *    feature-flag bits (0x08 / 0x04), and rewrites the RIFF size field.
+    *  - everything else (gif / bmp / tiff / unknown, or any truncated /
+    *    malformed container): returned UNCHANGED — a strip that cannot be
+    *    parsed safely must never corrupt the payload. TIFF is deliberately
+    *    untouched: its EXIF lives in the same IFD tree as the image
+    *    structure, so stripping requires a rewrite, not a copy — gate on
+    *    `sniff_image_format` upstream if TIFF provenance matters. */
+  def stripMetadataJ(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null) return null
+    @inline def u8(i: Int) = bytes(i) & 0xff
+    @inline def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    @inline def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    try sniffFormatJ(bytes) match {
+      case "jpeg" =>
+        val out = new ByteArrayOutputStream(bytes.length)
+        out.write(bytes, 0, 2) // SOI
+        var i = 2
+        while (i < bytes.length) {
+          if (u8(i) != 0xff || i + 1 >= bytes.length) {
+            out.write(bytes(i)); i += 1 // stray byte — keep, stay robust
+          } else {
+            val m = u8(i + 1)
+            if (m == 0xff) { out.write(0xff); i += 1 } // fill byte
+            else if (m == 0xda) { // SOS: entropy data to EOI, copy verbatim
+              out.write(bytes, i, bytes.length - i); i = bytes.length
+            } else if (m == 0xd8 || m == 0xd9 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+              out.write(bytes, i, 2); i += 2 // standalone marker
+            } else if (i + 3 >= bytes.length || i + 2 + be16(i + 2) > bytes.length) {
+              out.write(bytes, i, bytes.length - i); i = bytes.length // truncated seg
+            } else {
+              val len = be16(i + 2)
+              if (!((m >= 0xe1 && m <= 0xef) || m == 0xfe)) // strip APPn>0 + COM
+                out.write(bytes, i, 2 + len)
+              i += 2 + len
+            }
+          }
+        }
+        out.toByteArray
+      case "png" =>
+        val strip = Set("tEXt", "zTXt", "iTXt", "eXIf", "tIME")
+        val out = new ByteArrayOutputStream(bytes.length)
+        out.write(bytes, 0, 8) // signature
+        var i = 8
+        while (i < bytes.length) {
+          if (i + 8 > bytes.length || be32(i) < 0 || i + 12L + be32(i) > bytes.length) {
+            out.write(bytes, i, bytes.length - i); i = bytes.length // malformed tail
+          } else {
+            val len = be32(i)
+            val typ = new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+            if (!strip(typ)) out.write(bytes, i, 12 + len) // len+type+data+crc
+            i += 12 + len
+          }
+        }
+        out.toByteArray
+      case "webp" =>
+        val out = new ByteArrayOutputStream(bytes.length)
+        out.write(bytes, 0, 12) // RIFF size fixed up below
+        var i = 12
+        while (i < bytes.length) {
+          if (i + 8 > bytes.length) { out.write(bytes, i, bytes.length - i); i = bytes.length }
+          else {
+            val sz = le32(i + 4)
+            val total = 8L + sz + (sz & 1) // chunks pad to even
+            if (sz < 0 || i + total > bytes.length) {
+              out.write(bytes, i, bytes.length - i); i = bytes.length
+            } else {
+              val fourcc = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+              if (fourcc != "EXIF" && fourcc != "XMP ") {
+                val at = out.size()
+                out.write(bytes, i, total.toInt)
+                if (fourcc == "VP8X" && sz >= 1) {
+                  // clear the EXIF (0x08) / XMP (0x04) feature bits in place
+                  val arr = out.toByteArray
+                  arr(at + 8) = (arr(at + 8) & ~0x0c).toByte
+                  out.reset(); out.write(arr, 0, arr.length)
+                }
+              }
+              i += total.toInt
+            }
+          }
+        }
+        val arr = out.toByteArray
+        val riffSz = arr.length - 8
+        arr(4) = (riffSz & 0xff).toByte; arr(5) = ((riffSz >> 8) & 0xff).toByte
+        arr(6) = ((riffSz >> 16) & 0xff).toByte; arr(7) = ((riffSz >> 24) & 0xff).toByte
+        arr
+      case _ => bytes
+    } catch { case _: Exception => bytes }
+  }
 }
