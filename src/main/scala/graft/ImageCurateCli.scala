@@ -58,7 +58,12 @@ object ImageCurateCli {
       |  --batch-side S   Band target scale (default 512): tall 3S/4 x S,
       |                   square S x S, wide S x 3S/4, ultrawide 3S/2 x 3S/4
       |  --batch-mode M   Resample mode: area (default) | nearest
-      |  --batch-shards K Per-band shards for distributed numbering (dflt 1)""".stripMargin
+      |  --batch-shards K Per-band shards for distributed numbering (dflt 1)
+      |  --strip-metadata Scrub EXIF/XMP/comment/text-chunk provenance from
+      |                   the curated bytes (decode-free byte surgery; the
+      |                   pixel stream — and therefore phash and every
+      |                   decoded stat — is unchanged; unstrippable
+      |                   containers pass through verbatim)""".stripMargin
 
   final case class ImageCurateSummary(
       input: Long,
@@ -77,6 +82,7 @@ object ImageCurateCli {
     var align: Option[String] = None; var alignMin = 0.3
     var batches: Option[Int] = None; var batchSide = 512
     var batchMode = "area"; var batchShards = 1
+    var stripMetadata = false
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -109,6 +115,7 @@ object ImageCurateCli {
           if (batchMode != "area" && batchMode != "nearest")
             throw CurateCli.CliUsageError(s"--batch-mode: area or nearest, got '$batchMode'")
         case "--batch-shards" => batchShards = num("--batch-shards", _.toInt)
+        case "--strip-metadata" => stripMetadata = true
         case flag if flag.startsWith("--") =>
           throw CurateCli.CliUsageError(s"unknown flag: $flag")
         case p => pos :+= p
@@ -201,7 +208,15 @@ object ImageCurateCli {
         exact.join(groups.filter(col("is_kept") === 1).select("phash"),
           Seq("phash"), "left_semi")
     }
-    val curated = kept.select(cols.map(col): _*)
+    // optional privacy scrub at the write: strip_image_metadata preserves
+    // the pixel stream byte-for-byte, so it commutes with every gate,
+    // phash, and quality stat above — applying it here (once, on the
+    // survivors) is both the cheapest and the provably-equivalent placement
+    val curated0 = kept.select(cols.map(col): _*)
+    val curated =
+      if (!stripMetadata) curated0
+      else curated0.withColumn("bytes",
+        graft.functions.ImageFunctions.strip_image_metadata(col("bytes")))
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     val nKept = curated.count()
     exact.unpersist()

@@ -151,6 +151,51 @@ class ImageCurateCliSpec extends AnyFunSuite {
       "img03" -> None), dropped.toString)
   }
 
+  test("--strip-metadata: provenance scrubbed from curated bytes, pixels and phash intact") {
+    // PNG with an injected tEXt provenance chunk right after IHDR
+    // (8-byte signature + 25-byte IHDR chunk)
+    def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+    val clean = content(300)
+    val tainted = clean.take(33) ++
+      pngChunk("tEXt", "Author Jane Roe, GPS 52.5N 13.4E".getBytes("ISO-8859-1")) ++
+      clean.drop(33)
+    val rows = Seq(
+      ("t1", tainted, 40, 30, "png", "a photo of a tainted scene",
+        ImageKernels.phash64(tainted)),
+      ("c1", content(301), 40, 30, "png", "a photo of a clean scene",
+        ImageKernels.phash64(content(301))))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val in = Files.createTempDirectory("imgstrip-in-").toString
+    rows.write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("imgstrip-out-").toString
+
+    val s = ImageCurateCli.run(spark, Array(in, out,
+      "--min-w", "16", "--min-h", "12", "--strip-metadata"))
+    // the scrub is a write-side transform: nothing gates on it
+    assert(s == ImageCurateCli.ImageCurateSummary(2, 0, 0, 0, 2), s.toString)
+
+    val curated = spark.read.parquet(s"$out/curated")
+      .select("image_id", "bytes", "phash").collect()
+      .map(r => r.getString(0) -> ((r.getAs[Array[Byte]]("bytes"), r.getLong(2)))).toMap
+    val (outBytes, storedPhash) = curated("t1")
+    assert(!new String(outBytes, "ISO-8859-1").contains("Jane Roe"),
+      "provenance chunk survived the scrub")
+    assert(outBytes.length < tainted.length)
+    // pixel stream untouched: decoded pixels equal, and the stored phash
+    // still describes the scrubbed bytes
+    val a = ImageKernels.decode(tainted); val b = ImageKernels.decode(outBytes)
+    val pix = for (y <- 0 until a.getHeight; x <- 0 until a.getWidth)
+      yield (a.getRGB(x, y), b.getRGB(x, y))
+    assert(pix.forall { case (p, q) => p == q })
+    assert(ImageKernels.phash64(outBytes) == storedPhash)
+  }
+
   test("usage errors: missing positionals, unknown flag, bad number") {
     def fails(args: Array[String]): String =
       intercept[CurateCli.CliUsageError](ImageCurateCli.run(spark, args)).getMessage
