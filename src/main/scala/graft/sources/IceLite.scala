@@ -33,9 +33,15 @@ object IceLite {
 
   /** `exclusions`: per-batch partition values SUPERSEDED by a later batch
     * in the same snapshot (copy-on-write MERGE UPDATE, see
-    * [[IceLite.mergeUpsertBest]]) — readers skip those subdirectories. */
+    * [[IceLite.mergeUpsertBest]]) — readers skip those subdirectories.
+    * `statsCol`/`stats`: the manifest-level data-skipping metadata — the
+    * column the per-batch (min, max) ranges in `stats` were computed over
+    * (batches with no entry predate the stats column or were all-null;
+    * they are always read). */
   final case class Snapshot(version: Int, batches: Seq[String], rowCount: Long,
-      exclusions: Map[String, Set[String]] = Map.empty)
+      exclusions: Map[String, Set[String]] = Map.empty,
+      statsCol: Option[String] = None,
+      stats: Map[String, (Long, Long)] = Map.empty)
 }
 
 /** `icelite` — a minimal Iceberg-style snapshot table (SURVEY.md §7.4).
@@ -78,7 +84,17 @@ final class IceLite(spark: SparkSession, val dir: String,
     // compact() (one consolidated batch, all exclusions cleared; the read
     // set is unchanged by construction). The default keeps manifests
     // KB-scale at the 256-partition phash layout; Int.MaxValue disables.
-    maxExclusionEntries: Int = 4096) {
+    maxExclusionEntries: Int = 4096,
+    // manifest-level data skipping (Iceberg file-stats analog): when set to
+    // an integral column (e.g. a crawl round, an ingest epoch, a time
+    // bucket), every commit records the batch's (min, max) of that column
+    // in the manifest and readWhere() skips batches whose range is
+    // disjoint from the queried one — a range read over a long-lived
+    // table touches the matching commits, not the table. Batches written
+    // before the column was configured (or whose values are all null)
+    // carry no stats and are always read: skipping is sound, never
+    // load-bearing for correctness.
+    statsCol: Option[String] = None) {
 
   private val sfs = StateFs(spark)
   private def p(parts: String*): String = sfs.child(dir, parts: _*)
@@ -118,6 +134,7 @@ final class IceLite(spark: SparkSession, val dir: String,
       try props.load(in) finally in.close()
       val batches = props.getProperty("batches", "")
       val excl = props.getProperty("exclusions", "")
+      val stats = props.getProperty("stats", "")
       Some(Snapshot(version,
         if (batches.isEmpty) Nil else batches.split(",").toSeq,
         props.getProperty("rowCount").toLong,
@@ -125,6 +142,12 @@ final class IceLite(spark: SparkSession, val dir: String,
         else excl.split(";").map { e =>
           val Array(b, vs) = e.split(":", 2)
           b -> vs.split("\\|").toSet
+        }.toMap,
+        Option(props.getProperty("statsCol")),
+        if (stats.isEmpty) Map.empty
+        else stats.split(";").map { e =>
+          val Array(b, mn, mx) = e.split(":", 3)
+          b -> ((mn.toLong, mx.toLong))
         }.toMap))
     }
   }
@@ -274,7 +297,8 @@ final class IceLite(spark: SparkSession, val dir: String,
       case None =>
         data.write.mode("overwrite").parquet(p("data", batch))
     }
-    publish(v, Seq(batch), s.rowCount)
+    publish(v, Seq(batch), s.rowCount,
+      stats = statsEntryOf(data).map(batch -> _).toMap)
     v
   }
 
@@ -314,7 +338,8 @@ final class IceLite(spark: SparkSession, val dir: String,
         prev.map(_.rowCount).getOrElse(0L) + rows,
         // an append must carry the prior copy-on-write exclusions forward —
         // dropping them would resurrect superseded rows
-        prev.map(_.exclusions).getOrElse(Map.empty))
+        prev.map(_.exclusions).getOrElse(Map.empty),
+        carriedStats(prev) ++ statsEntryOf(cached).map(batch -> _))
       rows
     } finally cached.unpersist()
   }
@@ -395,12 +420,17 @@ final class IceLite(spark: SparkSession, val dir: String,
           try {
             val (nI, nU) = (inserts.count(), upgrades.count())
             if (nI + nU == 0) return (0L, 0L)
-            writeBatch(keep.withColumn(ps.name, ps.expr)
-              .unionByName(upgrades).unionByName(inserts), batch)
+            val newBatch = keep.withColumn(ps.name, ps.expr)
+              .unionByName(upgrades).unionByName(inserts)
+            writeBatch(newBatch, batch)
             val excl = prev.get.batches.map { b =>
               b -> (prev.get.exclusions.getOrElse(b, Set.empty) ++ touched)
             }.toMap
-            publish(v, prev.get.batches :+ batch, prev.get.rowCount + nI, excl)
+            // prior ranges stay valid: exclusions only REMOVE rows from a
+            // batch, so its recorded (min, max) remains a superset — a skip
+            // decision over it is still sound, merely conservative
+            publish(v, prev.get.batches :+ batch, prev.get.rowCount + nI, excl,
+              carriedStats(prev) ++ statsEntryOf(newBatch).map(batch -> _))
             // exclusion growth is unbounded without maintenance — fold the
             // accumulated copy-on-write history once it crosses the bound
             if (excl.valuesIterator.map(_.size.toLong).sum > maxExclusionEntries)
@@ -414,16 +444,58 @@ final class IceLite(spark: SparkSession, val dir: String,
         try {
           val (nI, nU) = (inserts.count(), upgrades.count())
           if (nI + nU == 0) return (0L, 0L)
-          writeBatch(keep.unionByName(upgrades).unionByName(inserts), batch)
-          publish(v, Seq(batch), prev.get.rowCount + nI)
+          val newBatch = keep.unionByName(upgrades).unionByName(inserts)
+          writeBatch(newBatch, batch)
+          publish(v, Seq(batch), prev.get.rowCount + nI,
+            stats = statsEntryOf(newBatch).map(batch -> _).toMap)
           (nI, nU)
         } finally { inserts.unpersist(); upgrades.unpersist() }
     }
   }
 
+  /** (min, max) of the configured stats column over `df`, for the manifest
+    * of the batch `df` is being written as. One tiny extra aggregation per
+    * commit, only when `statsCol` is set and present in the schema; all-null
+    * batches record nothing (they are always read — sound). */
+  private def statsEntryOf(df: DataFrame): Option[(Long, Long)] =
+    statsCol.filter(df.columns.contains).flatMap { sc =>
+      val r = df.agg(min(col(sc).cast("long")), max(col(sc).cast("long"))).head()
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    }
+
+  /** Prior stats usable only if recorded over the SAME column this handle
+    * is configured with — a column switch silently invalidates old ranges,
+    * so they are dropped rather than trusted. */
+  private def carriedStats(prev: Option[Snapshot]): Map[String, (Long, Long)] =
+    prev.filter(_.statsCol == statsCol).map(_.stats).getOrElse(Map.empty)
+
+  /** Read only the batches whose recorded stats range intersects
+    * `[lo, hi]`, with the equivalent row filter applied — semantically
+    * identical to `read().filter(statsCol between lo and hi)`, but a
+    * long-lived table is touched only where the manifest says matching
+    * rows can live (batches without recorded stats are always read).
+    * If no batch can match, the scan is bounded to the newest batch under
+    * an always-false predicate (schema preserved, no full-table plan). */
+  def readWhere(lo: Long, hi: Long): DataFrame = {
+    val sc = statsCol.getOrElse(throw new IllegalStateException(
+      "icelite: readWhere on a table with no statsCol configured"))
+    val s = currentSnapshot()
+      .getOrElse(throw new IllegalStateException(s"icelite: empty table at $dir"))
+    val usable = if (s.statsCol == statsCol) s.stats else Map.empty[String, (Long, Long)]
+    val live = s.batches.filter(b => usable.get(b) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // no recorded range — must read
+    })
+    val base =
+      if (live.nonEmpty) readBatchesOf(s, live)
+      else readBatchesOf(s, Seq(s.batches.last)).filter(lit(false))
+    base.filter(col(sc).cast("long") >= lo && col(sc).cast("long") <= hi)
+  }
+
   /** Write manifest v, then swap the current pointer (both atomic). */
   private def publish(v: Int, batches: Seq[String], rowCount: Long,
-      exclusions: Map[String, Set[String]] = Map.empty): Unit = {
+      exclusions: Map[String, Set[String]] = Map.empty,
+      stats: Map[String, (Long, Long)] = Map.empty): Unit = {
     val props = new Properties()
     props.setProperty("version", v.toString)
     props.setProperty("batches", batches.mkString(","))
@@ -433,6 +505,12 @@ final class IceLite(spark: SparkSession, val dir: String,
       props.setProperty("exclusions", nonEmpty.toSeq.sortBy(_._1)
         .map { case (b, vs) => b + ":" + vs.toSeq.sorted.mkString("|") }
         .mkString(";"))
+    statsCol.foreach { sc =>
+      props.setProperty("statsCol", sc)
+      if (stats.nonEmpty)
+        props.setProperty("stats", stats.toSeq.sortBy(_._1)
+          .map { case (b, (mn, mx)) => s"$b:$mn:$mx" }.mkString(";"))
+    }
     sfs.writeAtomic(p("meta", s"v$v.properties"))(out => props.store(out, null))
     val cur = new Properties()
     cur.setProperty("version", v.toString)

@@ -202,4 +202,90 @@ class IceLiteMaintenanceSpec extends AnyFunSuite {
     assert(rows == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
     assert(t.currentSnapshot().get.rowCount == 3L)
   }
+
+  // --- manifest-level data skipping (statsCol / readWhere) ---------------
+
+  private def statsTable(statsCol: Option[String], dir0: String = ""): (IceLite, String) = {
+    val dir = if (dir0.nonEmpty) dir0
+      else Files.createTempDirectory("graft-icelite-stats-").toString
+    (new IceLite(spark, dir, None, statsCol = statsCol), dir)
+  }
+
+  test("readWhere: range reads touch only the batches whose stats intersect") {
+    val (t, _) = statsTable(Some("r"))
+    t.append((0L to 9L).map(i => (i, i, s"v$i")).toDF("k", "r", "v"))
+    t.append((10L to 19L).map(i => (i, i, s"v$i")).toDF("k", "r", "v"))
+    t.append((20L to 29L).map(i => (i, i, s"v$i")).toDF("k", "r", "v"))
+    assert(t.currentSnapshot().get.stats.size == 3)
+
+    // semantics: identical to the full read + filter
+    val want = t.read().filter($"r" >= 12 && $"r" <= 17)
+      .orderBy("k").collect().toSeq
+    val got = t.readWhere(12, 17)
+    assert(got.orderBy("k").collect().toSeq == want && want.size == 6)
+    // pruning: only the middle batch's files are in the scan
+    assert(got.inputFiles.nonEmpty &&
+      got.inputFiles.forall(_.contains("batch-00002")), got.inputFiles.mkString(","))
+    // a range spanning two batches reads exactly those two
+    val two = t.readWhere(5, 15)
+    assert(two.count() == 11L)
+    assert(!two.inputFiles.exists(_.contains("batch-00003")))
+    // no batch can match: empty result, scan bounded to ONE batch
+    val none = t.readWhere(100, 200)
+    assert(none.count() == 0L)
+    assert(none.inputFiles.map(f => f.slice(f.indexOf("batch-"), f.indexOf("batch-") + 11))
+      .distinct.length <= 1)
+  }
+
+  test("readWhere: batches predating the stats column are always read (sound)") {
+    val (t0, dir) = statsTable(None)
+    t0.append((0L to 9L).map(i => (i, i, s"v$i")).toDF("k", "r", "v"))
+    // reopen the same table WITH the stats column configured
+    val (t, _) = statsTable(Some("r"), dir)
+    t.append((10L to 19L).map(i => (i, i, s"v$i")).toDF("k", "r", "v"))
+    val s = t.currentSnapshot().get
+    assert(s.stats.keySet == Set("batch-00002"), s.stats.toString)
+    // rows in the stats-less batch are still found
+    assert(t.readWhere(3, 12).orderBy("k").collect().toSeq ==
+      t.read().filter($"r" >= 3 && $"r" <= 12).orderBy("k").collect().toSeq)
+    assert(t.readWhere(3, 12).count() == 10L)
+    // and out-of-range queries still read (cannot skip) the stats-less batch
+    assert(t.readWhere(15, 99).inputFiles.exists(_.contains("batch-00001")))
+  }
+
+  test("readWhere stays exact through upsert and compact; recorded ranges update") {
+    val dir = Files.createTempDirectory("graft-icelite-stats-up-").toString
+    val t = new IceLite(spark, dir, Some(IceLite.phashPartition("k")),
+      statsCol = Some("r"))
+    t.append(Seq((1L, 1L, 1, "a"), (1L << 56 | 2L, 2L, 1, "b")).toDF("k", "r", "q", "v"))
+    // upgrade k=1 with a NEW stats value far outside the base range
+    val (nI, nU) = t.mergeUpsertBest(
+      Seq((1L, 100L, 9, "a2")).toDF("k", "r", "q", "v"), "k", "q")
+    assert((nI, nU) == (0L, 1L))
+    def rowsWhere(lo: Long, hi: Long) =
+      t.readWhere(lo, hi).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the upgraded row is found at its new range, not its old one
+    assert(rowsWhere(90, 110) == Set((1L, 100L)))
+    assert(rowsWhere(1, 1) == Set.empty, "superseded row resurrected by a range read")
+    assert(rowsWhere(2, 2) == Set(((1L << 56 | 2L), 2L)))
+    // compaction recomputes the consolidated batch's range; reads stay exact
+    t.compact()
+    assert(t.currentSnapshot().get.stats.size == 1)
+    assert(rowsWhere(90, 110) == Set((1L, 100L)))
+    assert(rowsWhere(2, 2) == Set(((1L << 56 | 2L), 2L)))
+  }
+
+  test("readWhere: a stats-column switch drops (never trusts) old ranges") {
+    val dir = Files.createTempDirectory("graft-icelite-stats-sw-").toString
+    val t0 = new IceLite(spark, dir, None, statsCol = Some("r"))
+    t0.append((0L to 9L).map(i => (i, i, i * 100)).toDF("k", "r", "other"))
+    // reopened over a DIFFERENT column: recorded r-ranges must not skip
+    val t = new IceLite(spark, dir, None, statsCol = Some("other"))
+    assert(t.readWhere(200, 400).collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    t.append((10L to 12L).map(i => (i, i, i * 100)).toDF("k", "r", "other"))
+    // after the first commit under the new column, old batches carry no
+    // usable stats (always read), the new one skips correctly
+    assert(t.readWhere(200, 400).collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    assert(t.readWhere(1000, 1100).collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+  }
 }
