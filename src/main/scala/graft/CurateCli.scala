@@ -35,6 +35,11 @@ object CurateCli {
       |  --near-dup T     Also collapse bigram-Jaccard >= T clusters
       |  --max-df N       Drop shingles with document frequency > N before
       |                   the near-dup join (stopword/skew cap)
+      |  --drop-spans N   Span-level exact-substring dedup (Lee et al.):
+      |                   remove every N-token window occurring at >= 2
+      |                   (doc, position) sites corpus-wide; docs reduced to
+      |                   nothing are dropped (audit: span_removed)
+      |  --span-min-occ M Occurrence threshold for --drop-spans (default 2)
       |  --sample R       Deterministic hash sample at rate R (0..1];
       |                   per-stratum when --strata-col is given
       |  --pack-budget N  Assign fixed-N-token pack ids (per --pack-col
@@ -47,7 +52,8 @@ object CurateCli {
       droppedQuality: Long,
       droppedDup: Long,
       droppedSample: Long,
-      kept: Long)
+      kept: Long,
+      droppedSpanEmpty: Long = -1) // -1: --drop-spans not requested
 
   private[graft] def run(spark: SparkSession, args: Array[String]): CurateSummary = {
     var pos = Vector.empty[String]
@@ -56,6 +62,7 @@ object CurateCli {
     var maxTopTok = 0.3; var maxTopBig = 0.2
     var nearDup: Option[Double] = None; var ngram = 2
     var maxDf = Long.MaxValue
+    var dropSpans: Option[Int] = None; var spanMinOcc = 2L
     var pii = true
     var sample: Option[Double] = None; var strataCol: Option[String] = None
     var salt = "mix"
@@ -83,6 +90,8 @@ object CurateCli {
         case "--near-dup" => nearDup = Some(num("--near-dup", _.toDouble))
         case "--ngram" => ngram = num("--ngram", _.toInt)
         case "--max-df" => maxDf = num("--max-df", _.toLong)
+        case "--drop-spans" => dropSpans = Some(num("--drop-spans", _.toInt))
+        case "--span-min-occ" => spanMinOcc = num("--span-min-occ", _.toLong)
         case "--no-pii" => pii = false
         case "--sample" => sample = Some(num("--sample", _.toDouble))
         case "--strata-col" => strataCol = Some(value("--strata-col"))
@@ -140,11 +149,32 @@ object CurateCli {
     }).cache()
     val nDedup = deduped.count()
 
+    // 2b. span-level exact-substring dedup (Lee et al. 2022): duplicated
+    // N-token windows removed from EVERY doc — the span complement of the
+    // whole-document stages above (a doc sharing boilerplate keeps its
+    // unique content). Runs after doc dedup so the removed occurrences are
+    // the ones a training run would actually see; docs reduced to nothing
+    // carry no signal and drop (audited, counted in the summary).
+    var cleanedCache: Option[DataFrame] = None
+    val spanned = dropSpans match {
+      case None => deduped
+      case Some(n) =>
+        val cleaned = Dedup.dropDuplicateSpans(deduped, idCol, textCol, n, spanMinOcc)
+          .cache() // feeds the audit write + every downstream action
+        cleanedCache = Some(cleaned)
+        audit(cleaned.filter(col("n_removed") > 0)
+          .select(col(idCol), col("n_tokens"), col("n_removed")), "span_removed")
+        deduped.drop(textCol)
+          .join(cleaned.filter(col("clean_text") =!= "")
+            .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
+    }
+    val nSpan = if (dropSpans.isDefined) spanned.count() else nDedup
+
     // 3. PII redaction — the curated text IS the redacted text
     val redacted =
-      if (!pii) deduped
+      if (!pii) spanned
       else {
-        val r = TextOps.piiRedact(deduped, textCol)
+        val r = TextOps.piiRedact(spanned, textCol)
         audit(r.filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
           .select(col(idCol), col("n_emails"), col("n_phones"), col("n_ips")), "pii_hits")
         r.drop(textCol, "n_emails", "n_phones", "n_ips")
@@ -178,12 +208,17 @@ object CurateCli {
     }
 
     packed.write.mode("overwrite").parquet(s"$outDir/curated")
+    cleanedCache.foreach(_.unpersist())
     deduped.unpersist()
     afterQuality.unpersist()
     val s = CurateSummary(nInput, nInput - nQuality, nQuality - nDedup,
-      nDedup - nSampled, nSampled)
+      nSpan - nSampled, nSampled,
+      if (dropSpans.isDefined) nDedup - nSpan else -1L)
+    val spanJson =
+      if (s.droppedSpanEmpty >= 0) s""","dropped_span_empty":${s.droppedSpanEmpty}"""
+      else ""
     println(s"""{"input":${s.input},"dropped_quality":${s.droppedQuality},""" +
-      s""""dropped_dup":${s.droppedDup},"dropped_sample":${s.droppedSample},""" +
+      s""""dropped_dup":${s.droppedDup}$spanJson,"dropped_sample":${s.droppedSample},""" +
       s""""kept":${s.kept}}""")
     s
   }

@@ -77,6 +77,43 @@ class CurateCliSpec extends AnyFunSuite {
     assert(s1.droppedSample > 0 && s1.kept > 0) // rate 0.5 splits 6 survivors
   }
 
+  test("--drop-spans: boilerplate removed, unique text survives, emptied docs drop") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ") // shared 8-token boilerplate
+    val uniq = (w: Int) => (0 until 12).map(i => s"u${(i * w + 5) % 23} t$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"${uniq(2)} $span", "a"),  // boilerplate tail
+      (2L, s"$span ${uniq(3)}", "a"),  // boilerplate head
+      (3L, span, "b"),                 // NOTHING but boilerplate → dropped
+      (4L, uniq(5), "b"))              // untouched
+    val in = Files.createTempDirectory("curate-span-in-").toString
+    rows.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("curate-span-out-").toString
+
+    val s = CurateCli.run(spark, Array(in, out, "--min-tokens", "1",
+      "--min-distinct-ratio", "0.0", "--max-top-token-frac", "1.0",
+      "--max-top-bigram-frac", "1.0", "--no-pii", "--drop-spans", "8"))
+    assert(s == CurateCli.CurateSummary(4, 0, 0, 0, 3, 1), s.toString)
+
+    val curated = spark.read.parquet(s"$out/curated")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(curated.keySet == Set(1L, 2L, 4L))
+    assert(curated(1L) == uniq(2), curated(1L)) // boilerplate gone, unique intact
+    assert(curated(2L) == uniq(3), curated(2L))
+    assert(curated(4L) == uniq(5))
+    // the audit names every doc a span was cut from, with sizes
+    val audit = spark.read.parquet(s"$out/audit/span_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // uniq() is 12 two-token entries = 24 tokens; +8 boilerplate = 32
+    assert(audit == Map(1L -> ((32L, 8L)), 2L -> ((32L, 8L)), 3L -> ((8L, 8L))))
+    // threshold respected: at --span-min-occ 4 the 3-site span survives
+    val out2 = Files.createTempDirectory("curate-span-out2-").toString
+    val s2 = CurateCli.run(spark, Array(in, out2, "--min-tokens", "1",
+      "--min-distinct-ratio", "0.0", "--max-top-token-frac", "1.0",
+      "--max-top-bigram-frac", "1.0", "--no-pii",
+      "--drop-spans", "8", "--span-min-occ", "4"))
+    assert(s2 == CurateCli.CurateSummary(4, 0, 0, 0, 4, 0), s2.toString)
+  }
+
   test("null-text docs are dropped AND audited, never silently lost") {
     val rows = Seq((1L, "a good enough document with plenty of distinct tokens here", "a"),
       (2L, null.asInstanceOf[String], "b"))
