@@ -89,7 +89,8 @@ object SparkEntry {
     "q55_sitemap_recency" -> ContractQueries.q55SitemapRecency _,
     "q56_training_resample" -> ContractQueries.q56TrainingResample _,
     "q57_pair_alignment" -> ContractQueries.q57PairAlignment _,
-    "q58_duplicate_spans" -> ContractQueries.q58DuplicateSpans _)
+    "q58_duplicate_spans" -> ContractQueries.q58DuplicateSpans _,
+    "q59_stats_skipping" -> ContractQueries.q59StatsSkipping _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -890,5 +891,18 @@ object SparkEntry {
         |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
         |  (len(t.toks) - coalesce(c.n_kept, 0))::BIGINT AS n_removed,
         |  coalesce(c.clean_text, '') AS clean_text
-        |FROM t LEFT JOIN clean c USING (doc_id) ORDER BY doc_id""".stripMargin)
+        |FROM t LEFT JOIN clean c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // stats-pruned range reads replayed relationally: the upsert moves the
+    // upgraded rows' stats values, then three range predicates
+    "q59_stats_skipping" ->
+      """WITH d AS (
+        |  SELECT doc_id AS k,
+        |    CASE WHEN doc_id < 50 THEN doc_id * 2 + 1000
+        |         ELSE doc_id * 2 END AS r
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT 'up' AS part, k, r FROM d WHERE r BETWEEN 1000 AND 2000
+        |UNION ALL SELECT 'mid', k, r FROM d WHERE r BETWEEN 450 AND 550
+        |UNION ALL SELECT 'low', k, r FROM d WHERE r BETWEEN 100 AND 160
+        |ORDER BY part, k""".stripMargin)
 }

@@ -917,4 +917,33 @@ object ContractQueries {
   def q58DuplicateSpans(spark: SparkSession, dir: String): DataFrame =
     Dedup.dropDuplicateSpans(t(spark, dir, "documents"), "doc_id", "text", n = 8)
       .orderBy("doc_id")
+
+  /** IceLite manifest-level data skipping under the driver gate
+    * ([[graft.sources.IceLite.readWhere]], q54 on-disk-table pattern):
+    * two appends, a keep-best upsert that MOVES the upgraded rows' stats
+    * values (full-rewrite batch gets a fresh recorded range), a third
+    * append, then three range reads off the physical table — one hitting
+    * only the rewrite batch, one only its tail, one spanning. The DuckDB
+    * oracle replays the upsert arithmetic and the range predicates
+    * relationally; any stats-pruning bug that loses or resurrects a row
+    * breaks the hash. Scan-file pruning itself is asserted in
+    * IceLiteMaintenanceSpec (inputFiles), which a result hash cannot see. */
+  def q59StatsSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id").as("k"), (col("doc_id") * 2).as("r"), lit(1).as("q"))
+    val table = new graft.sources.IceLite(spark,
+      java.nio.file.Files.createTempDirectory("q59-icelite-").toString,
+      statsCol = Some("r"))
+    table.append(docs.filter(col("k") < 100))
+    table.append(docs.filter(col("k") >= 100 && col("k") < 200))
+    table.mergeUpsertBest(docs.filter(col("k") < 50)
+      .withColumn("r", col("r") + 1000).withColumn("q", lit(2)), "k", "q")
+    table.append(docs.filter(col("k") >= 200))
+    def part(name: String, lo: Long, hi: Long) =
+      table.readWhere(lo, hi).select(lit(name).as("part"), col("k"), col("r"))
+    part("up", 1000, 2000)
+      .unionByName(part("mid", 450, 550))
+      .unionByName(part("low", 100, 160))
+      .orderBy("part", "k")
+  }
 }
