@@ -173,7 +173,12 @@ object ImageWriteback {
       images: Dataset[ImageRow], table: IceLite,
       minTokens: Int = 3, maxTokens: Int = 128, minAlphaRatio: Double = 0.5,
       minW: Int = 32, minH: Int = 32, maxAspect: Double = 4.0,
-      minEntropyBits: Double = 1.0): (Long, DataFrame) = {
+      minEntropyBits: Double = 1.0,
+      // privacy-by-default at INGEST: scrub EXIF/XMP/comment/text-chunk
+      // provenance from the admitted bytes before they ever hit storage
+      // (strip_image_metadata — pixel stream verbatim, so the phash and
+      // every gate verdict computed above still describe the stored bytes)
+      stripMetadata: Boolean = false): (Long, DataFrame) = {
     val annotated = graft.ops.Multimodal.pairReasons(
         payloadRows(outcome.found, pages, images),
         minTokens, maxTokens, minAlphaRatio, minW, minH, maxAspect,
@@ -182,9 +187,14 @@ object ImageWriteback {
     try {
       val audit = annotated.filter(col("reason").isNotNull)
         .select("image_id", "reason")
+      val outBytes =
+        if (stripMetadata)
+          graft.functions.ImageFunctions.strip_image_metadata(col("bytes")).as("bytes")
+        else col("bytes")
       val inserted = table.mergeInsert(
         annotated.filter(col("reason").isNull)
-          .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash"),
+          .select(col("image_id"), outBytes, col("w"), col("h"), col("fmt"),
+            col("caption"), col("phash")),
         "phash")
       (inserted, audit.localCheckpoint(true))
     } finally annotated.unpersist()

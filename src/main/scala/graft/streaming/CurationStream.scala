@@ -97,8 +97,18 @@ object CurationStream {
       watermarkDelay: String = "1 hour",
       minTokens: Int = 3, maxTokens: Int = 128, minAlphaRatio: Double = 0.5,
       minW: Int = 32, minH: Int = 32, maxAspect: Double = 4.0,
-      minEntropyBits: Double = 1.0): DataFrame = {
+      minEntropyBits: Double = 1.0,
+      // privacy-by-default at INGEST: scrub provenance metadata from the
+      // ADMITTED rows' bytes in the final stateless projection — after the
+      // dedup, so only rows headed for the sink pay the byte surgery; the
+      // strip preserves the pixel stream, so the phash key and the stats
+      // gates above still describe the emitted bytes exactly
+      stripMetadata: Boolean = false): DataFrame = {
     import graft.ops.Multimodal
+    val outBytes =
+      if (stripMetadata)
+        graft.functions.ImageFunctions.strip_image_metadata(col("bytes")).as("bytes")
+      else col("bytes")
     pairs.toDF()
       // stage 1: no-decode gates (string + 12-byte sniff)
       .filter(coalesce(
@@ -114,7 +124,7 @@ object CurationStream {
       .withWatermark("eventTime", watermarkDelay)
       .withColumn("phash", col("__sig.phash"))
       .dropDuplicatesWithinWatermark("phash")
-      .select(col("image_id"), col("bytes"),
+      .select(col("image_id"), outBytes,
         col("__sig.width").as("w"), col("__sig.height").as("h"),
         graft.functions.ImageFunctions.sniff_image_format(col("bytes")).as("fmt"),
         col("caption"), col("phash"), col("eventTime"))

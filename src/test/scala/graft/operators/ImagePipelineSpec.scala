@@ -145,6 +145,45 @@ class ImagePipelineSpec extends AnyFunSuite {
       "img6" -> "low_entropy", "img7" -> "extreme_aspect"))
   }
 
+  test("pair-gated writeback with stripMetadata: stored bytes are scrubbed, phash intact") {
+    import graft.model.PageRow
+    def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      be32(data.length.toLong) ++ tb ++ data ++ be32(crc.getValue)
+    }
+    val pages = (1 to 2).map(i => PageRow(s"http://m.com/$i", 200, None,
+      if (i < 2) Seq(s"http://m.com/${i + 1}") else Nil, None,
+      Some("text/html"), None, Some(s"img$i")))
+    val base = (1 to 2).map { i =>
+      val b = ImageKernels.encode(ImageGen.render(i.toLong, 13L, 48, 36), "png")
+      graft.sources.ImageRow(s"img$i", b, 48, 36, "png",
+        s"a photo of test scene $i", ImageKernels.phash64(b))
+    }
+    val pngIdx = 0
+    // inject a provenance chunk after IHDR (8-byte sig + 25-byte IHDR);
+    // pixel stream untouched, so the row's precomputed phash stays correct
+    val tainted = base(pngIdx).bytes.take(33) ++
+      pngChunk("tEXt", "Author Jane Roe, GPS fix".getBytes("ISO-8859-1")) ++
+      base(pngIdx).bytes.drop(33)
+    val imgs = base.updated(pngIdx, base(pngIdx).copy(bytes = tainted))
+    val out = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(maxConcurrent = 8)).crawl("http://m.com/1")
+    val t = new IceLite(spark, Files.createTempDirectory("icelite-strip-").toString)
+    val (inserted, _) = ImageWriteback.ingestCuratedPairs(
+      out, pages.toDS(), imgs.toDS(), t, stripMetadata = true)
+    assert(inserted == 2)
+    val stored = t.read().select("image_id", "bytes", "phash").collect()
+      .map(r => r.getString(0) -> ((r.getAs[Array[Byte]]("bytes"), r.getLong(2)))).toMap
+    val (sb, sp) = stored(base(pngIdx).image_id)
+    assert(!new String(sb, "ISO-8859-1").contains("Jane Roe"),
+      "provenance reached the snapshot table")
+    assert(sb.length < tainted.length)
+    assert(ImageKernels.phash64(sb) == sp, "stored phash no longer describes stored bytes")
+  }
+
   test("re-crawl writeback: keep-best upsert replaces lower-res copies, keeps better ones") {
     import graft.model.PageRow
     import graft.sources.ImageRow

@@ -82,6 +82,45 @@ class PairStreamSpec extends AnyFunSuite {
     assert(rows.map(_._6).distinct.length == 3)
   }
 
+  test("stripMetadata: admitted rows emit scrubbed bytes; phash still describes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      be32(data.length.toLong) ++ tb ++ data ++ be32(crc.getValue)
+    }
+    val clean = textured(6)
+    // tEXt provenance injected after IHDR (8-byte sig + 25-byte IHDR)
+    val tainted = clean.take(33) ++
+      pngChunk("tEXt", "Author Jane Roe, GPS fix".getBytes("ISO-8859-1")) ++
+      clean.drop(33)
+    val table = new IceLite(spark, Files.createTempDirectory("pairstream-strip-").toString)
+    val in = MemoryStream[PairEvent]
+    val out = CurationStream.curatePairs(in.toDS(), watermarkDelay = "1 hour",
+      minW = 16, minH = 12, stripMetadata = true)
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        table.mergeInsert(batch.drop("eventTime"), "phash"); ()
+      }.start()
+    try {
+      // ts > 0: a lone epoch-0 event ties the INITIAL watermark and the
+      // state store treats it as late — unrelated to the strip under test
+      in.addData(ev("t", tainted, "png", goodCap, 10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val row = table.read().select("bytes", "phash").head()
+    val sb = row.getAs[Array[Byte]]("bytes")
+    assert(!new String(sb, "ISO-8859-1").contains("Jane Roe"),
+      "provenance reached the sink")
+    assert(sb.length < tainted.length)
+    // the emitted phash key was computed pre-strip and must still describe
+    // the stored bytes (the strip is pixel-preserving)
+    assert(ImageKernels.phash64(sb) == row.getLong(1))
+  }
+
   test("near-dup MERGE sink: a hamming-radius re-encode of a stored image is NOT inserted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
