@@ -26,6 +26,7 @@ object CurateCli {
       |       [--id-col doc_id] [--text-col text]
       |       [--min-tokens 10] [--min-distinct-ratio 0.3]
       |       [--max-top-token-frac 0.3] [--max-top-bigram-frac 0.2]
+      |       [--compress-min R] [--compress-max R]
       |       [--near-dup THRESHOLD] [--ngram 2] [--max-df N]
       |       [--no-pii] [--sample RATE] [--strata-col COL] [--salt mix]
       |       [--pack-budget TOKENS] [--pack-col COL]
@@ -35,6 +36,11 @@ object CurateCli {
       |  --near-dup T     Also collapse bigram-Jaccard >= T clusters
       |  --max-df N       Drop shingles with document frequency > N before
       |                   the near-dup join (stopword/skew cap)
+      |  --compress-min R Quality gate on the DEFLATE compression ratio
+      |                   (deflated/raw bytes): drop docs below R — byte-level
+      |                   boilerplate token stats can't see (RedPajama-v2
+      |                   compression-ratio signal)
+      |  --compress-max R ...and docs above R (random/base64-ish payloads)
       |  --drop-spans N   Span-level exact-substring dedup (Lee et al.):
       |                   remove every N-token window occurring at >= 2
       |                   (doc, position) sites corpus-wide; docs reduced to
@@ -63,6 +69,9 @@ object CurateCli {
     var nearDup: Option[Double] = None; var ngram = 2
     var maxDf = Long.MaxValue
     var dropSpans: Option[Int] = None; var spanMinOcc = 2L
+    var compressMin = Double.NegativeInfinity; var compressMax = Double.PositiveInfinity
+    def compressGate = compressMin > Double.NegativeInfinity ||
+      compressMax < Double.PositiveInfinity
     var pii = true
     var sample: Option[Double] = None; var strataCol: Option[String] = None
     var salt = "mix"
@@ -92,6 +101,8 @@ object CurateCli {
         case "--max-df" => maxDf = num("--max-df", _.toLong)
         case "--drop-spans" => dropSpans = Some(num("--drop-spans", _.toInt))
         case "--span-min-occ" => spanMinOcc = num("--span-min-occ", _.toLong)
+        case "--compress-min" => compressMin = num("--compress-min", _.toDouble)
+        case "--compress-max" => compressMax = num("--compress-max", _.toDouble)
         case "--no-pii" => pii = false
         case "--sample" => sample = Some(num("--sample", _.toDouble))
         case "--strata-col" => strataCol = Some(value("--strata-col"))
@@ -118,17 +129,29 @@ object CurateCli {
     // turns a missing gate into a failing one)
     val gates = TextOps.repetitionMetrics(docs, idCol, textCol, maxTopTok, maxTopBig)
       .withColumn("tokens_ok", (col("n_tokens") >= minTokens).cast("int"))
-    val passCond = coalesce(col("repetition_ok"), lit(0)) === 1 &&
+    val passCond0 = coalesce(col("repetition_ok"), lit(0)) === 1 &&
       coalesce(col("tokens_ok"), lit(0)) === 1 &&
       coalesce(col("__dr"), lit(0.0)) >= minDistinct
-    val withGates = docs
+    // byte-level boilerplate/noise gate (off unless a bound is given):
+    // DEFLATE ratio catches repetition inside a single token and
+    // base64-ish noise — shapes the token metrics cannot see
+    val passCond =
+      if (!compressGate) passCond0
+      else passCond0 &&
+        coalesce(col("__cr"), lit(-1.0)).between(compressMin, compressMax)
+    val withGates0 = docs
       .withColumn("__dr", size(array_distinct(split(col(textCol), " "))).cast("double") /
         size(split(col(textCol), " ")).cast("double"))
       .join(gates.select(col(idCol), col("repetition_ok"), col("tokens_ok")),
         Seq(idCol), "left_outer")
+    val withGates =
+      if (!compressGate) withGates0
+      else withGates0.withColumn("__cr",
+        graft.functions.TextFunctions.compression_ratio(col(textCol)))
     val qualityOk = withGates.filter(passCond)
     audit(withGates.filter(!passCond).select(idCol), "dropped_quality")
-    val afterQuality = qualityOk.drop("__dr", "repetition_ok", "tokens_ok").cache()
+    val afterQuality = qualityOk
+      .drop("__dr", "__cr", "repetition_ok", "tokens_ok").cache()
     val nQuality = afterQuality.count()
 
     // 2. dedup: exact always; near-dup clustering when requested

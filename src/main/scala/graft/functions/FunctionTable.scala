@@ -25,6 +25,7 @@ object FunctionTable {
     Fn("resolved_link_digest", 2, es => ResolvedLinkDigest(es(0), es(1))),
     Fn("text_fingerprint", 1, es => TextFingerprint(es.head)),
     Fn("repetition_stats", 1, es => RepetitionStats(es.head)),
+    Fn("compression_ratio", 1, es => CompressionRatio(es.head)),
     Fn("phash64", 1, es => PHash64(es.head)),
     Fn("image_psnr", 2, es => ImagePsnr(es(0), es(1))),
     Fn("sniff_image_format", 1, es => SniffImageFormat(es.head)),

@@ -114,6 +114,31 @@ class CurateCliSpec extends AnyFunSuite {
     assert(s2 == CurateCli.CurateSummary(4, 0, 0, 0, 4, 0), s2.toString)
   }
 
+  test("--compress-min: byte-level boilerplate invisible to token stats is gated") {
+    val rows = Seq(
+      // ONE giant repetitive token: n_tokens=1, no bigrams, distinct ratio
+      // 1.0 — every token-level gate passes; only the DEFLATE ratio sees it
+      (1L, "ab" * 800, "a"),
+      (2L, (0 until 30).map(i => s"w${(i * 7) % 29} v$i").mkString(" "), "a"))
+    val in = Files.createTempDirectory("curate-cr-in-").toString
+    rows.toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    val relax = Array("--min-tokens", "1", "--min-distinct-ratio", "0.0",
+      "--max-top-token-frac", "1.0", "--max-top-bigram-frac", "1.0", "--no-pii")
+
+    // without the gate both docs pass every token-level check
+    val out0 = Files.createTempDirectory("curate-cr-out0-").toString
+    assert(CurateCli.run(spark, Array(in, out0) ++ relax).kept == 2)
+    // with it, the byte-level boilerplate drops and is audited
+    val out = Files.createTempDirectory("curate-cr-out-").toString
+    val s = CurateCli.run(spark,
+      Array(in, out) ++ relax ++ Array("--compress-min", "0.2"))
+    assert(s.droppedQuality == 1 && s.kept == 1, s.toString)
+    assert(spark.read.parquet(s"$out/curated")
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    assert(spark.read.parquet(s"$out/audit/dropped_quality")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("null-text docs are dropped AND audited, never silently lost") {
     val rows = Seq((1L, "a good enough document with plenty of distinct tokens here", "a"),
       (2L, null.asInstanceOf[String], "b"))
