@@ -503,8 +503,17 @@ object Dedup {
     * Returns `(idCol, n_tokens, n_removed, <outCol>)`; `outCol` is the
     * surviving tokens rejoined with single spaces ('' if fully removed). */
   def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minOccurrences: Long = 2L, outCol: String = "clean_text"): DataFrame = {
-    val wins = spanWindows(df, idCol, textCol, n)
+      n: Int, minOccurrences: Long = 2L, outCol: String = "clean_text",
+      // the petabyte-scale switch: shuffle 8-byte xxhash64 window keys
+      // instead of the window strings (SCALE.md §7e). Same plan shape,
+      // ~n× less shuffle volume; an xxhash64 collision could merge two
+      // distinct windows' counts (odds ~k²/2⁶⁴), so the default stays
+      // exact/oracle-comparable and the flag is the deliberate trade
+      hashWindows: Boolean = false): DataFrame = {
+    val wins0 = spanWindows(df, idCol, textCol, n)
+    val wins =
+      if (!hashWindows) wins0
+      else wins0.select(col(idCol), col("pos"), xxhash64(col("win")).as("win"))
     val dup = wins.groupBy("win").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minOccurrences)
       .select("win")

@@ -124,6 +124,27 @@ class DuplicateSpanSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("hashWindows variant: identical results, window strings never shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200).select("doc_id", "text")
+    def collect(hashed: Boolean) =
+      Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 8, hashWindows = hashed)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+    assert(collect(hashed = true) == collect(hashed = false))
+    // the hashed plan keys its shuffles on the xxhash64 of the window (the
+    // string is pruned below the exchange), and neither variant ever plans
+    // a cartesian
+    val hashedPlan = Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 8,
+      hashWindows = true).queryExecution.executedPlan.toString
+    assert(hashedPlan.contains("xxhash64"), hashedPlan)
+    assert(!hashedPlan.contains("CartesianProduct"))
+    val stringPlan = Dedup.dropDuplicateSpans(docs, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(!stringPlan.contains("CartesianProduct"))
+  }
+
   test("testdata corpus: equals brute-force recompute (planted boilerplate found)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 150).select("doc_id", "text")
