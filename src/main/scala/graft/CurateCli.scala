@@ -46,6 +46,10 @@ object CurateCli {
       |                   (doc, position) sites corpus-wide; docs reduced to
       |                   nothing are dropped (audit: span_removed)
       |  --span-min-occ M Occurrence threshold for --drop-spans (default 2)
+      |  --span-hash      Key the span-occurrence shuffle on xxhash64 of the
+      |                   window (8 bytes) instead of the window string — the
+      |                   petabyte-corpus trade (SCALE.md 7e): less shuffle
+      |                   volume, negligible collision odds
       |  --sample R       Deterministic hash sample at rate R (0..1];
       |                   per-stratum when --strata-col is given
       |  --pack-budget N  Assign fixed-N-token pack ids (per --pack-col
@@ -68,7 +72,7 @@ object CurateCli {
     var maxTopTok = 0.3; var maxTopBig = 0.2
     var nearDup: Option[Double] = None; var ngram = 2
     var maxDf = Long.MaxValue
-    var dropSpans: Option[Int] = None; var spanMinOcc = 2L
+    var dropSpans: Option[Int] = None; var spanMinOcc = 2L; var spanHash = false
     var compressMin = Double.NegativeInfinity; var compressMax = Double.PositiveInfinity
     def compressGate = compressMin > Double.NegativeInfinity ||
       compressMax < Double.PositiveInfinity
@@ -101,6 +105,7 @@ object CurateCli {
         case "--max-df" => maxDf = num("--max-df", _.toLong)
         case "--drop-spans" => dropSpans = Some(num("--drop-spans", _.toInt))
         case "--span-min-occ" => spanMinOcc = num("--span-min-occ", _.toLong)
+        case "--span-hash" => spanHash = true
         case "--compress-min" => compressMin = num("--compress-min", _.toDouble)
         case "--compress-max" => compressMax = num("--compress-max", _.toDouble)
         case "--no-pii" => pii = false
@@ -182,7 +187,8 @@ object CurateCli {
     val spanned = dropSpans match {
       case None => deduped
       case Some(n) =>
-        val cleaned = Dedup.dropDuplicateSpans(deduped, idCol, textCol, n, spanMinOcc)
+        val cleaned = Dedup.dropDuplicateSpans(deduped, idCol, textCol, n,
+            spanMinOcc, hashWindows = spanHash)
           .cache() // feeds the audit write + every downstream action
         cleanedCache = Some(cleaned)
         audit(cleaned.filter(col("n_removed") > 0)

@@ -112,6 +112,15 @@ class CurateCliSpec extends AnyFunSuite {
       "--max-top-bigram-frac", "1.0", "--no-pii",
       "--drop-spans", "8", "--span-min-occ", "4"))
     assert(s2 == CurateCli.CurateSummary(4, 0, 0, 0, 4, 0), s2.toString)
+    // --span-hash (8-byte shuffle keys) changes nothing observable
+    val out3 = Files.createTempDirectory("curate-span-out3-").toString
+    val s3 = CurateCli.run(spark, Array(in, out3, "--min-tokens", "1",
+      "--min-distinct-ratio", "0.0", "--max-top-token-frac", "1.0",
+      "--max-top-bigram-frac", "1.0", "--no-pii",
+      "--drop-spans", "8", "--span-hash"))
+    assert(s3 == s)
+    assert(spark.read.parquet(s"$out3/curated")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap == curated)
   }
 
   test("--compress-min: byte-level boilerplate invisible to token stats is gated") {
