@@ -120,6 +120,17 @@ final case class CrawlConfig(
     // window is re-extracted, wasting work but never correctness).
     contentDedup: Boolean = false,
     contentDedupWindow: Int = 16,
+    // latency-adaptive politeness (polite mode only; 0 = off): hosts whose
+    // smoothed fetch latency exceeds this target get their per-round slot
+    // budget scaled DOWN by target/ewma (floor 1 slot) — an overloaded or
+    // far-away origin is crawled more gently without an explicit
+    // Retry-After, and recovers its full budget as its latency does. The
+    // per-host EWMA lives in the checkpoint (`latstate/`, hoststate
+    // protocol), so resume keeps the learned pacing. Never raises a budget
+    // above the robots/crawl-delay-derived one — the two clamps compose by
+    // taking the smaller.
+    latencyTargetMs: Double = 0.0,
+    latencyEwmaAlpha: Double = 0.3,
     checkpointDir: Option[String] = None) {
 
   /** The request headers a live HTTP fetcher sends at the fetch boundary

@@ -101,7 +101,11 @@ object CheckpointStore {
       // regardless of crawl age. Suppression is a pure optimization (the
       // digest covers the page's RESOLVED link set, so a suppressed mirror
       // contributes nothing the kept copy didn't), so expiry ignores this.
-      contentRounds: Seq[Int] = Nil)
+      contentRounds: Seq[Int] = Nil,
+      // round whose latstate/ dir holds the current (host, ewmaMs) smoothed
+      // fetch-latency relation (CrawlConfig.latencyTargetMs); -1 = adaptive
+      // politeness never ran. Same write-on-change protocol as hoststate.
+      latencyStateRound: Int = -1)
 }
 
 final class CheckpointStore(spark: SparkSession, val dir: String,
@@ -138,6 +142,8 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     StructField("host", StringType), StructField("notBefore", IntegerType)))
   private val patternStateSchema = StructType(Seq(
     StructField("pat", LongType), StructField("cnt", LongType)))
+  private val latencyStateSchema = StructType(Seq(
+    StructField("host", StringType), StructField("ewmaMs", DoubleType)))
   private val contentSchema = StructType(Seq(StructField("__chash", LongType)))
 
   def visitedPath(round: Int): String =
@@ -147,6 +153,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
   def visitLogPath(round: Int): String = p("visitlog", s"round=$round")
   def hostStatePath(round: Int): String = p("hoststate", s"round=$round")
   def patternStatePath(round: Int): String = p("patstate", s"round=$round")
+  def latencyStatePath(round: Int): String = p("latstate", s"round=$round")
 
   def saveManifest(m: Manifest): Unit = {
     val props = new Properties()
@@ -168,6 +175,7 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
     props.setProperty("expiryToken", m.expiryToken)
     props.setProperty("patternStateRound", m.patternStateRound.toString)
     props.setProperty("contentRounds", m.contentRounds.mkString(","))
+    props.setProperty("latencyStateRound", m.latencyStateRound.toString)
     sfs.writeAtomic(p("manifest", s"round=${m.round}.properties")) { out =>
       props.store(out, null)
     }
@@ -234,7 +242,8 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
         .getOrElse(seenBucketsDefault),
       props.getProperty("expiryToken", ""),
       props.getProperty("patternStateRound", "-1").toInt,
-      seq("contentRounds").map(_.toInt))
+      seq("contentRounds").map(_.toInt),
+      props.getProperty("latencyStateRound", "-1").toInt)
   }
 
   /** The visited set: union of disjoint per-round deltas (no distinct).
@@ -718,6 +727,17 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
 
   def readPatternState(round: Int): DataFrame =
     spark.read.schema(patternStateSchema).parquet(patternStatePath(round))
+
+  /** Latency-adaptive politeness state: one (host, ewmaMs) row per host with
+    * observed fetch latency — the smoothed signal the polite scheduler's
+    * budget clamp reads (CrawlConfig.latencyTargetMs). Written on rounds
+    * that observed any latency; the manifest's `latencyStateRound` points at
+    * the current relation (hoststate protocol). */
+  def saveLatencyState(round: Int, state: DataFrame): Unit =
+    state.write.mode("overwrite").parquet(latencyStatePath(round))
+
+  def readLatencyState(round: Int): DataFrame =
+    spark.read.schema(latencyStateSchema).parquet(latencyStatePath(round))
 
   /** Content-digest deltas (mirror-page suppression): one 64-bit digest per
     * page whose resolved link set was first seen that round. Per-round

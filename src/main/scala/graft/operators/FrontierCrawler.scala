@@ -410,6 +410,8 @@ final class FrontierCrawler(
     loadHostBackoff(if (m.round >= 0) m.hostStateRound else -1)
     // crawl-trap guard state pointer (lifetime per-pattern admission counts)
     var patternStateRound: Int = if (m.round >= 0) m.patternStateRound else -1
+    // latency-adaptive politeness pointer (smoothed per-host fetch latency)
+    latencyStateRound = if (m.round >= 0) m.latencyStateRound else -1
     // one-time migration: a checkpoint written before the relation-backed
     // store has no hostStateRound pointer but may hold a legacy properties
     // file — convert it rather than silently un-throttling every host
@@ -548,7 +550,8 @@ final class FrontierCrawler(
             // backoff is an idle tick, not termination — their frontier rows
             // become eligible again once the backoff round passes
             if (!cfg.fifoParity && hostMaxNotBefore > round) {
-              m = m.copy(round = round, hostStateRound = hostStateRound)
+              m = m.copy(round = round, hostStateRound = hostStateRound,
+                latencyStateRound = latencyStateRound)
               store.saveManifest(m)
               round += 1
             } else done = true
@@ -886,6 +889,37 @@ final class FrontierCrawler(
                 hostStateRound = round
                 refreshHostBackoffScalars()
               }
+
+              // latency-adaptive politeness (CrawlConfig.latencyTargetMs):
+              // fold this round's per-host mean fetch latency into the
+              // persisted EWMA relation — one small host-keyed shuffle per
+              // round while the feature is on, relation-resident like
+              // hoststate (never a driver map). The scheduler's budget
+              // clamp reads the pointer next round (politeBatch).
+              if (cfg.latencyTargetMs > 0) {
+                val a = cfg.latencyEwmaAlpha
+                // latency lives on the raw pages relation (PageRow.latencyMs
+                // — the closure strips it); keyed by the SCHEDULED url (the
+                // first GET), the same key politeness budgets use
+                val roundLat = f.select($"origUrl")
+                  .join(pages.toDF().select($"url".as("origUrl"), $"latencyMs"),
+                    Seq("origUrl"))
+                  .filter($"latencyMs".isNotNull)
+                  .groupBy(url_host($"origUrl").as("host"))
+                  .agg(avg($"latencyMs").cast("double").as("__lm"))
+                val mergedLat =
+                  if (latencyStateRound < 0)
+                    roundLat.select($"host", $"__lm".as("ewmaMs"))
+                  else store.readLatencyState(latencyStateRound)
+                    .join(roundLat, Seq("host"), "full_outer")
+                    .select($"host", coalesce(
+                      lit(a) * $"__lm" + lit(1 - a) * $"ewmaMs", // both sides
+                      $"__lm",     // first observation of this host
+                      $"ewmaMs")   // no fetches this round — hold the signal
+                      .as("ewmaMs"))
+                store.saveLatencyState(round, mergedLat)
+                latencyStateRound = round
+              }
             }
 
             val newWatermark =
@@ -929,7 +963,8 @@ final class FrontierCrawler(
               bloom.isDefined || (bucketMode && bloomRound >= 0), bloomRound,
               hostStateRound, curSeenKind, curSeenBuckets,
               m.expiryToken, patternStateRound,
-              if (contentFresh >= 0) m.contentRounds :+ round else m.contentRounds)
+              if (contentFresh >= 0) m.contentRounds :+ round else m.contentRounds,
+              latencyStateRound)
             store.saveManifest(m)
 
             f.unpersist()
@@ -1035,6 +1070,21 @@ final class FrontierCrawler(
         (prefixed, b)
       case None => (el0, lit(cfg.perHostBudget))
     }
+    // latency-adaptive clamp (CrawlConfig.latencyTargetMs): hosts whose
+    // smoothed fetch latency exceeds the target get budget × target/ewma
+    // (floor 1 slot) — composed with the robots crawl-delay budget by
+    // taking the smaller. Host-keyed equi-join against the persisted
+    // latstate relation; hosts without a signal keep their full budget.
+    val (el1, budget1) =
+      if (cfg.latencyTargetMs <= 0 || latencyStateRound < 0) (el, budgetCol)
+      else {
+        val lat = store.readLatencyState(latencyStateRound)
+        val clamped = when($"ewmaMs".isNotNull && $"ewmaMs" > lit(cfg.latencyTargetMs),
+          greatest(lit(1.0),
+            budgetCol.cast("double") * lit(cfg.latencyTargetMs) / $"ewmaMs").cast("int"))
+          .otherwise(budgetCol)
+        (el.join(lat, Seq("host"), "left_outer"), clamped)
+      }
     val salt = pmod(xxhash64($"url"), lit(cfg.saltBuckets))
     val ord = Seq($"priority", $"nextFetchTime", $"discoveryIdx", $"url")
     val w1 = Window.partitionBy($"host", salt).orderBy(ord: _*)
@@ -1046,9 +1096,9 @@ final class FrontierCrawler(
     // hosts fetch. Physical plan is TakeOrderedAndProject — O(n log N),
     // no full sort materialization.
     val rationed =
-      if (cfg.roundBudget == Int.MaxValue) el
-      else el.orderBy(ord: _*).limit(cfg.roundBudget)
-    rationed.withColumn("__budget", budgetCol)
+      if (cfg.roundBudget == Int.MaxValue) el1
+      else el1.orderBy(ord: _*).limit(cfg.roundBudget)
+    rationed.withColumn("__budget", budget1)
       .withColumn("rn1", row_number().over(w1)).filter($"rn1" <= $"__budget")
       .withColumn("rn2", row_number().over(w2)).filter($"rn2" <= $"__budget")
       .dropDuplicates("url")
@@ -1056,7 +1106,7 @@ final class FrontierCrawler(
       .withColumn("nextFetchTime",
         lit(round.toLong * math.max(cfg.perHostBudget, 1) * delayMs) + ($"rn2" - 1) * delayMs)
       .drop("rn1", "rn2", "__budget", "disallow", "disallowPrefixes", "allowPrefixes",
-        "crawlDelay")
+        "crawlDelay", "ewmaMs")
   }
 
   // Retry-After backoff state: persisted as a `(host, notBefore)` relation
@@ -1070,6 +1120,11 @@ final class FrontierCrawler(
   private var hostStateRows: Long = 0L
   private var hostMaxNotBefore: Int = -1
   private var hostStateSmall: Option[Map[String, Int]] = Some(Map.empty)
+
+  // latency-adaptive politeness state pointer (CrawlConfig.latencyTargetMs):
+  // round whose latstate/ relation holds the current per-host latency EWMA.
+  // Relation-resident like hoststate — never a driver map.
+  private var latencyStateRound: Int = -1
 
   private[operators] def loadHostBackoff(round: Int): Unit = {
     hostStateRound = round
