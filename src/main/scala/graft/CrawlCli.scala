@@ -24,7 +24,8 @@ object CrawlCli {
       |                [--delay D] [--max-redirects N] [--max-concurrent N]
       |                [--timeout SECONDS] [--runs-dir DIR]
       |                [--checkpoint-dir DIR] [--polite]
-      |                [--trap-cap N] [--content-dedup] [-h | --help]""".stripMargin
+      |                [--trap-cap N] [--content-dedup]
+      |                [--latency-target MS] [-h | --help]""".stripMargin
 
   private val Help = Usage +
     """
@@ -47,6 +48,10 @@ object CrawlCli {
       |                        URL pattern (polite mode; default: off)
       |  --content-dedup       Skip link extraction on mirror pages whose
       |                        resolved link set repeats (polite mode)
+      |  --latency-target MS   Latency-adaptive politeness: hosts whose
+      |                        smoothed fetch latency exceeds MS get their
+      |                        per-round slots scaled by MS/ewma, floor 1
+      |                        (polite mode; default: off)
       |  -h, --help            Show this help message and exit
       |
       |Examples:
@@ -67,7 +72,7 @@ object CrawlCli {
     * reference CLI's exit codes. */
   private[graft] def parseArgs(args: Array[String]): (String, Map[String, String], Set[String]) = {
     val valueFlags = Set("--pages", "--delay", "--max-redirects", "--max-concurrent",
-      "--timeout", "--runs-dir", "--checkpoint-dir", "--trap-cap")
+      "--timeout", "--runs-dir", "--checkpoint-dir", "--trap-cap", "--latency-target")
     var positional = List.empty[String]
     var opts = Map.empty[String, String]
     var flags = Set.empty[String]
@@ -127,6 +132,7 @@ object CrawlCli {
         sameDomainOnly = !flags.contains("--polite"),
         trapPatternCap = opts.get("--trap-cap").map(_.toInt).getOrElse(0),
         contentDedup = flags.contains("--content-dedup"),
+        latencyTargetMs = opts.get("--latency-target").map(_.toDouble).getOrElse(0.0),
         checkpointDir = opts.get("--checkpoint-dir"))
       val raw = spark.read.parquet(pagesPath)
       val pages = (if (raw.columns.contains("latencyMs")) raw
