@@ -34,6 +34,44 @@ case class PHash64(child: Expression) extends UnaryExpression with BinaryInputCh
     copy(child = newChild)
 }
 
+/** 64-bit difference hash (gradient-direction signature) — the second
+  * perceptual signature ([[ImageKernels.dhashOf]]): pinned 9×8 integer
+  * box-average resample + integer luma + left-to-right comparisons, fully
+  * replayable by an external system (q60 oracle). Complements the DCT
+  * phash: smooth gradients that collide in the phash's low-frequency block
+  * separate here, so a conjunctive gate prunes false near-dup candidates
+  * in signature space before any payload bytes ride a join. */
+case class DHash64(child: Expression) extends UnaryExpression with BinaryInputCheck {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageKernels.dhash64(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKernels.dhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): DHash64 =
+    copy(child = newChild)
+}
+
+/** Both perceptual signatures (phash + dhash) from ONE decode — the
+  * `image_sig` discipline applied to the signature pair a conjunctive
+  * near-dup candidate gate needs. Field-for-field equal to the standalone
+  * expressions (all delegate to the same per-image kernels). */
+case class ImageHashes(child: Expression)
+    extends UnaryExpression with BinaryInputCheck {
+  override def dataType: DataType = StructType(Seq(
+    StructField("phash", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageKernels.imageHashesRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKernels.imageHashesRow($c)")
+  override protected def withNewChildInternal(newChild: Expression): ImageHashes =
+    copy(child = newChild)
+}
+
 /** Decoded-pixel PSNR (dB) between two encoded images (the ≥ 40 dB lossy
   * invariant from BASELINE.json `input_hint`). */
 case class ImagePsnr(left: Expression, right: Expression)
@@ -198,6 +236,8 @@ case class StripImageMetadata(child: Expression)
 
 object ImageFunctions {
   def phash64(c: Column): Column = CB.column(PHash64(CB.expression(c)))
+  def dhash64(c: Column): Column = CB.column(DHash64(CB.expression(c)))
+  def image_hashes(c: Column): Column = CB.column(ImageHashes(CB.expression(c)))
   def image_psnr(a: Column, b: Column): Column =
     CB.column(ImagePsnr(CB.expression(a), CB.expression(b)))
   def sniff_image_format(c: Column): Column =
@@ -218,6 +258,7 @@ object ImageFunctions {
 
   def registerAll(spark: SparkSession): Unit =
     FunctionTable.register(spark, FunctionTable.byName(
-      "phash64", "image_psnr", "sniff_image_format", "image_stats", "image_sig",
-      "image_dims", "image_resample", "strip_image_metadata"))
+      "phash64", "dhash64", "image_hashes", "image_psnr", "sniff_image_format",
+      "image_stats", "image_sig", "image_dims", "image_resample",
+      "strip_image_metadata"))
 }

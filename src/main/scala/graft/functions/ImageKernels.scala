@@ -116,6 +116,61 @@ object ImageKernels {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** 64-bit difference hash (dHash): area-resample to 9×8 via the PINNED
+    * integer box-average kernel ([[resampleOf]] `area` — round-half-up,
+    * stated in closed form), integer BT.601 luma per cell (the
+    * [[lumaStats]] formula), bit `y*8+x` set iff `luma(x+1,y) > luma(x,y)`.
+    * A gradient-direction signature that is deliberately NOT the DCT
+    * phash: distinct content that collides in the phash's low-frequency
+    * block (smooth gradients — the q53 plant) separates here, so a
+    * conjunctive (phash, dhash) candidate gate prunes false near-dup
+    * candidates in SIGNATURE space, before any payload bytes ride a join.
+    * Every step is integer arithmetic an external system can replay —
+    * the q60 oracle recomputes the full 64-bit value in SQL. */
+  def dhashOf(img: BufferedImage): Long = {
+    val g = resampleOf(img, 9, 8, "area")
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      var prev = {
+        val p = g.getRGB(0, y)
+        (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+      }
+      while (x < 8) {
+        val p = g.getRGB(x + 1, y)
+        val cur = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+        if (cur > prev) bits |= 1L << (y * 8 + x)
+        prev = cur
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** [[dhashOf]] over encoded bytes; undecodable → 0L (the [[phash64]]
+    * failure convention — one corrupt crawl payload gates, never crashes). */
+  def dhash64(bytes: Array[Byte]): Long = {
+    val img = try decode(bytes) catch { case _: Exception => null }
+    if (img == null) 0L else dhashOf(img)
+  }
+
+  /** Codegen entry for [[graft.functions.ImageHashes]] — phash + dhash
+    * from ONE decode (the `image_sig` discipline applied to the two
+    * perceptual signatures: separate `phash64` + `dhash64` calls decode
+    * twice, and the decode dominates the image hot path). Undecodable →
+    * (0L, 0L), matching both standalone kernels. */
+  def imageHashesRow(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val img = try decode(bytes) catch { case _: Exception => null }
+    if (img == null)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    else
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](phashOf(img), dhashOf(img)))
+  }
+
   /** PSNR in dB between two encoded images' decoded pixels; +Inf for
     * identical, NaN when undecodable/size-mismatched. */
   def psnr(aBytes: Array[Byte], bBytes: Array[Byte]): Double = {

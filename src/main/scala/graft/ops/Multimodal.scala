@@ -197,14 +197,48 @@ object Multimodal {
     * drop. A wider `maxHamming` only costs more verification decodes,
     * never false positives — the pixel check owns precision. Feed the
     * verified pairs to [[graft.ops.Dedup.dedupComponents]] /
-    * [[graft.ops.Dedup.canonicalByQuality]] for canonical selection. */
+    * [[graft.ops.Dedup.canonicalByQuality]] for canonical selection.
+    *
+    * `dhashMaxHamming ≥ 0` adds a conjunctive SECOND-signature gate: the
+    * projection computes phash + dhash from ONE decode (`image_hashes`),
+    * and phash candidates whose dhash hamming exceeds the gate drop in
+    * SIGNATURE space — before payload bytes attach and before any decode
+    * is paid on the pair. Smooth distinct gradients that collide in the
+    * phash's low-frequency DCT block (they enter the candidate set and
+    * today cost a full PSNR verification each) have near-random gradient
+    * signs, so the dhash gate removes them for the price of a 64-bit XOR.
+    * Precision is still owned by the pixel check; the dhash gate, like the
+    * phash radius, only trades recall for verification cost — a true
+    * re-encode/light edit preserves gradient directions (spec-pinned). */
   def verifiedPhashDup(images: DataFrame, idCol: String, bytesCol: String,
       maxHamming: Int = 6, minPsnrDb: Double = 40.0,
-      maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
+      maxBlockPopulation: Long = Long.MaxValue,
+      dhashMaxHamming: Int = -1): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ph = images.select(col(idCol),
-      graft.functions.ImageFunctions.phash64(col(bytesCol)).as("phash"))
-    val cand = phashNearDup(ph, idCol, maxHamming, maxBlockPopulation)
+    val ph =
+      if (dhashMaxHamming < 0)
+        images.select(col(idCol),
+          graft.functions.ImageFunctions.phash64(col(bytesCol)).as("phash"))
+      else images
+        .select(col(idCol),
+          graft.functions.ImageFunctions.image_hashes(col(bytesCol)).as("__hs"))
+        .select(col(idCol), col("__hs.phash").as("phash"),
+          col("__hs.dhash").as("dhash"))
+        // the signature relation feeds THREE consumers (phash candidate
+        // blocks + the two dhash sides); eager localCheckpoint pays the
+        // one decode pass exactly once for a slim (id, 2×long) relation
+        .localCheckpoint(true)
+    val cand0 = phashNearDup(
+      ph.select(col(idCol), col("phash")), idCol, maxHamming, maxBlockPopulation)
+    val cand =
+      if (dhashMaxHamming < 0) cand0
+      else {
+        val da = ph.select(col(idCol).as("d1"), col("dhash").as("__da"))
+        val db = ph.select(col(idCol).as("d2"), col("dhash").as("__db"))
+        cand0.join(da, Seq("d1")).join(db, Seq("d2"))
+          .filter(bit_count(col("__da").bitwiseXOR(col("__db"))) <= dhashMaxHamming)
+          .drop("__da", "__db")
+      }
     val a = images.select(col(idCol).as("d1"), col(bytesCol).as("__ba"))
     val b = images.select(col(idCol).as("d2"), col(bytesCol).as("__bb"))
     cand.join(a, Seq("d1")).join(b, Seq("d2"))

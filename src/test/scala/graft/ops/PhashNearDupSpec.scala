@@ -136,4 +136,48 @@ class PhashNearDupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan)
   }
+
+  test("dhash gate: verified set unchanged, false candidates pruned pre-bytes") {
+    import graft.functions.ImageKernels
+    // the q53 corpus: content ck = id/2, odd id = 1-px edit of the even one
+    def bytesFor(id: Long): Array[Byte] = {
+      val ck = id / 2
+      val img = ImageGen.render(ck, seed = 19L,
+        w = 40 + (ck % 16).toInt, h = 30 + (ck % 8).toInt)
+      if (id % 2 == 1) {
+        val rgb = img.getRGB(1, 1)
+        val g = (rgb >> 8) & 0xff
+        val g2 = if (g == 255) g - 1 else g + 1
+        img.setRGB(1, 1, (rgb & 0xffff00ff) | (g2 << 8))
+      }
+      ImageKernels.encode(img, "png")
+    }
+    val ids = (0L until 200L).toSeq
+    val rows = ids.map(id => (id, bytesFor(id))).toDF("doc_id", "bytes")
+    val ungated = Multimodal.verifiedPhashDup(rows, "doc_id", "bytes", maxHamming = 8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gated = Multimodal.verifiedPhashDup(rows, "doc_id", "bytes",
+        maxHamming = 8, dhashMaxHamming = 6)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall untouched: every verified pair survives the signature gate
+    assert(gated == ungated)
+    assert(gated == ids.filter(_ % 2 == 0).map(id => (id, id + 1)).toSet)
+    // premise + prune accounting, recomputed brute-force from the kernels:
+    // the gate must drop ONLY false candidates (decoys), and at least some —
+    // those are PSNR decodes the gated plan never pays
+    val sigs = ids.map { id =>
+      val b = bytesFor(id)
+      (id, ImageKernels.phash64(b), ImageKernels.dhash64(b))
+    }
+    val cand = for {
+      (ia, pa, da) <- sigs; (ib, pb, db) <- sigs
+      if ia < ib && ImageKernels.hamming64(pa, pb) <= 8
+    } yield (ia, ib, ImageKernels.hamming64(da, db), ia / 2 == ib / 2)
+    val truePruned = cand.count(c => c._4 && c._3 > 6)
+    val decoysPruned = cand.count(c => !c._4 && c._3 > 6)
+    val decoys = cand.count(!_._4)
+    assert(truePruned == 0, s"gate dropped $truePruned true pairs")
+    assert(decoysPruned > 0 && decoys > decoysPruned,
+      s"fixture premise: expected a partial decoy prune, got $decoysPruned of $decoys")
+  }
 }
