@@ -41,7 +41,9 @@ object IceLite {
   final case class Snapshot(version: Int, batches: Seq[String], rowCount: Long,
       exclusions: Map[String, Set[String]] = Map.empty,
       statsCol: Option[String] = None,
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      bloomCol: Option[String] = None,
+      blooms: Set[String] = Set.empty)
 }
 
 /** `icelite` — a minimal Iceberg-style snapshot table (SURVEY.md §7.4).
@@ -94,7 +96,22 @@ final class IceLite(spark: SparkSession, val dir: String,
     // before the column was configured (or whose values are all null)
     // carry no stats and are always read: skipping is sound, never
     // load-bearing for correctness.
-    statsCol: Option[String] = None) {
+    statsCol: Option[String] = None,
+    // manifest-level KEY-MEMBERSHIP skipping (the Iceberg puffin-blob /
+    // parquet-bloom analog, lifted to batch granularity): when set to an
+    // int64 key column (the table's merge key — phash for the image
+    // table), every commit writes a per-batch Bloom filter of the batch's
+    // keys under meta/bloom/ and readWhereKeyIn() opens only the batches
+    // whose Bloom admits at least one probed key — a point lookup over a
+    // long-lived table touches the few commits that can hold the key, not
+    // the table. False positives cost one extra batch read; false
+    // negatives cannot happen, and batches without a recorded Bloom
+    // (pre-configuration, or recorded over a different column) are always
+    // read — skipping is sound, never load-bearing. Filter size is
+    // ~1.2 MB per million keys at the default 1% fpp; raise keyBloomFpp
+    // for very large batches.
+    keyBloomCol: Option[String] = None,
+    keyBloomFpp: Double = 0.01) {
 
   private val sfs = StateFs(spark)
   private def p(parts: String*): String = sfs.child(dir, parts: _*)
@@ -148,7 +165,12 @@ final class IceLite(spark: SparkSession, val dir: String,
         else stats.split(";").map { e =>
           val Array(b, mn, mx) = e.split(":", 3)
           b -> ((mn.toLong, mx.toLong))
-        }.toMap))
+        }.toMap,
+        Option(props.getProperty("bloomCol")),
+        props.getProperty("blooms", "") match {
+          case "" => Set.empty
+          case bs => bs.split(",").toSet
+        }))
     }
   }
 
@@ -298,7 +320,8 @@ final class IceLite(spark: SparkSession, val dir: String,
         data.write.mode("overwrite").parquet(p("data", batch))
     }
     publish(v, Seq(batch), s.rowCount,
-      stats = statsEntryOf(data).map(batch -> _).toMap)
+      stats = statsEntryOf(data).map(batch -> _).toMap,
+      blooms = writeKeyBloom(data, batch, s.rowCount).toSet)
     v
   }
 
@@ -321,6 +344,12 @@ final class IceLite(spark: SparkSession, val dir: String,
     sfs.listNames(p("data"))
       .filter(b => b.startsWith("batch-") && !keepBatches.contains(b))
       .foreach(b => sfs.delete(p("data", b)))
+    // key Blooms of expired batches go with them (same unreferenced rule)
+    if (sfs.exists(p("meta", "bloom")))
+      sfs.listNames(p("meta", "bloom"))
+        .filter(n => n.endsWith(".bloom") &&
+          !keepBatches.contains(n.stripSuffix(".bloom")))
+        .foreach(n => sfs.delete(p("meta", "bloom", n)))
   }
 
   private def commit(df: DataFrame): Long = {
@@ -339,7 +368,8 @@ final class IceLite(spark: SparkSession, val dir: String,
         // an append must carry the prior copy-on-write exclusions forward —
         // dropping them would resurrect superseded rows
         prev.map(_.exclusions).getOrElse(Map.empty),
-        carriedStats(prev) ++ statsEntryOf(cached).map(batch -> _))
+        carriedStats(prev) ++ statsEntryOf(cached).map(batch -> _),
+        carriedBlooms(prev) ++ writeKeyBloom(cached, batch, rows))
       rows
     } finally cached.unpersist()
   }
@@ -426,11 +456,14 @@ final class IceLite(spark: SparkSession, val dir: String,
             val excl = prev.get.batches.map { b =>
               b -> (prev.get.exclusions.getOrElse(b, Set.empty) ++ touched)
             }.toMap
-            // prior ranges stay valid: exclusions only REMOVE rows from a
-            // batch, so its recorded (min, max) remains a superset — a skip
-            // decision over it is still sound, merely conservative
+            // prior ranges/Blooms stay valid: exclusions only REMOVE rows
+            // from a batch, so its recorded (min, max) and key membership
+            // remain supersets — a skip decision over either is still
+            // sound, merely conservative
             publish(v, prev.get.batches :+ batch, prev.get.rowCount + nI, excl,
-              carriedStats(prev) ++ statsEntryOf(newBatch).map(batch -> _))
+              carriedStats(prev) ++ statsEntryOf(newBatch).map(batch -> _),
+              carriedBlooms(prev) ++
+                writeKeyBloom(newBatch, batch, prev.get.rowCount + nI))
             // exclusion growth is unbounded without maintenance — fold the
             // accumulated copy-on-write history once it crosses the bound
             if (excl.valuesIterator.map(_.size.toLong).sum > maxExclusionEntries)
@@ -447,7 +480,8 @@ final class IceLite(spark: SparkSession, val dir: String,
           val newBatch = keep.unionByName(upgrades).unionByName(inserts)
           writeBatch(newBatch, batch)
           publish(v, Seq(batch), prev.get.rowCount + nI,
-            stats = statsEntryOf(newBatch).map(batch -> _).toMap)
+            stats = statsEntryOf(newBatch).map(batch -> _).toMap,
+            blooms = writeKeyBloom(newBatch, batch, prev.get.rowCount + nI).toSet)
           (nI, nU)
         } finally { inserts.unpersist(); upgrades.unpersist() }
     }
@@ -468,6 +502,65 @@ final class IceLite(spark: SparkSession, val dir: String,
     * so they are dropped rather than trusted. */
   private def carriedStats(prev: Option[Snapshot]): Map[String, (Long, Long)] =
     prev.filter(_.statsCol == statsCol).map(_.stats).getOrElse(Map.empty)
+
+  private def bloomPath(batch: String): String =
+    p("meta", "bloom", s"$batch.bloom")
+
+  /** Build + persist the per-batch key Bloom (one distributed aggregate
+    * over the batch being written — the keys ride the commit anyway), and
+    * return the batch name iff a Bloom was recorded. Written BEFORE the
+    * manifest that references it, so a listed Bloom always exists (a crash
+    * in between leaves an orphan .bloom file, the batch-dir convention).
+    * Null keys are not representable in the filter — and not probeable via
+    * [[readWhereKeyIn]]'s int64 keys — so they simply never prune. */
+  private def writeKeyBloom(df: DataFrame, batch: String, expectedRows: Long)
+      : Option[String] =
+    keyBloomCol.filter(df.columns.contains).map { kc =>
+      val bf = df.stat.bloomFilter(col(kc).cast("long"),
+        math.max(expectedRows, 1L), keyBloomFpp)
+      sfs.mkdirs(p("meta", "bloom"))
+      sfs.writeAtomic(bloomPath(batch))(out => bf.writeTo(out))
+      batch
+    }
+
+  /** Prior Blooms usable only if recorded over the SAME key column (the
+    * [[carriedStats]] rule — a column switch drops old filters rather than
+    * trusting them). */
+  private def carriedBlooms(prev: Option[Snapshot]): Set[String] =
+    prev.filter(_.bloomCol == keyBloomCol).map(_.blooms).getOrElse(Set.empty)
+
+  /** Point lookup: read only the batches whose recorded key Bloom admits
+    * at least one of `keys`, with the equivalent row filter applied —
+    * semantically identical to `read().filter(keyBloomCol isin keys)`, but
+    * a long-lived table is opened only where a key CAN live (batches with
+    * no recorded Bloom are always read; Bloom false positives cost one
+    * extra batch scan, false negatives cannot happen). The probe itself is
+    * driver-side and tiny: one .bloom file per candidate batch against a
+    * bounded key list — the "is this phash already stored, and where"
+    * primitive for interactive lookups and per-trigger sinks. If no batch
+    * can match, the scan is bounded to the newest batch under an
+    * always-false predicate (schema preserved, no full-table plan). */
+  def readWhereKeyIn(keys: Seq[Long]): DataFrame = {
+    val kc = keyBloomCol.getOrElse(throw new IllegalStateException(
+      "icelite: readWhereKeyIn on a table with no keyBloomCol configured"))
+    require(keys.nonEmpty, "icelite: readWhereKeyIn needs at least one key")
+    val s = currentSnapshot()
+      .getOrElse(throw new IllegalStateException(s"icelite: empty table at $dir"))
+    val usable = if (s.bloomCol == keyBloomCol) s.blooms else Set.empty[String]
+    val live = s.batches.filter { b =>
+      if (!usable.contains(b)) true // no recorded Bloom — must read
+      else {
+        val in = sfs.open(bloomPath(b))
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                 finally in.close()
+        keys.exists(bf.mightContainLong)
+      }
+    }
+    val base =
+      if (live.nonEmpty) readBatchesOf(s, live)
+      else readBatchesOf(s, Seq(s.batches.last)).filter(lit(false))
+    base.filter(col(kc).cast("long").isin(keys: _*))
+  }
 
   /** Read only the batches whose recorded stats range intersects
     * `[lo, hi]`, with the equivalent row filter applied — semantically
@@ -495,7 +588,8 @@ final class IceLite(spark: SparkSession, val dir: String,
   /** Write manifest v, then swap the current pointer (both atomic). */
   private def publish(v: Int, batches: Seq[String], rowCount: Long,
       exclusions: Map[String, Set[String]] = Map.empty,
-      stats: Map[String, (Long, Long)] = Map.empty): Unit = {
+      stats: Map[String, (Long, Long)] = Map.empty,
+      blooms: Set[String] = Set.empty): Unit = {
     val props = new Properties()
     props.setProperty("version", v.toString)
     props.setProperty("batches", batches.mkString(","))
@@ -510,6 +604,11 @@ final class IceLite(spark: SparkSession, val dir: String,
       if (stats.nonEmpty)
         props.setProperty("stats", stats.toSeq.sortBy(_._1)
           .map { case (b, (mn, mx)) => s"$b:$mn:$mx" }.mkString(";"))
+    }
+    keyBloomCol.foreach { kc =>
+      props.setProperty("bloomCol", kc)
+      if (blooms.nonEmpty)
+        props.setProperty("blooms", blooms.toSeq.sorted.mkString(","))
     }
     sfs.writeAtomic(p("meta", s"v$v.properties"))(out => props.store(out, null))
     val cur = new Properties()

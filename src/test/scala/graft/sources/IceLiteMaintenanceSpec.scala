@@ -288,4 +288,74 @@ class IceLiteMaintenanceSpec extends AnyFunSuite {
     assert(t.readWhere(200, 400).collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
     assert(t.readWhere(1000, 1100).collect().map(_.getLong(0)).toSet == Set(10L, 11L))
   }
+
+  private def bloomTable(col: Option[String], dir: String = ""): (IceLite, String) = {
+    val d = if (dir.nonEmpty) dir
+      else Files.createTempDirectory("graft-icelite-bloom-").toString
+    (new IceLite(spark, d, None, keyBloomCol = col, keyBloomFpp = 0.001), d)
+  }
+
+  test("readWhereKeyIn: point lookups open only Bloom-admitting batches; exact") {
+    val (t, _) = bloomTable(Some("k"))
+    t.append((0L to 99L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.append((100L to 199L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.append((200L to 299L).map(i => (i, s"v$i")).toDF("k", "v"))
+    assert(t.currentSnapshot().get.blooms.size == 3)
+    // semantics: identical to the full read + isin filter
+    val got = t.readWhereKeyIn(Seq(105L, 150L))
+    assert(got.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((105L, "v105"), (150L, "v150")))
+    // pruning: only the middle batch's files are opened (deterministic for
+    // this fixed corpus — Bloom hashing carries no runtime randomness)
+    assert(got.inputFiles.nonEmpty &&
+      got.inputFiles.forall(_.contains("batch-00002")), got.inputFiles.mkString(","))
+    // keys spanning two batches read exactly those two
+    val two = t.readWhereKeyIn(Seq(5L, 205L))
+    assert(two.count() == 2L)
+    assert(!two.inputFiles.exists(_.contains("batch-00002")))
+    // absent key: empty result, scan bounded (never a full-table plan)
+    val none = t.readWhereKeyIn(Seq(100000L))
+    assert(none.count() == 0L)
+    assert(none.inputFiles.map(f => f.slice(f.indexOf("batch-"), f.indexOf("batch-") + 11))
+      .distinct.length <= 1)
+  }
+
+  test("readWhereKeyIn: batches predating the Bloom are always read (sound)") {
+    val (t0, dir) = bloomTable(None)
+    t0.append((0L to 9L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val (t, _) = bloomTable(Some("k"), dir)
+    t.append((10L to 19L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val s = t.currentSnapshot().get
+    assert(s.blooms == Set("batch-00002"), s.blooms.toString)
+    // a key in the Bloom-less batch is still found; that batch always reads
+    val got = t.readWhereKeyIn(Seq(3L))
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(t.readWhereKeyIn(Seq(15L)).inputFiles.exists(_.contains("batch-00001")))
+    // a key-column switch drops (never trusts) the recorded filters
+    val (tSw, _) = bloomTable(Some("other"), dir)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      tSw.readWhereKeyIn(Seq(3L)).collect() // no `other` column — surfaced, not skipped
+    }
+  }
+
+  test("keyBloom stays exact through upsert, compact and expire; orphan filters deleted") {
+    val dir = Files.createTempDirectory("graft-icelite-bloom-up-").toString
+    val t = new IceLite(spark, dir, None, keyBloomCol = Some("k"), keyBloomFpp = 0.001)
+    t.append(Seq((1L, 1, "a"), (2L, 1, "b")).toDF("k", "q", "v"))
+    val (nI, nU) = t.mergeUpsertBest(Seq((1L, 9, "a2"), (3L, 1, "c")).toDF("k", "q", "v"), "k", "q")
+    assert((nI, nU) == (1L, 1L))
+    def lookup(k: Long) = t.readWhereKeyIn(Seq(k)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(lookup(1L) == Set((1L, "a2")), "upsert winner not found via Bloom lookup")
+    assert(lookup(2L) == Set((2L, "b")) && lookup(3L) == Set((3L, "c")))
+    t.compact()
+    assert(t.currentSnapshot().get.blooms.size == 1)
+    assert(lookup(1L) == Set((1L, "a2")) && lookup(3L) == Set((3L, "c")))
+    t.expireSnapshots(retain = 1)
+    // the expired batches' .bloom files are reclaimed with their data
+    val fs = graft.io.StateFs(spark)
+    val left = fs.listNames(fs.child(dir, "meta", "bloom"))
+    assert(left.size == 1, left.mkString(","))
+    assert(lookup(1L) == Set((1L, "a2")))
+  }
 }
