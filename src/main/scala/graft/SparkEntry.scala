@@ -90,7 +90,9 @@ object SparkEntry {
     "q56_training_resample" -> ContractQueries.q56TrainingResample _,
     "q57_pair_alignment" -> ContractQueries.q57PairAlignment _,
     "q58_duplicate_spans" -> ContractQueries.q58DuplicateSpans _,
-    "q59_stats_skipping" -> ContractQueries.q59StatsSkipping _)
+    "q59_stats_skipping" -> ContractQueries.q59StatsSkipping _,
+    "q60_dhash" -> ContractQueries.q60DHash _,
+    "q61_bloom_lookup" -> ContractQueries.q61BloomLookup _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -904,5 +906,41 @@ object SparkEntry {
         |SELECT 'up' AS part, k, r FROM d WHERE r BETWEEN 1000 AND 2000
         |UNION ALL SELECT 'mid', k, r FROM d WHERE r BETWEEN 450 AND 550
         |UNION ALL SELECT 'low', k, r FROM d WHERE r BETWEEN 100 AND 160
+        |ORDER BY part, k""".stripMargin,
+
+    // the Spark side decodes REAL 9×8 PNGs through the pinned area-resample
+    // + integer-luma dhash kernel; the oracle reassembles the signed 64-bit
+    // hash from the generator arithmetic, bit by bit (bit 63 via the signed
+    // minimum so the sum stays in BIGINT range)
+    "q60_dhash" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 256),
+        |b AS (
+        |  SELECT doc_id, (y.y * 8 + x.x) AS k,
+        |    CASE WHEN ((doc_id*7 + (x.x+1)*13 + y.y*29) % 256)
+        |            > ((doc_id*7 + x.x*13 + y.y*29) % 256)
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM ids, generate_series(0, 7) x(x), generate_series(0, 7) y(y))
+        |SELECT doc_id,
+        |  SUM(CASE WHEN bit = 1 THEN
+        |        CASE WHEN k = 63 THEN -9223372036854775808
+        |             ELSE (1::BIGINT << k) END
+        |      ELSE 0 END)::BIGINT AS dhash
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bloom-pruned point lookups off the on-disk table: the oracle replays
+    // two appends + WHEN-NOT-MATCHED-INSERT (stored keys keep their rows)
+    // and the three lookups relationally
+    "q61_bloom_lookup" ->
+      """WITH base AS (
+        |  SELECT doc_id AS k, 'a' || doc_id AS v FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id, 'b' || doc_id FROM documents
+        |  WHERE doc_id >= 100 AND doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id, 'c' || doc_id FROM documents
+        |  WHERE doc_id >= 200 AND doc_id < 250)
+        |SELECT 'one' AS part, k, v FROM base WHERE k IN (7, 42, 99)
+        |UNION ALL SELECT 'two', k, v FROM base WHERE k IN (120, 180, 205)
+        |UNION ALL SELECT 'three', k, v FROM base WHERE k IN (160, 999999)
         |ORDER BY part, k""".stripMargin)
 }

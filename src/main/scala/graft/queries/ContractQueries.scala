@@ -918,6 +918,70 @@ object ContractQueries {
     Dedup.dropDuplicateSpans(t(spark, dir, "documents"), "doc_id", "text", n = 8)
       .orderBy("doc_id")
 
+  /** Manifest-level key-membership skipping
+    * ([[graft.sources.IceLite.readWhereKeyIn]]) under the hash-exact gate:
+    * a real on-disk table (keyBloomCol = k) takes two appends and a
+    * MERGE-INTO whose staged batch half-overlaps the stored keys, then
+    * three Bloom-pruned point-lookup reads off the physical table —
+    * present keys, merge-inserted keys, and an absent key. The oracle
+    * replays append + WHEN-NOT-MATCHED-INSERT + the lookups relationally;
+    * any false negative in the Bloom path (a skipped batch that held a
+    * key) breaks a row. */
+  def q61BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    def part(lo: Long, hi: Long, tag: String) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id").as("k"),
+          concat(lit(tag), col("doc_id").cast("string")).as("v"))
+    val table = new graft.sources.IceLite(spark,
+      java.nio.file.Files.createTempDirectory("q61-icelite-").toString,
+      keyBloomCol = Some("k"))
+    table.append(part(0, 100, "a"))
+    table.append(part(100, 200, "b"))
+    // WHEN NOT MATCHED INSERT: 150..199 already stored (kept as b…),
+    // 200..249 novel (inserted as c…)
+    table.mergeInsert(part(150, 250, "c"), "k")
+    def look(label: String, keys: Long*) =
+      table.readWhereKeyIn(keys).select(lit(label).as("part"), col("k"), col("v"))
+    look("one", 7L, 42L, 99L)
+      .unionByName(look("two", 120L, 180L, 205L))
+      .unionByName(look("three", 160L, 999999L))
+      .orderBy("part", "k")
+  }
+
+  /** Difference hash ([[graft.functions.DHash64]]) in closed form: 9×8
+    * grayscale PNGs whose pixel (x,y) is `(doc_id·7 + x·13 + y·29) mod 256`
+    * — the 9×8 area resample is the identity (every box is one source
+    * pixel; round-half-up of an integer is itself) and gray luma is the
+    * value, so each of the 64 comparison bits is stated by the generator
+    * arithmetic alone and DuckDB reassembles the signed 64-bit hash
+    * bit-by-bit. Any deviation in the resample, the luma formula, or the
+    * bit layout breaks the hash on some id (256 ids cover every bit
+    * pattern direction the modulus wrap produces). */
+  def q60DHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").filter(col("doc_id") < 256)
+      .select(col("doc_id")).as[Long].repartition(8)
+    val media = ids.map { id =>
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val v = ((id * 7 + x * 13 + y * 29) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      (id, graft.functions.ImageKernels.encode(img, "png"))
+    }.toDF("doc_id", "bytes")
+    media.select(col("doc_id"),
+        graft.functions.ImageFunctions.dhash64(col("bytes")).as("dhash"))
+      .orderBy("doc_id")
+  }
+
   /** IceLite manifest-level data skipping under the driver gate
     * ([[graft.sources.IceLite.readWhere]], q54 on-disk-table pattern):
     * two appends, a keep-best upsert that MOVES the upgraded rows' stats
