@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * the `input_hint` shape `image_id, bytes, w, h, fmt, caption, phash`)
   * through
   *
+  *   optional byte-exact dedup (sha-256 content identity, pre-decode) →
   *   pair gates (caption → container trust → decoded stats) →
   *   optional CLIP-score alignment gate (inference-output embeddings) →
   *   exact phash dedup (keep best quality) →
@@ -32,6 +33,7 @@ object ImageCurateCli {
 
   private val Usage =
     """usage: ImageCurateCli <input-parquet> <output-dir>
+      |       [--byte-exact]
       |       [--min-tokens 3] [--max-tokens 128] [--min-alpha 0.5]
       |       [--min-w 32] [--min-h 32] [--max-aspect 4.0] [--min-entropy 1.0]
       |       [--align PARQUET] [--align-min 0.3]
@@ -40,6 +42,10 @@ object ImageCurateCli {
       |  <input-parquet>  Payload table: image_id, bytes, w, h, fmt,
       |                   caption, phash (any FS scheme)
       |  <output-dir>     Writes curated/ plus audit/ relations
+      |  --byte-exact     Collapse byte-identical payloads first (sha-256
+      |                   content identity, min image_id wins) — the
+      |                   cheapest dedup rung; every copy collapsed here
+      |                   skips the decode the gates would pay
       |  --align P        CLIP-score alignment gate: P is an inference-output
       |                   parquet (image_id, image_emb, caption_emb); pairs
       |                   scoring below --align-min — or missing from P —
@@ -72,7 +78,8 @@ object ImageCurateCli {
       droppedNearDup: Long,
       kept: Long,
       batchRows: Long = -1,        // -1: --batches not requested
-      droppedAlignment: Long = -1) // -1: --align not requested
+      droppedAlignment: Long = -1, // -1: --align not requested
+      droppedByteExact: Long = -1) // -1: --byte-exact not requested
 
   private[graft] def run(spark: SparkSession, args: Array[String]): ImageCurateSummary = {
     var pos = Vector.empty[String]
@@ -82,7 +89,7 @@ object ImageCurateCli {
     var align: Option[String] = None; var alignMin = 0.3
     var batches: Option[Int] = None; var batchSide = 512
     var batchMode = "area"; var batchShards = 1
-    var stripMetadata = false
+    var stripMetadata = false; var byteExact = false
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -116,6 +123,7 @@ object ImageCurateCli {
             throw CurateCli.CliUsageError(s"--batch-mode: area or nearest, got '$batchMode'")
         case "--batch-shards" => batchShards = num("--batch-shards", _.toInt)
         case "--strip-metadata" => stripMetadata = true
+        case "--byte-exact" => byteExact = true
         case flag if flag.startsWith("--") =>
           throw CurateCli.CliUsageError(s"unknown flag: $flag")
         case p => pos :+= p
@@ -132,13 +140,32 @@ object ImageCurateCli {
     val cols = pairs.columns.toSeq
     val nInput = pairs.count()
 
+    // 0. optional byte-exact dedup — sha-256 content identity BEFORE any
+    // decode: byte-identical copies (the same CDN asset crawled from many
+    // pages) carry identical content, so the minimum image_id wins with
+    // no quality ranking, and every copy collapsed here skips the decode
+    // the gate ladder below pays per row. Only (digest, id) rides the
+    // dedup shuffle; NULL-bytes rows pass through to the undecodable gate.
+    val preDeduped = if (!byteExact) pairs else {
+      val winners = Multimodal.byteExactWinners(pairs, "bytes", "image_id")
+        .select(col("image_id")).cache()
+      audit(pairs.filter(col("bytes").isNotNull)
+        .join(winners, Seq("image_id"), "left_anti")
+        .select(col("image_id")), "dropped_byte_exact")
+      pairs.filter(col("bytes").isNull)
+        .unionByName(pairs.filter(col("bytes").isNotNull)
+          .join(winners, Seq("image_id"), "left_semi"))
+        .cache()
+    }
+    val nByte = if (byteExact) preDeduped.count() else nInput
+
     // 1. pair gates — stateless ladder, audit carries the first failing
     // reason per dropped pair. The stats-retaining variant: the gate pass
     // decodes every row anyway, and the DECODED dimensions (not the
     // recorded w/h, which are untrusted server metadata — a row lying
     // about its resolution must not win its phash group) are the quality
     // the dedup stages below rank on.
-    val annotated = Multimodal.pairReasonsWithStats(pairs, minTokens, maxTokens,
+    val annotated = Multimodal.pairReasonsWithStats(preDeduped, minTokens, maxTokens,
       minAlpha, minW, minH, maxAspect, minEntropy)
     audit(annotated.filter(col("reason").isNotNull)
       .select(col("image_id"), col("reason")), "dropped_gates")
@@ -222,6 +249,7 @@ object ImageCurateCli {
     exact.unpersist()
     if (align.isDefined) aligned.unpersist()
     gated.unpersist()
+    if (byteExact) preDeduped.unpersist()
 
     // 4. optional training-batch materialization over the CURATED pairs:
     // header-dims banding + pinned resample + complete batches only (see
@@ -245,14 +273,18 @@ object ImageCurateCli {
         spark.read.parquet(s"$outDir/batches").count()
     }
 
-    val s = ImageCurateSummary(nInput, nInput - nGates, nAlign - nExact,
+    val s = ImageCurateSummary(nInput, nByte - nGates, nAlign - nExact,
       nExact - nKept, nKept, nBatchRows,
-      if (align.isDefined) nGates - nAlign else -1L)
+      if (align.isDefined) nGates - nAlign else -1L,
+      if (byteExact) nInput - nByte else -1L)
     val batchJson = if (s.batchRows >= 0) s""","batch_rows":${s.batchRows}""" else ""
     val alignJson =
       if (s.droppedAlignment >= 0) s""","dropped_alignment":${s.droppedAlignment}"""
       else ""
-    println(s"""{"input":${s.input},"dropped_gates":${s.droppedGates}$alignJson,""" +
+    val byteJson =
+      if (s.droppedByteExact >= 0) s""","dropped_byte_exact":${s.droppedByteExact}"""
+      else ""
+    println(s"""{"input":${s.input}$byteJson,"dropped_gates":${s.droppedGates}$alignJson,""" +
       s""""dropped_exact":${s.droppedExact},"dropped_near_dup":${s.droppedNearDup},""" +
       s""""kept":${s.kept}$batchJson}""")
     s

@@ -92,7 +92,8 @@ object SparkEntry {
     "q58_duplicate_spans" -> ContractQueries.q58DuplicateSpans _,
     "q59_stats_skipping" -> ContractQueries.q59StatsSkipping _,
     "q60_dhash" -> ContractQueries.q60DHash _,
-    "q61_bloom_lookup" -> ContractQueries.q61BloomLookup _)
+    "q61_bloom_lookup" -> ContractQueries.q61BloomLookup _,
+    "q62_byte_exact" -> ContractQueries.q62ByteExact _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -942,5 +943,15 @@ object SparkEntry {
         |SELECT 'one' AS part, k, v FROM base WHERE k IN (7, 42, 99)
         |UNION ALL SELECT 'two', k, v FROM base WHERE k IN (120, 180, 205)
         |UNION ALL SELECT 'three', k, v FROM base WHERE k IN (160, 999999)
-        |ORDER BY part, k""".stripMargin)
+        |ORDER BY part, k""".stripMargin,
+
+    // byte-exact dedup winners: the Spark side groups REAL encoded PNG
+    // bytes by sha-256; pixels are a pure function of doc_id % 25, so the
+    // oracle replays group membership (and the min-id winner + copy
+    // count) from the generator arithmetic alone
+    "q62_byte_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies
+        |FROM documents WHERE doc_id < 400
+        |GROUP BY doc_id % 25
+        |ORDER BY doc_id""".stripMargin)
 }

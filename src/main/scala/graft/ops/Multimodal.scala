@@ -180,6 +180,44 @@ object Multimodal {
     * join — identical images collapse at hamming 0 (the MERGE dedup key),
     * re-encoded / lightly edited variants within the radius. Feed the
     * result to [[Dedup.dedupComponents]] for canonical-image selection. */
+  /** Winners of byte-exact payload dedup: one row per distinct byte
+    * content, `(idCol, copies)`. Content identity is `sha2(bytes, 256)` —
+    * a cryptographic digest, so hash-group = byte-group with no verify
+    * pass (the collision probability is below hardware-error rates; the
+    * LAION-class pipelines dedup on exactly this identity before anything
+    * decodes). The winner per group is the MINIMUM id: byte-identical
+    * copies are indistinguishable in content, so no quality ranking
+    * applies and the minimum is deterministic under any partitioning.
+    *
+    * Scale shape: the digest is computed in the map-side projection
+    * (codegen'd built-in), so only `(64-char digest, id)` rides the ONE
+    * hash-aggregation shuffle — payload bytes never move. This is the
+    * cheapest rung of the image dedup ladder: in a real crawl the most
+    * common duplicate class is the same CDN asset referenced from many
+    * pages, and every copy collapsed here skips the decode the gate /
+    * phash stages would have paid. Rows with NULL bytes are excluded —
+    * "no payload" rows are not byte-identical content and belong to the
+    * undecodable gate, not the dedup. */
+  def byteExactWinners(df: DataFrame, bytesCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.filter(col(bytesCol).isNotNull)
+      .groupBy(sha2(col(bytesCol), 256).as("__digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+      .drop("__digest")
+  }
+
+  /** [[byteExactWinners]] applied as a filter: the input rows minus the
+    * non-winner byte-identical copies. NULL-bytes rows pass through
+    * unchanged (they carry no content to be a copy OF; downstream gates
+    * own them). */
+  def byteExactDedup(df: DataFrame, bytesCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val winners = byteExactWinners(df, bytesCol, idCol).select(col(idCol))
+    df.filter(col(bytesCol).isNull)
+      .unionByName(df.filter(col(bytesCol).isNotNull)
+        .join(winners, Seq(idCol), "left_semi"))
+  }
+
   def phashNearDup(images: DataFrame, idCol: String, maxHamming: Int = 3,
       maxBlockPopulation: Long = Long.MaxValue): DataFrame =
     Dedup.hammingPairs(images, idCol, "phash", maxHamming, bits = 64,

@@ -982,6 +982,39 @@ object ContractQueries {
       .orderBy("doc_id")
   }
 
+  /** Byte-exact payload dedup under the driver gate
+    * ([[graft.ops.Multimodal.byteExactWinners]]): 400 REAL PNG payloads
+    * whose pixels are a pure function of `doc_id % 25`, so the corpus
+    * carries exactly 25 byte-identical content groups of 16 copies each.
+    * The Spark side groups by `sha2(bytes, 256)` over the actual encoded
+    * bytes; the oracle replays group membership from the generator
+    * arithmetic (same pixels ⇒ same lossless PNG bytes ⇒ same digest) —
+    * a digest that splits a group, merges two, or a winner that is not
+    * the minimum id breaks the hash. */
+  def q62ByteExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id")).as[Long].repartition(8)
+    val media = ids.map { id =>
+      val g = id % 25
+      val img = new java.awt.image.BufferedImage(12, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 10) {
+        var x = 0
+        while (x < 12) {
+          val v = ((g * 17 + x * 31 + y * 47) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      (id, graft.functions.ImageKernels.encode(img, "png"))
+    }.toDF("doc_id", "bytes")
+    graft.ops.Multimodal.byteExactWinners(media, "bytes", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** IceLite manifest-level data skipping under the driver gate
     * ([[graft.sources.IceLite.readWhere]], q54 on-disk-table pattern):
     * two appends, a keep-best upsert that MOVES the upgraded rows' stats

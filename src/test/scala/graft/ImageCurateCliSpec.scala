@@ -196,6 +196,43 @@ class ImageCurateCliSpec extends AnyFunSuite {
     assert(ImageKernels.phash64(outBytes) == storedPhash)
   }
 
+  test("--byte-exact: byte-identical copies collapse before the gates, min id wins") {
+    val shared = content(400)            // three byte-identical copies
+    val other = content(401)             // distinct content, kept
+    val rows = Seq(
+      ("z9", shared, 40, 30, "png", "a photo of a shared asset",
+        ImageKernels.phash64(shared)),
+      ("a1", shared.clone(), 40, 30, "png", "a photo of a shared asset",
+        ImageKernels.phash64(shared)),
+      ("m5", shared.clone(), 40, 30, "png", "a photo of a shared asset",
+        ImageKernels.phash64(shared)),
+      ("u2", other, 40, 30, "png", "a photo of a unique asset",
+        ImageKernels.phash64(other)))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val in = Files.createTempDirectory("imgbyte-in-").toString
+    rows.write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("imgbyte-out-").toString
+
+    val s = ImageCurateCli.run(spark, Array(in, out,
+      "--min-w", "16", "--min-h", "12", "--byte-exact"))
+    // 4 in, 2 byte-copies dropped pre-decode, nothing else gates
+    assert(s == ImageCurateCli.ImageCurateSummary(4, 0, 0, 0, 2, -1, -1, 2),
+      s.toString)
+    assert(spark.read.parquet(s"$out/curated")
+      .select("image_id").as[String].collect().toSet == Set("a1", "u2"))
+    assert(spark.read.parquet(s"$out/audit/dropped_byte_exact")
+      .select("image_id").as[String].collect().toSet == Set("z9", "m5"))
+
+    // without the flag the copies reach the phash stage instead — same
+    // kept set (identical bytes tie on decoded quality; max image_id wins
+    // there), but every copy pays the gate decode and no byte audit exists
+    val out2 = Files.createTempDirectory("imgbyte-out2-").toString
+    val s2 = ImageCurateCli.run(spark, Array(in, out2,
+      "--min-w", "16", "--min-h", "12"))
+    assert(s2.droppedByteExact == -1L)
+    assert(s2.kept == 2L)
+  }
+
   test("usage errors: missing positionals, unknown flag, bad number") {
     def fails(args: Array[String]): String =
       intercept[CurateCli.CliUsageError](ImageCurateCli.run(spark, args)).getMessage
