@@ -1,0 +1,253 @@
+package graft.ops
+
+import java.util.Properties
+
+import graft.io.StateFs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search"): split each d-dim vector into `m` subvectors,
+  * vector-quantize each subspace against its own `k ≤ 256`-centroid
+  * codebook, and store the vector as `m` BYTES. Search is asymmetric
+  * distance computation (ADC): the query precomputes an m×k table of
+  * exact subspace distances once, and every encoded vector scores as m
+  * table lookups — no float vector is ever read.
+  *
+  * This is the memory story the float index cannot tell at 100 TB: a
+  * 768-dim float32 corpus is ~3 KB/vector; PQ with m=16 is 16 bytes —
+  * a ~200× compression that turns a petabyte-scale embedding sweep into
+  * a scan of a table that fits in cluster page cache. The engine keeps
+  * the raw vectors in the lake (they are NOT copied into the index);
+  * [[PqIndex#topKRerank]] re-attaches them by id equi-join for the
+  * shortlist only — the LSH→verified-cosine / phash→PSNR discipline
+  * applied to ANN serving.
+  *
+  * Scale shape: fit is m driver-coordinated KMeans runs over a bounded
+  * hash-sample (the [[IvfIndex]] sampling rationale); encode is a
+  * map-only codegen'd projection ([[graft.functions.PqEncode]], codebook
+  * plan-embedded); ADC top-k is a map-only scan + TakeOrdered — no
+  * shuffle anywhere but the final k-row gather. Unencodable vectors
+  * (wrong length, null elements) encode to NULL and are excluded from
+  * the index with a counted audit, never silently mis-indexed. */
+object PqIndex {
+
+  /** The fitted quantizer: `centroids(j)(c)` is centroid `c` of subspace
+    * `j`, each of length `dsub = dim / m`. */
+  final case class Codebook(m: Int, k: Int, dsub: Int,
+      centroids: Array[Array[Array[Double]]]) {
+    def dim: Int = m * dsub
+
+    /** Map-only encode column: array<double> → m-byte code (null when
+      * unencodable). */
+    def encodeCol(vec: Column): Column =
+      graft.functions.VectorFunctions.pq_encode(vec.cast("array<double>"), centroids)
+
+    /** The query's per-subspace distance table: `table(j)(c)` = exact
+      * squared L2 between the query's j-th subvector and centroid c. */
+    def adcTable(q: Array[Double]): Array[Array[Double]] = {
+      require(q.length == dim, s"pq: query dim ${q.length}, index dim $dim")
+      Array.tabulate(m) { j =>
+        Array.tabulate(k) { c =>
+          val cent = centroids(j)(c)
+          var d = 0.0
+          var t = 0
+          while (t < dsub) {
+            val diff = q(j * dsub + t) - cent(t)
+            d += diff * diff
+            t += 1
+          }
+          d
+        }
+      }
+    }
+
+    /** ADC distance column for one query (NaN for malformed codes). */
+    def adcCol(codes: Column, q: Array[Double]): Column =
+      graft.functions.VectorFunctions.pq_adc(codes, adcTable(q))
+
+    /** Exact squared L2 the ADC approximates, restricted to the codebook:
+      * decode of a code back to its centroid concatenation. Exposed for
+      * the spec's exactness property (a corpus representable by the
+      * codebook has ADC ≡ exact distance). */
+    def decode(codes: Array[Byte]): Array[Double] = {
+      require(codes.length == m, s"pq: code length ${codes.length}, m $m")
+      val out = new Array[Double](dim)
+      var j = 0
+      while (j < m) {
+        System.arraycopy(centroids(j)(codes(j) & 0xff), 0, out, j * dsub, dsub)
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Fit the per-subspace codebooks: m KMeans runs (squared euclidean,
+    * fixed seed per subspace) over a deterministic hash-sample of at most
+    * `fitSample` rows — the [[IvfIndex]] quantizer-sampling rationale:
+    * at 10^9 vectors a full-corpus fit would iterate the table 10× per
+    * subspace for centroids a representative sample fits equally well. */
+  def fitCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int = 256, fitSample: Long = 200000L): Codebook = {
+    require(k >= 1 && k <= 256, s"pq: k must be 1..256 (codes are bytes), got $k")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e0 = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("e"))
+    val dim = e0.filter(col("e").isNotNull).select(size(col("e"))).head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    // the fit sees only encodable vectors — null / wrong-length /
+    // null-element rows are the encode stage's gate, not the quantizer's
+    val e = e0.filter(col("e").isNotNull && size(col("e")) === dim &&
+      !exists(col("e"), _.isNull))
+    val nRows = e.count()
+    val train0 =
+      if (nRows <= fitSample) e
+      else e.filter(pmod(xxhash64(col("id")), lit(nRows / fitSample)) === 0)
+    // all m fits read the same sampled rows: materialize the sample once
+    val train = train0.cache()
+    try {
+      val centroids = Array.tabulate(m) { j =>
+        val sub = train.select(
+          array_to_vector(slice(col("e"), j * dsub + 1, dsub)).as("features"))
+        val model = new KMeans().setK(k).setSeed(42L + j).setMaxIter(10).fit(sub)
+        model.clusterCenters.map(_.toArray)
+      }
+      Codebook(m, k, dsub, centroids)
+    } finally { train.unpersist(); () }
+  }
+
+  /** Fit + encode + persist. Returns the index handle and the count of
+    * unencodable rows (wrong length / null elements) EXCLUDED from the
+    * index — callers treat nonzero as a data-quality signal, the same
+    * contract as the image gates. */
+  def build(spark: SparkSession, dir: String, emb: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int = 256,
+      fitSample: Long = 200000L): (PqIndex, Long) = {
+    val cb = fitCodebook(emb, idCol, vecCol, m, k, fitSample)
+    val sfs = StateFs(spark)
+    import spark.implicits._
+    cb.centroids.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(sfs.child(dir, "codebook"))
+    val encoded = emb.select(col(idCol).as("id"),
+        cb.encodeCol(col(vecCol)).as("codes"))
+    val obs = org.apache.spark.sql.Observation()
+    encoded.observe(obs,
+        count(lit(1)).as("n"), count(col("codes")).as("nEnc"))
+      .filter(col("codes").isNotNull)
+      .write.mode("overwrite").parquet(sfs.child(dir, "codes"))
+    val n = obs.get("n").asInstanceOf[Long]
+    val nEnc = obs.get("nEnc").asInstanceOf[Long]
+    val props = new Properties()
+    props.setProperty("m", m.toString)
+    props.setProperty("k", k.toString)
+    props.setProperty("dsub", cb.dsub.toString)
+    props.setProperty("rows", nEnc.toString)
+    props.setProperty("builtRows", nEnc.toString)
+    sfs.writeAtomic(sfs.child(dir, "_meta.properties"))(out => props.store(out, null))
+    (new PqIndex(spark, dir), n - nEnc)
+  }
+
+  def load(spark: SparkSession, dir: String): PqIndex = new PqIndex(spark, dir)
+}
+
+/** Handle over a persisted PQ index directory: `codebook/` (m×k centroid
+  * rows), `codes/` (id, m-byte code), `_meta.properties`. */
+final class PqIndex(spark: SparkSession, val dir: String) {
+  private val sfs = StateFs(spark)
+
+  private def loadMeta(): Properties = {
+    val props = new Properties()
+    val in = sfs.open(sfs.child(dir, "_meta.properties"))
+    try props.load(in) finally in.close()
+    props
+  }
+
+  @transient lazy val codebook: PqIndex.Codebook = {
+    val p = loadMeta()
+    val (m, k, dsub) = (p.getProperty("m").toInt, p.getProperty("k").toInt,
+      p.getProperty("dsub").toInt)
+    val cents = Array.fill(m)(new Array[Array[Double]](k))
+    spark.read.parquet(sfs.child(dir, "codebook")).collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    PqIndex.Codebook(m, k, dsub, cents)
+  }
+
+  def codes: DataFrame = spark.read.parquet(sfs.child(dir, "codes"))
+
+  /** Indexed vectors (build + appends), fresh from `_meta`. */
+  def rows: Long = loadMeta().getProperty("rows", "0").toLong
+
+  /** Codebook-fit corpus size — the [[IvfIndex]] drift-guard pair. */
+  def builtRows: Long = {
+    val p = loadMeta()
+    p.getProperty("builtRows", p.getProperty("rows", "0")).toLong
+  }
+
+  def appendedFraction: Double = {
+    val total = rows
+    val built = builtRows
+    if (built <= 0) 0.0 else (total - built).toDouble / built
+  }
+
+  /** True once appends exceed `threshold` × the fit corpus — the frozen
+    * codebook's reconstruction error grows with distribution drift the
+    * same way the IVF quantizer's list assignment does. */
+  def needsRebuild(threshold: Double = 0.5): Boolean =
+    appendedFraction > threshold
+
+  /** Encode new vectors with the FROZEN codebook and append — map-only,
+    * O(delta). Returns the count of unencodable rows excluded. */
+  def append(emb: DataFrame, idCol: String, vecCol: String): Long = {
+    val encoded = emb.select(col(idCol).as("id"),
+      codebook.encodeCol(col(vecCol)).as("codes"))
+    val obs = org.apache.spark.sql.Observation()
+    encoded.observe(obs,
+        count(lit(1)).as("n"), count(col("codes")).as("nEnc"))
+      .filter(col("codes").isNotNull)
+      .write.mode("append").parquet(sfs.child(dir, "codes"))
+    val n = obs.get("n").asInstanceOf[Long]
+    val nEnc = obs.get("nEnc").asInstanceOf[Long]
+    val props = loadMeta()
+    props.setProperty("rows", (props.getProperty("rows", "0").toLong + nEnc).toString)
+    sfs.writeAtomic(sfs.child(dir, "_meta.properties"))(out => props.store(out, null))
+    n - nEnc
+  }
+
+  /** Approximate top-k by ADC squared L2: one map-only scan of the code
+    * table (m byte-lookups per row, codegen'd) + TakeOrdered. Ties and
+    * the final order break on id — deterministic under any partitioning.
+    * Malformed codes score NaN and are excluded (the PSNR-filter
+    * contract), never ride a NaN-sorts-last surprise into the result. */
+  def topK(q: Array[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val scored = codes
+      .withColumn("adc", codebook.adcCol(col("codes"), q))
+      .filter(!isnan(col("adc")))
+    excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
+      .select(col("id"), round(col("adc"), 9).as("adc"))
+      .orderBy(col("adc"), col("id"))
+      .limit(k)
+  }
+
+  /** ADC shortlist → exact-cosine rerank over the caller's embedding
+    * relation (the raw vectors live in the lake, not in the index): the
+    * top `k × shortlistFactor` codes attach their float vectors by one id
+    * equi-join, and exact cosine orders the final k. Approximation error
+    * confined to shortlist membership — scores in the result are exact. */
+  def topKRerank(q: Array[Double], k: Int, emb: DataFrame, idCol: String,
+      vecCol: String, shortlistFactor: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val shortlist = topK(q, k * shortlistFactor, excludeId).select("id")
+    emb.join(shortlist, col(idCol) === col("id"), "left_semi")
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("e"))
+      .withColumn("qe", typedLit(q.toSeq))
+      .withColumn("cos", round(Similarity.cosine("e", "qe"), 6))
+      .select(col("id"), col("cos"))
+      .orderBy(desc("cos"), col("id"))
+      .limit(k)
+  }
+}

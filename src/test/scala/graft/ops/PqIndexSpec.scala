@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.functions.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: exactness on a codebook-representable corpus
+  * (ADC ≡ exact squared L2 when every vector IS a centroid tuple), recall
+  * on clustered data via the ADC→exact-cosine rerank, the unencodable-row
+  * gate, persistence + append drift accounting, and the map-only codegen
+  * shape of the encode/score projections. */
+class PqIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 8-dim corpus, m=2 subspaces of 4 dims, 4 well-separated values per
+  // subspace → every vector is exactly representable by a fitted codebook
+  private val subVals: Array[Array[Double]] = Array(
+    Array(0.0, 0.0, 0.0, 0.0), Array(10.0, 0.0, 0.0, 0.0),
+    Array(0.0, 10.0, 5.0, 0.0), Array(-10.0, 0.0, 0.0, 7.0))
+  private def vecFor(id: Long): Seq[Double] =
+    (subVals((id % 4).toInt) ++ subVals(((id / 4) % 4).toInt)).toSeq
+  private def representable = (0L until 64L).map(id => (id, vecFor(id)))
+    .toDF("vec_id", "embedding")
+
+  test("exactness: a codebook-representable corpus round-trips, ADC = exact L2") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-exact-").toString
+    val (idx, excluded) = PqIndex.build(spark, dir, representable,
+      "vec_id", "embedding", m = 2, k = 4)
+    assert(excluded == 0L)
+    val cb = idx.codebook
+    assert((cb.m, cb.k, cb.dsub) == ((2, 4, 4)))
+    // decode(encode(v)) == v for every corpus vector: the fitted centroids
+    // ARE the 4 planted subspace values (their cluster means)
+    representable.collect().foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val codes = graft.functions.VectorKernels.pqEncode(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), cb.centroids)
+      assert(java.util.Arrays.equals(cb.decode(codes), v), s"id ${r.getLong(0)}")
+    }
+    // therefore ADC top-k ≡ brute-force squared-L2 top-k
+    val q = vecFor(13L).toArray
+    val got = idx.topK(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = (0L until 64L).map { id =>
+      val v = vecFor(id)
+      (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (id, d) => (d, id) }.take(5)
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, a), (_, e)) => assert(math.abs(a - e) < 1e-9) }
+  }
+
+  test("recall on clustered data: rerank top-k matches exact cosine top-k") {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(6)(Array.fill(16)(rnd.nextDouble() * 20 - 10))
+    val corpus = (0 until 120).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pq-recall-").toString
+    val (idx, _) = PqIndex.build(spark, dir, corpus, "vec_id", "embedding",
+      m = 4, k = 8)
+    val q = centers(2)
+    def cos(v: Seq[Double]): Double = {
+      val dot = v.zip(q).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(v.map(x => x * x).sum)
+      val nb = math.sqrt(q.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val all = corpus.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val exact = all.map { case (id, v) => (id, cos(v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = idx.topKRerank(q, 10, corpus, "vec_id", "embedding")
+      .select("id").as[Long].collect().toSet
+    val overlap = (exact & got).size
+    assert(overlap >= 9, s"recall $overlap/10 (exact $exact, got $got)")
+    // rerank scores are EXACT cosines (round-6), not ADC approximations
+    val rr = idx.topKRerank(q, 1, corpus, "vec_id", "embedding").head()
+    val expScore = BigDecimal(cos(all.find(_._1 == rr.getLong(0)).get._2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rr.getDouble(1) - expScore) <= 1e-6,
+      s"${rr.getDouble(1)} vs $expScore")
+  }
+
+  test("unencodable vectors gate out with a count, never mis-index") {
+    val bad = Seq(
+      (100L, Seq(1.0, 2.0, 3.0)),              // wrong length
+      (101L, null.asInstanceOf[Seq[Double]]))  // null vector
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pq-bad-").toString
+    val (idx, excluded) = PqIndex.build(spark, dir,
+      representable.unionByName(bad), "vec_id", "embedding", m = 2, k = 4)
+    assert(excluded == 2L)
+    assert(idx.rows == 64L)
+    assert(idx.codes.filter($"id" >= 100L).count() == 0)
+  }
+
+  test("persistence + append: frozen codebook, drift accounting, retrievable delta") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-persist-").toString
+    val (built, _) = PqIndex.build(spark, dir, representable,
+      "vec_id", "embedding", m = 2, k = 4)
+    val idx = PqIndex.load(spark, dir)
+    assert(idx.codebook.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      built.codebook.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    assert((idx.rows, idx.builtRows) == ((64L, 64L)) && !idx.needsRebuild())
+
+    val delta = (200L until 240L).map(id => (id, vecFor(id))).toDF("vec_id", "embedding")
+    val excluded = idx.append(delta, "vec_id", "embedding")
+    assert(excluded == 0L)
+    assert((idx.rows, idx.builtRows) == ((104L, 64L)))
+    assert(idx.appendedFraction > 0.5 && idx.needsRebuild(0.5))
+    // an appended exact twin of the query ranks at distance 0 — behind
+    // its four base-corpus twins (ids 9/25/41/57 share the same code
+    // tuple; ties order by id), ahead of everything else
+    val got = idx.topK(vecFor(201L).toArray, 7).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(9L, 25L, 41L, 57L, 201L, 217L, 233L),
+      got.mkString(","))
+    assert(got.forall(_.getDouble(1) == 0.0))
+  }
+
+  test("encode and ADC stay map-only inside WholeStageCodegen") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-plan-").toString
+    val (idx, _) = PqIndex.build(spark, dir, representable,
+      "vec_id", "embedding", m = 2, k = 4)
+    // parquet-backed input: a local relation would constant-fold the
+    // projection away and leave nothing to assert
+    val vecDir = java.nio.file.Files.createTempDirectory("pq-plan-vec-").toString
+    representable.write.mode("overwrite").parquet(vecDir)
+    val enc = spark.read.parquet(vecDir).select(
+      idx.codebook.encodeCol($"embedding").as("codes"))
+    val encPlan = enc.queryExecution.executedPlan.toString
+    assert(encPlan.contains("*(1) Project"), encPlan)
+    assert(encPlan.contains("pq_encode"), encPlan)
+    val scoredPlan = idx.codes
+      .withColumn("adc", idx.codebook.adcCol($"codes", vecFor(0L).toArray))
+      .queryExecution.executedPlan.toString
+    assert(scoredPlan.contains("*(1) Project"), scoredPlan)
+    assert(scoredPlan.contains("pq_adc"), scoredPlan)
+    assert(!scoredPlan.contains("Exchange"), scoredPlan) // map-only scan
+  }
+}
