@@ -118,6 +118,28 @@ object PqIndex {
     } finally { train.unpersist(); () }
   }
 
+  /** Fit + encode + persist under `dataRoot`. Returns (codebook, encoded
+    * rows, input rows). */
+  private def fitEncodeWrite(spark: SparkSession, dataRoot: String,
+      emb: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      fitSample: Long): (Codebook, Long, Long) = {
+    val cb = fitCodebook(emb, idCol, vecCol, m, k, fitSample)
+    val sfs = StateFs(spark)
+    import spark.implicits._
+    cb.centroids.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(sfs.child(dataRoot, "codebook"))
+    val encoded = emb.select(col(idCol).as("id"),
+        cb.encodeCol(col(vecCol)).as("codes"))
+    val obs = org.apache.spark.sql.Observation()
+    encoded.observe(obs,
+        count(lit(1)).as("n"), count(col("codes")).as("nEnc"))
+      .filter(col("codes").isNotNull)
+      .write.mode("overwrite").parquet(sfs.child(dataRoot, "codes"))
+    (cb, obs.get("nEnc").asInstanceOf[Long], obs.get("n").asInstanceOf[Long])
+  }
+
   /** Fit + encode + persist. Returns the index handle and the count of
     * unencodable rows (wrong length / null elements) EXCLUDED from the
     * index — callers treat nonzero as a data-quality signal, the same
@@ -125,22 +147,8 @@ object PqIndex {
   def build(spark: SparkSession, dir: String, emb: DataFrame,
       idCol: String, vecCol: String, m: Int, k: Int = 256,
       fitSample: Long = 200000L): (PqIndex, Long) = {
-    val cb = fitCodebook(emb, idCol, vecCol, m, k, fitSample)
+    val (cb, nEnc, n) = fitEncodeWrite(spark, dir, emb, idCol, vecCol, m, k, fitSample)
     val sfs = StateFs(spark)
-    import spark.implicits._
-    cb.centroids.zipWithIndex.flatMap { case (cents, j) =>
-      cents.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
-    }.toSeq.toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(sfs.child(dir, "codebook"))
-    val encoded = emb.select(col(idCol).as("id"),
-        cb.encodeCol(col(vecCol)).as("codes"))
-    val obs = org.apache.spark.sql.Observation()
-    encoded.observe(obs,
-        count(lit(1)).as("n"), count(col("codes")).as("nEnc"))
-      .filter(col("codes").isNotNull)
-      .write.mode("overwrite").parquet(sfs.child(dir, "codes"))
-    val n = obs.get("n").asInstanceOf[Long]
-    val nEnc = obs.get("nEnc").asInstanceOf[Long]
     val props = new Properties()
     props.setProperty("m", m.toString)
     props.setProperty("k", k.toString)
@@ -151,13 +159,66 @@ object PqIndex {
     (new PqIndex(spark, dir), n - nEnc)
   }
 
-  def load(spark: SparkSession, dir: String): PqIndex = new PqIndex(spark, dir)
+  /** The maintenance entry [[PqIndex#needsRebuild]] cues: once appends
+    * drift past `threshold` × the fit corpus, refit the codebooks and
+    * re-encode from `emb` — the caller's AUTHORITATIVE embedding relation
+    * (the lake table the index serves). Unlike [[IvfIndex.maintain]], a
+    * PQ rebuild cannot feed on the index's own postings: codes are LOSSY
+    * (decode returns centroids, not vectors), so refitting on them would
+    * compound quantization error generation over generation.
+    *
+    * Crash-safe the IVF way: the new generation is fully written under
+    * `dir/gen-N` before one atomic `_meta` flip publishes it; a crash
+    * mid-rebuild leaves the live generation untouched, and superseded
+    * files are deleted best-effort only after the flip. Returns whether a
+    * rebuild ran. */
+  def maintain(spark: SparkSession, dir: String, emb: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.5,
+      fitSample: Long = 200000L): Boolean = {
+    val idx = load(spark, dir)
+    if (!idx.needsRebuild(threshold)) return false
+    val sfs = StateFs(spark)
+    val props = new Properties()
+    val in = sfs.open(sfs.child(dir, "_meta.properties"))
+    try props.load(in) finally in.close()
+    val oldGen = Option(props.getProperty("gen")).map(_.toInt)
+    val newGen = oldGen.getOrElse(-1) + 1
+    val oldRoot = oldGen.fold(dir)(g => sfs.child(dir, s"gen-$g"))
+    val newRoot = sfs.child(dir, s"gen-$newGen")
+    val (m, k) = (props.getProperty("m").toInt, props.getProperty("k").toInt)
+    val (cb, nEnc, _) = fitEncodeWrite(spark, newRoot, emb, idCol, vecCol,
+      m, k, fitSample)
+    props.setProperty("gen", newGen.toString)
+    props.setProperty("dsub", cb.dsub.toString)
+    props.setProperty("rows", nEnc.toString)
+    props.setProperty("builtRows", nEnc.toString)
+    sfs.writeAtomic(sfs.child(dir, "_meta.properties"))(out => props.store(out, null))
+    try {
+      sfs.delete(sfs.child(oldRoot, "codebook"))
+      sfs.delete(sfs.child(oldRoot, "codes"))
+      if (oldGen.isDefined) sfs.delete(oldRoot)
+    } catch { case _: Exception => () }
+    true
+  }
+
+  def load(spark: SparkSession, dir: String): PqIndex = {
+    val sfs = StateFs(spark)
+    val props = new Properties()
+    val in = sfs.open(sfs.child(dir, "_meta.properties"))
+    try props.load(in) finally in.close()
+    new PqIndex(spark, dir, Option(props.getProperty("gen")).map(_.toInt))
+  }
 }
 
 /** Handle over a persisted PQ index directory: `codebook/` (m×k centroid
-  * rows), `codes/` (id, m-byte code), `_meta.properties`. */
-final class PqIndex(spark: SparkSession, val dir: String) {
+  * rows), `codes/` (id, m-byte code), `_meta.properties`. Rebuilds
+  * ([[PqIndex.maintain]]) write `dir/gen-N` and flip the `_meta` pointer;
+  * a fresh [[PqIndex.build]] uses `dir` itself (gen absent). */
+final class PqIndex(spark: SparkSession, val dir: String,
+    val gen: Option[Int] = None) {
   private val sfs = StateFs(spark)
+
+  private def dataRoot: String = gen.fold(dir)(g => sfs.child(dir, s"gen-$g"))
 
   private def loadMeta(): Properties = {
     val props = new Properties()
@@ -171,13 +232,13 @@ final class PqIndex(spark: SparkSession, val dir: String) {
     val (m, k, dsub) = (p.getProperty("m").toInt, p.getProperty("k").toInt,
       p.getProperty("dsub").toInt)
     val cents = Array.fill(m)(new Array[Array[Double]](k))
-    spark.read.parquet(sfs.child(dir, "codebook")).collect().foreach { r =>
+    spark.read.parquet(sfs.child(dataRoot, "codebook")).collect().foreach { r =>
       cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
     PqIndex.Codebook(m, k, dsub, cents)
   }
 
-  def codes: DataFrame = spark.read.parquet(sfs.child(dir, "codes"))
+  def codes: DataFrame = spark.read.parquet(sfs.child(dataRoot, "codes"))
 
   /** Indexed vectors (build + appends), fresh from `_meta`. */
   def rows: Long = loadMeta().getProperty("rows", "0").toLong
@@ -209,7 +270,7 @@ final class PqIndex(spark: SparkSession, val dir: String) {
     encoded.observe(obs,
         count(lit(1)).as("n"), count(col("codes")).as("nEnc"))
       .filter(col("codes").isNotNull)
-      .write.mode("append").parquet(sfs.child(dir, "codes"))
+      .write.mode("append").parquet(sfs.child(dataRoot, "codes"))
     val n = obs.get("n").asInstanceOf[Long]
     val nEnc = obs.get("nEnc").asInstanceOf[Long]
     val props = loadMeta()

@@ -117,6 +117,29 @@ class PqIndexSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(1) == 0.0))
   }
 
+  test("maintain: drift past threshold refits from the lake corpus behind a gen pointer") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-maintain-").toString
+    val (idx, _) = PqIndex.build(spark, dir, representable,
+      "vec_id", "embedding", m = 2, k = 4)
+    val delta = (200L until 240L).map(id => (id, vecFor(id))).toDF("vec_id", "embedding")
+    idx.append(delta, "vec_id", "embedding")
+    assert(idx.needsRebuild(0.5))
+    val corpus = representable.unionByName(delta) // the authoritative lake relation
+    assert(PqIndex.maintain(spark, dir, corpus, "vec_id", "embedding", 0.5))
+    val idx2 = PqIndex.load(spark, dir)
+    assert(idx2.gen.contains(0))
+    assert((idx2.rows, idx2.builtRows) == ((104L, 104L)) && !idx2.needsRebuild(0.5))
+    // a second maintain below threshold is a no-op
+    assert(!PqIndex.maintain(spark, dir, corpus, "vec_id", "embedding", 0.5))
+    // the rebuilt index still resolves exact twins at distance 0
+    val got = idx2.topK(vecFor(201L).toArray, 7).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(9L, 25L, 41L, 57L, 201L, 217L, 233L))
+    assert(got.forall(_.getDouble(1) == 0.0))
+    // the superseded root-level layout was reclaimed after the flip
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codebook")))
+  }
+
   test("encode and ADC stay map-only inside WholeStageCodegen") {
     val dir = java.nio.file.Files.createTempDirectory("pq-plan-").toString
     val (idx, _) = PqIndex.build(spark, dir, representable,
