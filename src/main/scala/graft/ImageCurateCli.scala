@@ -147,15 +147,18 @@ object ImageCurateCli {
     // the gate ladder below pays per row. Only (digest, id) rides the
     // dedup shuffle; NULL-bytes rows pass through to the undecodable gate.
     val preDeduped = if (!byteExact) pairs else {
+      // semantics ≡ Multimodal.byteExactDedup (kept set spec-pinned); the
+      // inline form exists because the CLI also owes the drop AUDIT: one
+      // winners pass (slim (digest, id) shuffle), then ONE left join whose
+      // keep verdict feeds both the audit and the kept cache — the payload
+      // column scans twice total instead of once per consumer
       val winners = Multimodal.byteExactWinners(pairs, "bytes", "image_id")
-        .select(col("image_id")).cache()
-      audit(pairs.filter(col("bytes").isNotNull)
-        .join(winners, Seq("image_id"), "left_anti")
-        .select(col("image_id")), "dropped_byte_exact")
-      pairs.filter(col("bytes").isNull)
-        .unionByName(pairs.filter(col("bytes").isNotNull)
-          .join(winners, Seq("image_id"), "left_semi"))
-        .cache()
+        .select(col("image_id"), lit(true).as("__w"))
+      val flagged = pairs.join(winners, Seq("image_id"), "left")
+        .withColumn("__keep", col("bytes").isNull || coalesce(col("__w"), lit(false)))
+      audit(flagged.filter(!col("__keep")).select(col("image_id")),
+        "dropped_byte_exact")
+      flagged.filter(col("__keep")).drop("__w", "__keep").cache()
     }
     val nByte = if (byteExact) preDeduped.count() else nInput
 

@@ -175,11 +175,6 @@ object Multimodal {
     MediaRow(id.toString, "image", im.bytes, Map("fmt" -> im.fmt))
   }
 
-  /** Near-duplicate image pairs by perceptual-hash hamming distance: the
-    * 64-bit phash column fed through [[Dedup.hammingPairs]]' pigeonhole
-    * join — identical images collapse at hamming 0 (the MERGE dedup key),
-    * re-encoded / lightly edited variants within the radius. Feed the
-    * result to [[Dedup.dedupComponents]] for canonical-image selection. */
   /** Winners of byte-exact payload dedup: one row per distinct byte
     * content, `(idCol, copies)`. Content identity is `sha2(bytes, 256)` —
     * a cryptographic digest, so hash-group = byte-group with no verify
@@ -218,6 +213,11 @@ object Multimodal {
         .join(winners, Seq(idCol), "left_semi"))
   }
 
+  /** Near-duplicate image pairs by perceptual-hash hamming distance: the
+    * 64-bit phash column fed through [[Dedup.hammingPairs]]' pigeonhole
+    * join — identical images collapse at hamming 0 (the MERGE dedup key),
+    * re-encoded / lightly edited variants within the radius. Feed the
+    * result to [[Dedup.dedupComponents]] for canonical-image selection. */
   def phashNearDup(images: DataFrame, idCol: String, maxHamming: Int = 3,
       maxBlockPopulation: Long = Long.MaxValue): DataFrame =
     Dedup.hammingPairs(images, idCol, "phash", maxHamming, bits = 64,

@@ -33,7 +33,11 @@ import org.apache.spark.sql.functions._
 object PqIndex {
 
   /** The fitted quantizer: `centroids(j)(c)` is centroid `c` of subspace
-    * `j`, each of length `dsub = dim / m`. */
+    * `j`, each of length `dsub = dim / m`. `k` is the REQUESTED codes per
+    * subspace; `centroids(j).length` may be smaller (Spark KMeans returns
+    * fewer centers when a subspace has fewer distinct points than k —
+    * constant padding dims, quantized features), so every consumer sizes
+    * by the actual per-subspace count, never by k. */
   final case class Codebook(m: Int, k: Int, dsub: Int,
       centroids: Array[Array[Array[Double]]]) {
     def dim: Int = m * dsub
@@ -48,7 +52,7 @@ object PqIndex {
     def adcTable(q: Array[Double]): Array[Array[Double]] = {
       require(q.length == dim, s"pq: query dim ${q.length}, index dim $dim")
       Array.tabulate(m) { j =>
-        Array.tabulate(k) { c =>
+        Array.tabulate(centroids(j).length) { c =>
           val cent = centroids(j)(c)
           var d = 0.0
           var t = 0
@@ -94,7 +98,12 @@ object PqIndex {
     import org.apache.spark.ml.functions.array_to_vector
     val e0 = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("e"))
-    val dim = e0.filter(col("e").isNotNull).select(size(col("e"))).head().getInt(0)
+    // dimension = the corpus's DOMINANT vector length, not whichever row
+    // happens to scan first: one malformed leading row must not poison
+    // the fit filter (or fail the divisibility require) for 10^9 good rows
+    val dim = e0.filter(col("e").isNotNull)
+      .groupBy(size(col("e")).as("__d")).count()
+      .orderBy(desc("count"), col("__d")).head().getInt(0)
     require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
     val dsub = dim / m
     // the fit sees only encodable vectors — null / wrong-length /
@@ -231,10 +240,14 @@ final class PqIndex(spark: SparkSession, val dir: String,
     val p = loadMeta()
     val (m, k, dsub) = (p.getProperty("m").toInt, p.getProperty("k").toInt,
       p.getProperty("dsub").toInt)
-    val cents = Array.fill(m)(new Array[Array[Double]](k))
-    spark.read.parquet(sfs.child(dataRoot, "codebook")).collect().foreach { r =>
-      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    // sized by the ACTUAL per-subspace center count (may be < k when a
+    // subspace had fewer distinct points) — codes are dense 0..count-1,
+    // so max(code)+1 per subspace reconstructs the ragged layout exactly
+    val rows = spark.read.parquet(sfs.child(dataRoot, "codebook")).collect()
+    val cents = Array.tabulate(m) { j =>
+      new Array[Array[Double]](rows.filter(_.getInt(0) == j).map(_.getInt(1)).max + 1)
     }
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
     PqIndex.Codebook(m, k, dsub, cents)
   }
 
@@ -262,8 +275,15 @@ final class PqIndex(spark: SparkSession, val dir: String,
     appendedFraction > threshold
 
   /** Encode new vectors with the FROZEN codebook and append — map-only,
-    * O(delta). Returns the count of unencodable rows excluded. */
+    * O(delta). Returns the count of unencodable rows excluded. A handle
+    * loaded before a [[PqIndex.maintain]] rebuild refuses to write: its
+    * codebook (and codes root) belong to a superseded generation, so an
+    * append through it would land vectors no reader serves. */
   def append(emb: DataFrame, idCol: String, vecCol: String): Long = {
+    val liveGen = Option(loadMeta().getProperty("gen")).map(_.toInt)
+    if (liveGen != gen)
+      throw new IllegalStateException(s"pq: stale handle (gen $gen, live " +
+        s"$liveGen) — the index was rebuilt; re-load before appending")
     val encoded = emb.select(col(idCol).as("id"),
       codebook.encodeCol(col(vecCol)).as("codes"))
     val obs = org.apache.spark.sql.Observation()
@@ -302,9 +322,17 @@ final class PqIndex(spark: SparkSession, val dir: String,
   def topKRerank(q: Array[Double], k: Int, emb: DataFrame, idCol: String,
       vecCol: String, shortlistFactor: Int = 4,
       excludeId: Option[Long] = None): DataFrame = {
-    val shortlist = topK(q, k * shortlistFactor, excludeId).select("id")
-    emb.join(shortlist, col(idCol) === col("id"), "left_semi")
+    // the caller's relation may itself carry an `id` column (idCol == "id"
+    // is the natural lake schema) — alias the shortlist side so the join
+    // condition never resolves ambiguously
+    val shortlist = topK(q, k * shortlistFactor, excludeId)
+      .select(col("id").as("__sid"))
+    emb.join(shortlist, emb(idCol) === col("__sid"), "left_semi")
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("e"))
+      // a zero-norm shortlist vector has no direction to rank (and under
+      // ANSI mode the cosine division would FAIL the job, not NaN) — it
+      // drops, the alignmentScore contract applied to rerank
+      .filter(graft.functions.VectorFunctions.array_dot(col("e"), col("e")) > 0)
       .withColumn("qe", typedLit(q.toSeq))
       .withColumn("cos", round(Similarity.cosine("e", "qe"), 6))
       .select(col("id"), col("cos"))

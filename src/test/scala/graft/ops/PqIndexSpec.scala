@@ -117,6 +117,56 @@ class PqIndexSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(1) == 0.0))
   }
 
+  test("rerank works when the caller's id column is literally named 'id'") {
+    val corpus = (0L until 64L).map(id => (id, vecFor(id))).toDF("id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pq-idname-").toString
+    val (idx, _) = PqIndex.build(spark, dir, corpus, "id", "embedding", m = 2, k = 4)
+    val got = idx.topKRerank(vecFor(9L).toArray, 4, corpus, "id", "embedding")
+      .select("id").as[Long].collect().toSet
+    // the query's exact twins (id % 16 == 9) dominate the cosine ranking
+    assert(got.contains(9L) && got.contains(25L), got.toString)
+  }
+
+  test("low-cardinality subspace: fewer centers than k survive fit, persist and serve") {
+    // second subspace is CONSTANT — KMeans may return < k centers there;
+    // the codebook must stay ragged-safe through encode, ADC and reload
+    val corpus = (0L until 48L)
+      .map(id => (id, (subVals((id % 4).toInt) ++ subVals(0)).toSeq))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pq-ragged-").toString
+    val (idx, excluded) = PqIndex.build(spark, dir, corpus,
+      "vec_id", "embedding", m = 2, k = 4)
+    assert(excluded == 0L)
+    val reloaded = PqIndex.load(spark, dir)
+    for (cb <- Seq(idx.codebook, reloaded.codebook)) {
+      assert(cb.centroids(0).length >= 1 && cb.centroids(0).length <= 4)
+      assert(cb.centroids(1).length >= 1 && cb.centroids(1).length <= 4)
+      assert(cb.centroids.forall(_.forall(_ != null)))
+    }
+    // still exact on this representable corpus: twins of the query at 0
+    val got = reloaded.topK(vecFor(2L).toArray.take(4) ++ subVals(0), 3).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 6L, 10L), got.mkString(","))
+    assert(got.forall(_.getDouble(1) == 0.0))
+  }
+
+  test("a handle loaded before a rebuild refuses to append") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-stale-").toString
+    val (stale, _) = PqIndex.build(spark, dir, representable,
+      "vec_id", "embedding", m = 2, k = 4)
+    val delta = (200L until 240L).map(id => (id, vecFor(id))).toDF("vec_id", "embedding")
+    stale.append(delta, "vec_id", "embedding")
+    PqIndex.maintain(spark, dir, representable.unionByName(delta),
+      "vec_id", "embedding", 0.5)
+    val e = intercept[IllegalStateException](
+      stale.append(delta, "vec_id", "embedding"))
+    assert(e.getMessage.contains("stale handle"))
+    // a fresh handle appends fine
+    val fresh = PqIndex.load(spark, dir)
+    assert(fresh.append(
+      Seq((900L, vecFor(1L))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding") == 0L)
+  }
+
   test("maintain: drift past threshold refits from the lake corpus behind a gen pointer") {
     val dir = java.nio.file.Files.createTempDirectory("pq-maintain-").toString
     val (idx, _) = PqIndex.build(spark, dir, representable,
