@@ -440,9 +440,14 @@ object ImageKernels {
     * stream is copied verbatim, so the output decodes bit-identically to
     * the input while the provenance metadata is gone. Per container:
     *  - JPEG: drops APP1–APP15 and COM marker segments (EXIF and XMP ride
-    *    APP1, ICC APP2, Adobe APP14 — all provenance-bearing); APP0 (JFIF)
-    *    is kept (pixel density, no provenance). From SOS on, bytes copy
-    *    verbatim (entropy-coded data, no markers to parse).
+    *    APP1) EXCEPT the two that change how the pixels themselves decode:
+    *    APP14 (the Adobe color-transform marker — without it decoders
+    *    mis-infer YCCK/CMYK vs RGB component layout and produce wrong
+    *    colors) and APP2 when it carries an ICC profile (color-managed
+    *    decoders apply it to the output pixels). Stripping either would
+    *    break the decodes-identically contract below, so both are kept;
+    *    APP0 (JFIF) is kept too (pixel density, no provenance). From SOS
+    *    on, bytes copy verbatim (entropy-coded data, no markers to parse).
     *  - PNG: drops tEXt / zTXt / iTXt / eXIf / tIME ancillary chunks;
     *    critical and rendering-relevant chunks copy verbatim.
     *  - WEBP: drops the EXIF and XMP RIFF chunks, clears the matching VP8X
@@ -478,8 +483,15 @@ object ImageKernels {
               out.write(bytes, i, bytes.length - i); i = bytes.length // truncated seg
             } else {
               val len = be16(i + 2)
-              if (!((m >= 0xe1 && m <= 0xef) || m == 0xfe)) // strip APPn>0 + COM
-                out.write(bytes, i, 2 + len)
+              // APP2 is kept only as an ICC profile container — the
+              // profile changes decoded colors; other APP2 payloads
+              // (e.g. FlashPix) are provenance and drop like the rest
+              val iccApp2 = m == 0xe2 && len >= 14 &&
+                new String(bytes, i + 4, 12,
+                  java.nio.charset.StandardCharsets.ISO_8859_1) == "ICC_PROFILE\u0000"
+              val strip = ((m >= 0xe1 && m <= 0xef) || m == 0xfe) &&
+                m != 0xee && !iccApp2 // keep APP14 (Adobe) + ICC APP2
+              if (!strip) out.write(bytes, i, 2 + len)
               i += 2 + len
             }
           }

@@ -140,18 +140,27 @@ object CompressionKernels {
     * builds by a few bytes, so specs (and any oracle) pin BANDS, never
     * exact values. One linear pass per row, no allocation proportional to
     * corpus size. */
+  // one native Deflater per executor thread, reset() per row: allocating
+  // and end()-ing a native zlib stream per document would dominate the
+  // deflate work itself on short web docs (this runs once per row of the
+  // text-curation hot path). reset() restores the initial stream state, so
+  // the emitted bytes are identical to a fresh Deflater's.
+  private val deflaters =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue() = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    }
+
   def ratio(s: UTF8String): Double = {
     val bytes = s.getBytes
     if (bytes.length == 0) return 1.0
-    val d = new java.util.zip.Deflater(
-      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-    try {
-      d.setInput(bytes); d.finish()
-      val buf = new Array[Byte](8192)
-      var n = 0L
-      while (!d.finished()) n += d.deflate(buf)
-      n.toDouble / bytes.length
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    n.toDouble / bytes.length
   }
 }
 

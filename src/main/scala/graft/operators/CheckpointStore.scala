@@ -510,9 +510,13 @@ final class CheckpointStore(spark: SparkSession, val dir: String,
         val recencied = recency match {
           case None => prioed
           case Some(rel) =>
-            prioed.join(
-                rel.select(rel("url"), rel("lastmod").as("__lm")),
-                Seq("url"), "left_outer")
+            // defensively collapse the caller-supplied relation to one row
+            // per url (freshest lastmod wins): a left join against an
+            // un-deduped relation would MULTIPLY requeued frontier rows,
+            // and ExpireCli --recency accepts arbitrary parquet
+            val one = rel.select(rel("url"), rel("lastmod").as("__lm"))
+              .groupBy(col("url")).agg(max(col("__lm")).as("__lm"))
+            prioed.join(one, Seq("url"), "left_outer")
         }
         val band = CheckpointStore.RecencyBand
         val idxCol =

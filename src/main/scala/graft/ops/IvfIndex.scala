@@ -172,8 +172,18 @@ final class IvfIndex(spark: SparkSession, val dir: String, val nLists: Int,
     * alert/rebuild instead of silently degrading recall). Appending an id
     * that is already indexed adds a second posting entry — dedup upstream
     * (e.g. [[Dedup.exact]]).
+    *
+    * A handle loaded before an [[IvfIndex.maintain]] rebuild refuses to
+    * write (same contract as [[PqIndex.append]]): its centroids and data
+    * root belong to a superseded generation, so an append through it would
+    * land vectors in a directory no reader of the live generation serves
+    * while still bumping the shared `rows` counter.
     */
   def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
+    val liveGen = Option(loadMeta().getProperty("gen")).map(_.toInt)
+    if (liveGen != gen)
+      throw new IllegalStateException(s"ivf: stale handle (gen $gen, live " +
+        s"$liveGen) — the index was rebuilt; re-load before appending")
     // same metric and tie-break as the build's KMeans transform: squared
     // euclidean, lowest list id wins ties (struct ordering on (d, list))
     val centsLit = typedLit(centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)

@@ -73,9 +73,12 @@ object IvfPqIndex {
     import spark.implicits._
     val e0 = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("e"))
-    val dim = e0.filter(col("e").isNotNull)
+    val dimRows = e0.filter(col("e").isNotNull)
       .groupBy(size(col("e")).as("__d")).count()
-      .orderBy(desc("count"), col("__d")).head().getInt(0)
+      .orderBy(desc("count"), col("__d")).take(1)
+    require(dimRows.nonEmpty,
+      "ivfpq: no encodable vectors — the embedding relation is empty or all-null")
+    val dim = dimRows(0).getInt(0)
     require(dim % m == 0, s"ivfpq: dim $dim not divisible by m $m")
     val e = e0.filter(col("e").isNotNull && size(col("e")) === dim &&
       !exists(col("e"), _.isNull))

@@ -509,7 +509,12 @@ object Multimodal {
     val d = graft.functions.VectorFunctions.array_dot(ie, ce)
     val ni = graft.functions.VectorFunctions.array_dot(ie, ie)
     val nc = graft.functions.VectorFunctions.array_dot(ce, ce)
-    when(ni > 0 && nc > 0, round(d / (sqrt(ni) * sqrt(nc)), 6))
+    val s = round(d / (sqrt(ni) * sqrt(nc)), 6)
+    // the norm guard alone is not enough: an embedding carrying ±Infinity
+    // passes `ni > 0` yet scores NaN (∞/∞) — and Spark orders NaN ABOVE
+    // every real value, so a NaN score would sail through a `>=` gate
+    // into the kept side. Fold NaN into the documented NULL contract.
+    when(ni > 0 && nc > 0 && !isnan(s), s)
   }
 
   /** Alignment gate over a pair relation carrying per-pair embedding

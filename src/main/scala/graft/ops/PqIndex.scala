@@ -101,9 +101,12 @@ object PqIndex {
     // dimension = the corpus's DOMINANT vector length, not whichever row
     // happens to scan first: one malformed leading row must not poison
     // the fit filter (or fail the divisibility require) for 10^9 good rows
-    val dim = e0.filter(col("e").isNotNull)
+    val dimRows = e0.filter(col("e").isNotNull)
       .groupBy(size(col("e")).as("__d")).count()
-      .orderBy(desc("count"), col("__d")).head().getInt(0)
+      .orderBy(desc("count"), col("__d")).take(1)
+    require(dimRows.nonEmpty,
+      "pq: no encodable vectors — the embedding relation is empty or all-null")
+    val dim = dimRows(0).getInt(0)
     require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
     val dsub = dim / m
     // the fit sees only encodable vectors — null / wrong-length /

@@ -216,11 +216,19 @@ final class IceLite(spark: SparkSession, val dir: String,
     readBatchesOf(s, s.batches.takeRight(lastBatches))
   }
 
-  private def readBatchesOf(s: IceLite.Snapshot, batches: Seq[String]): DataFrame = {
-    if (batches.isEmpty)
-      throw new IllegalStateException(s"icelite: snapshot v${s.version} is empty")
+  private def readBatchesOf(s: IceLite.Snapshot, batches: Seq[String]): DataFrame =
+    tryReadBatchesOf(s, batches).getOrElse(
+      throw new IllegalStateException(s"icelite: snapshot v${s.version} is empty"))
+
+  /** [[readBatchesOf]] that reports "nothing live in this selection" as
+    * None instead of throwing — a SUBSET of batches can be legitimately
+    * empty (every selected batch fully excluded by copy-on-write upserts)
+    * even when the snapshot as a whole is not. */
+  private def tryReadBatchesOf(s: IceLite.Snapshot, batches: Seq[String])
+      : Option[DataFrame] = {
+    if (batches.isEmpty) return None
     partition match {
-      case None => spark.read.parquet(batches.map(b => p("data", b)): _*)
+      case None => Some(spark.read.parquet(batches.map(b => p("data", b)): _*))
       case Some(ps) =>
         // each batch root is its own partitioned layout — discover per batch
         // and union (multi-root discovery rejects sibling partition trees);
@@ -237,11 +245,22 @@ final class IceLite(spark: SparkSession, val dir: String,
             if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
           }
         }
-        if (parts.isEmpty)
-          throw new IllegalStateException(s"icelite: snapshot v${s.version} is empty")
-        parts.reduce(_ unionByName _)
+        if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
     }
   }
+
+  /** Schema-preserving empty frame over snapshot `s`: plan the cheapest
+    * live batch (newest first — an upsert's own batch is never excluded,
+    * so in practice the first probe hits) under an always-false predicate.
+    * `filter(lit(false))` collapses to an empty LocalRelation in the
+    * optimizer, so no data is scanned; only one batch root is listed. */
+  private def emptyRead(s: IceLite.Snapshot): DataFrame =
+    s.batches.reverseIterator
+      .flatMap(b => tryReadBatchesOf(s, Seq(b)))
+      .nextOption()
+      .getOrElse(throw new IllegalStateException(
+        s"icelite: snapshot v${s.version} is empty"))
+      .filter(lit(false))
 
   def isEmpty: Boolean = currentSnapshot().forall(_.batches.isEmpty)
 
@@ -319,9 +338,12 @@ final class IceLite(spark: SparkSession, val dir: String,
       case None =>
         data.write.mode("overwrite").parquet(p("data", batch))
     }
+    // artifact scans read the compacted bytes back (narrow columnar scans)
+    // instead of re-evaluating the multi-batch exclusion-aware union twice
+    val written = spark.read.parquet(p("data", batch))
     publish(v, Seq(batch), s.rowCount,
-      stats = statsEntryOf(data).map(batch -> _).toMap,
-      blooms = writeKeyBloom(data, batch, s.rowCount).toSet)
+      stats = statsEntryOf(written).map(batch -> _).toMap,
+      blooms = writeKeyBloom(written, batch, s.rowCount).toSet)
     v
   }
 
@@ -459,11 +481,17 @@ final class IceLite(spark: SparkSession, val dir: String,
             // prior ranges/Blooms stay valid: exclusions only REMOVE rows
             // from a batch, so its recorded (min, max) and key membership
             // remain supersets — a skip decision over either is still
-            // sound, merely conservative
+            // sound, merely conservative.
+            // stats + Bloom read the bytes writeBatch just materialized:
+            // re-evaluating `newBatch` (keep ∪ upgrades ∪ inserts — a join
+            // over every touched partition) would re-run that merge once
+            // per artifact; the read-back is a narrow columnar scan of
+            // exactly the stats/key columns
+            val written = spark.read.parquet(p("data", batch))
             publish(v, prev.get.batches :+ batch, prev.get.rowCount + nI, excl,
-              carriedStats(prev) ++ statsEntryOf(newBatch).map(batch -> _),
+              carriedStats(prev) ++ statsEntryOf(written).map(batch -> _),
               carriedBlooms(prev) ++
-                writeKeyBloom(newBatch, batch, prev.get.rowCount + nI))
+                writeKeyBloom(written, batch, prev.get.rowCount + nI))
             // exclusion growth is unbounded without maintenance — fold the
             // accumulated copy-on-write history once it crosses the bound
             if (excl.valuesIterator.map(_.size.toLong).sum > maxExclusionEntries)
@@ -479,9 +507,12 @@ final class IceLite(spark: SparkSession, val dir: String,
           if (nI + nU == 0) return (0L, 0L)
           val newBatch = keep.unionByName(upgrades).unionByName(inserts)
           writeBatch(newBatch, batch)
+          // same read-back discipline as the partitioned path: one full
+          // rewrite, then narrow scans of the written bytes for artifacts
+          val written = spark.read.parquet(p("data", batch))
           publish(v, Seq(batch), prev.get.rowCount + nI,
-            stats = statsEntryOf(newBatch).map(batch -> _).toMap,
-            blooms = writeKeyBloom(newBatch, batch, prev.get.rowCount + nI).toSet)
+            stats = statsEntryOf(written).map(batch -> _).toMap,
+            blooms = writeKeyBloom(written, batch, prev.get.rowCount + nI).toSet)
           (nI, nU)
         } finally { inserts.unpersist(); upgrades.unpersist() }
     }
@@ -556,9 +587,10 @@ final class IceLite(spark: SparkSession, val dir: String,
         keys.exists(bf.mightContainLong)
       }
     }
-    val base =
-      if (live.nonEmpty) readBatchesOf(s, live)
-      else readBatchesOf(s, Seq(s.batches.last)).filter(lit(false))
+    // a non-empty `live` can still hold zero live leaf dirs when every
+    // selected batch is fully excluded by later upserts — fall back to the
+    // schema-preserving empty plan, same as the no-candidate case
+    val base = tryReadBatchesOf(s, live).getOrElse(emptyRead(s))
     base.filter(col(kc).cast("long").isin(keys: _*))
   }
 
@@ -579,9 +611,8 @@ final class IceLite(spark: SparkSession, val dir: String,
       case Some((mn, mx)) => mx >= lo && mn <= hi
       case None => true // no recorded range — must read
     })
-    val base =
-      if (live.nonEmpty) readBatchesOf(s, live)
-      else readBatchesOf(s, Seq(s.batches.last)).filter(lit(false))
+    // same fully-excluded-selection fallback as readWhereKeyIn
+    val base = tryReadBatchesOf(s, live).getOrElse(emptyRead(s))
     base.filter(col(sc).cast("long") >= lo && col(sc).cast("long") <= hi)
   }
 

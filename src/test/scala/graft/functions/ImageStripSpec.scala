@@ -85,6 +85,32 @@ class ImageStripSpec extends AnyFunSuite {
     assert(!new String(stripped, "ISO-8859-1").contains("serial 12345"))
   }
 
+  test("jpeg: APP14 (Adobe transform) and ICC APP2 are kept — they change how pixels decode") {
+    // APP14 tells decoders the component layout (YCCK/CMYK vs RGB); the
+    // ICC profile changes decoded colors in color-managed decoders.
+    // Stripping either breaks the decodes-identically contract, so both
+    // must survive — while EXIF and a NON-ICC APP2 (FlashPix) still drop.
+    val clean = ImageKernels.encode(img(12, 10, (x, y) => (x * 9) << 16 | (y * 11)), "jpeg")
+    val adobe = jpegSeg(0xee, ("Adobe" + "d\u0000\u0000\u0000\u0000\u0002")
+      .getBytes("ISO-8859-1")) // transform=2 (YCCK)
+    val icc = jpegSeg(0xe2, ("ICC_PROFILE\u0000\u0001\u0001" + "profile-bytes")
+      .getBytes("ISO-8859-1"))
+    val flashpix = jpegSeg(0xe2, "FPXR\u0000provenance".getBytes("ISO-8859-1"))
+    val exif = jpegSeg(0xe1, "Exif\u0000\u0000II*\u0000gps".getBytes("ISO-8859-1"))
+    val tainted = clean.take(2) ++ exif ++ icc ++ flashpix ++ adobe ++ clean.drop(2)
+
+    val stripped = ImageKernels.stripMetadataJ(tainted)
+    val ms = markers(stripped)
+    assert(ms.contains(0xee), s"APP14 stripped: ${ms.map(_.toHexString)}")
+    assert(ms.contains(0xe2), s"ICC APP2 stripped: ${ms.map(_.toHexString)}")
+    assert(!ms.contains(0xe1), "EXIF survived")
+    val s = new String(stripped, "ISO-8859-1")
+    assert(s.contains("ICC_PROFILE") && s.contains("Adobe"))
+    assert(!s.contains("FPXR") && !s.contains("gps"), "non-ICC APP2 / EXIF survived")
+    assert(pixels(stripped) == pixels(tainted))
+    assert(ImageKernels.stripMetadataJ(stripped).sameElements(stripped), "not idempotent")
+  }
+
   test("jpeg: APP0 (JFIF density) is kept") {
     val clean = ImageKernels.encode(img(8, 8, (_, _) => 0x446688), "jpeg")
     assume(markers(clean).contains(0xe0), "encoder emits JFIF APP0")

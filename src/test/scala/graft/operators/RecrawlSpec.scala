@@ -247,8 +247,13 @@ class RecrawlSpec extends AnyFunSuite {
     // LARGEST url claims the freshest lastmod — only the recency idx can
     // produce fresher-first order
     val base = java.time.Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
-    val rec = s0.zipWithIndex.map { case (u, i) =>
-      (u, new java.sql.Timestamp((base + i * 86400L) * 1000L))
+    // the relation is deliberately UN-deduped: every url also carries a
+    // staler duplicate row (a url listed by two sitemaps). The requeue
+    // must collapse to one row per url (freshest wins) — an un-deduped
+    // left join would MULTIPLY requeued frontier entries
+    val rec = s0.zipWithIndex.flatMap { case (u, i) =>
+      Seq((u, new java.sql.Timestamp((base + i * 86400L) * 1000L)),
+        (u, new java.sql.Timestamp((base - 86400L) * 1000L)))
     }.toDF("url", "lastmod")
     // one shared authority class per host, so discoveryIdx (not priority)
     // decides intra-host order — the contract's "same authority scale"
@@ -258,8 +263,13 @@ class RecrawlSpec extends AnyFunSuite {
 
     // segment-level: lastmod rows sit in the recency band in freshness
     // order; unknown-recency rows (every other host) land after the band
-    val seg = store.readSegsRaw(Seq(m2.liveSegs.last.seg))
-      .select("url", "discoveryIdx").as[(String, Long)].collect().toMap
+    val segRows = store.readSegsRaw(Seq(m2.liveSegs.last.seg))
+      .select("url", "discoveryIdx").as[(String, Long)].collect()
+    // exactly one frontier row per expired url despite the duplicate
+    // recency rows (the Map below would silently hide a multiplication)
+    assert(segRows.length == expired.length,
+      s"${segRows.length} requeued rows for ${expired.length} expired urls")
+    val seg = segRows.toMap
     val segBase = (m2.round.toLong + 1) * CheckpointStore.IdxSpan
     val bandEnd = segBase + CheckpointStore.RecencyBand
     s0.foreach(u => assert(seg(u) >= segBase && seg(u) < bandEnd,

@@ -50,6 +50,24 @@ class AlignmentSpec extends AnyFunSuite {
     assert(audit.select("id").as[Long].collect().toSet == Set(2L, 3L, 4L, 5L))
   }
 
+  test("±Infinity embeddings score NULL and land in the audit, not kept") {
+    // ∞ passes the `norm > 0` guard but scores NaN (∞/∞) — and Spark
+    // orders NaN ABOVE every real value, so without the isnan fold a NaN
+    // score would pass `>= minScore` into the KEPT side
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), Seq(1.0, 0.0)),                        // fine → 1.0
+      (2L, Seq(Double.PositiveInfinity, 0.0), Seq(1.0, 0.0)),    // ∞ norm
+      (3L, Seq(1.0, Double.NegativeInfinity), Seq(0.5, 2.0)))    // mixed ∞
+      .toDF("id", "ie", "ce")
+    val s = df.withColumn("a", Multimodal.alignmentScore($"ie", $"ce"))
+    assert(s.filter(isnan($"a")).count() == 0)
+    assert(s.filter($"a".isNull).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L))
+    val (kept, audit) = Multimodal.alignmentGate(df, "ie", "ce", 0.5)
+    assert(kept.select("id").as[Long].collect().toSet == Set(1L))
+    assert(audit.select("id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("gate partitions the input exactly at the threshold") {
     val df = scored(Seq(
       (1L, Seq(1.0, 0.0), Seq(1.0, 0.0)),    // 1.0   → kept

@@ -224,6 +224,19 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.load(spark, dir).gen.contains(1))
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/gen-0")))
     assert(spark.read.parquet(s"$dir/gen-1/assignments").count() == 2 * n)
+
+    // a handle loaded BEFORE that rebuild is now stale (gen 0, live gen 1):
+    // appending through it would write into the reclaimed generation and
+    // bump the shared rows counter with vectors no reader serves — it must
+    // refuse (the PqIndex.append contract), and the live index must be
+    // untouched by the attempt
+    val rowsBefore = IvfIndex.load(spark, dir).rows
+    val ex = intercept[IllegalStateException] {
+      idx.append(emb.limit(5), "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("stale handle"), ex.getMessage)
+    assert(IvfIndex.load(spark, dir).rows == rowsBefore)
+    assert(spark.read.parquet(s"$dir/gen-1/assignments").count() == 2 * n)
   }
 
   test("IvfMaintainCli: flag parsing, drift-gated rebuild, --force") {

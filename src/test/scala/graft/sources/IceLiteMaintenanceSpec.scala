@@ -338,6 +338,42 @@ class IceLiteMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("readWhere/readWhereKeyIn: a selection of fully-excluded batches returns empty, not an error") {
+    // an upsert that touches EVERY partition value fully excludes the
+    // prior batch; a range/key probe whose only candidates are such
+    // batches must behave like read().filter(...) — zero rows — instead
+    // of throwing "snapshot is empty"
+    val dir = Files.createTempDirectory("graft-icelite-excl-").toString
+    // batch-1 predates the Bloom column (no recorded filter → always a
+    // candidate); reopening with it configured records Blooms from then on
+    val t0 = new IceLite(spark, dir, Some(IceLite.phashPartition("k")),
+      statsCol = Some("r"))
+    t0.append(Seq((1L, 1L, 1, "a"), (1L << 56 | 2L, 2L, 1, "b"))
+      .toDF("k", "r", "q", "v"))
+    val t = new IceLite(spark, dir, Some(IceLite.phashPartition("k")),
+      statsCol = Some("r"), keyBloomCol = Some("k"))
+    // upgrade BOTH keys with far-away stats values → touched = {0, 1} =
+    // every partition; batch-1 is now fully excluded but still listed
+    assert(t.mergeUpsertBest(Seq((1L, 100L, 9, "a2"), (1L << 56 | 2L, 200L, 9, "b2"))
+      .toDF("k", "r", "q", "v"), "k", "q") == ((0L, 2L)))
+    val s = t.currentSnapshot().get
+    assert(s.exclusions.getOrElse("batch-00001", Set.empty) == Set("0", "1"))
+
+    // stats route: [1, 2] intersects ONLY batch-1's recorded range
+    val none = t.readWhere(1, 2)
+    assert(none.count() == 0L)
+    assert(t.read().filter($"r" >= 1 && $"r" <= 2).count() == 0L) // equivalence
+    assert(none.schema.fieldNames.toSet == Set("k", "r", "q", "v"))
+    // Bloom route: an absent key is rejected by batch-2's Bloom, but
+    // batch-1 (no recorded Bloom — must read) stays a candidate
+    val noKey = t.readWhereKeyIn(Seq(424242L))
+    assert(noKey.count() == 0L)
+    assert(noKey.schema.fieldNames.toSet == Set("k", "r", "q", "v"))
+    // live rows still read exactly
+    assert(t.readWhere(90, 210).count() == 2L)
+    assert(t.readWhereKeyIn(Seq(1L)).collect().map(_.getString(3)).toSeq == Seq("a2"))
+  }
+
   test("keyBloom stays exact through upsert, compact and expire; orphan filters deleted") {
     val dir = Files.createTempDirectory("graft-icelite-bloom-up-").toString
     val t = new IceLite(spark, dir, None, keyBloomCol = Some("k"), keyBloomFpp = 0.001)
