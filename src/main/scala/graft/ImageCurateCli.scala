@@ -56,6 +56,13 @@ object ImageCurateCli {
       |                   DECODED pixel count — recorded w/h are untrusted)
       |  --psnr DB        With --near-dup: verify candidate pairs on
       |                   decoded pixels, keep only pairs >= DB (0 = off)
+      |  --orientation    Dedup in orientation-canonical signature space:
+      |                   the exact and near-dup stages key on
+      |                   phash_canonical64 (min phash over the 8 dihedral
+      |                   orientations), so mirrored/rotated re-posts
+      |                   collapse too; --psnr verification uses the
+      |                   orientation-aware PSNR. Costs one extra decode
+      |                   per gated row
       |  --batches N      Also materialize training batches of N images to
       |                   batches/: header-dims aspect banding, resample to
       |                   each band's target resolution, complete batches
@@ -89,7 +96,7 @@ object ImageCurateCli {
     var align: Option[String] = None; var alignMin = 0.3
     var batches: Option[Int] = None; var batchSide = 512
     var batchMode = "area"; var batchShards = 1
-    var stripMetadata = false; var byteExact = false
+    var stripMetadata = false; var byteExact = false; var orientation = false
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -124,6 +131,7 @@ object ImageCurateCli {
         case "--batch-shards" => batchShards = num("--batch-shards", _.toInt)
         case "--strip-metadata" => stripMetadata = true
         case "--byte-exact" => byteExact = true
+        case "--orientation" => orientation = true
         case flag if flag.startsWith("--") =>
           throw CurateCli.CliUsageError(s"unknown flag: $flag")
         case p => pos :+= p
@@ -202,42 +210,57 @@ object ImageCurateCli {
     }
     val nAlign = aligned.count()
 
-    // 2. exact phash dedup: keep the best-quality row per phash (quality =
-    // DECODED pixel count; ties → max image_id, deterministic)
+    // signature space for the dedup stages: the stored phash, or
+    // (--orientation) the orientation-canonical hash computed from the
+    // bytes — mirrored/rotated re-posts share the canonical value, so
+    // they collapse in the exact stage and cluster in the near-dup stage.
+    // The canonical hash is one extra decode per gated row, flag-gated.
+    val sigd =
+      if (!orientation) aligned.withColumn("__dsig", col("phash"))
+      else aligned.withColumn("__dsig",
+        graft.functions.ImageFunctions.phash_canonical64(col("bytes"))).cache()
+
+    // 2. exact signature dedup: keep the best-quality row per signature
+    // (quality = DECODED pixel count; ties → max image_id, deterministic)
     val q = col("__dq")
-    val winners = aligned.groupBy(col("phash").as("__ph"))
+    val winners = sigd.groupBy(col("__dsig").as("__ph"))
       .agg(max(struct(q.as("__q"), col("image_id").as("__id"))).as("__w"))
       .select(col("__w.__id").as("image_id"))
-    val exact = aligned.join(winners, Seq("image_id"), "left_semi").cache()
-    audit(aligned.join(winners, Seq("image_id"), "left_anti")
+    val exact = sigd.join(winners, Seq("image_id"), "left_semi").cache()
+    audit(sigd.join(winners, Seq("image_id"), "left_anti")
       .select(col("image_id"), col("phash")), "dropped_exact")
     val nExact = exact.count()
 
-    // 3. near-dup clustering over DISTINCT phashes
-    val kept = nearDup match {
+    // 3. near-dup clustering over DISTINCT signatures
+    val kept0 = nearDup match {
       case None => exact
       case Some(h) =>
-        val sigs = exact.select(col("phash"))
-        val cand0 = Dedup.hammingPairs(sigs, "phash", "phash", h)
+        val sigs = exact.select(col("__dsig"))
+        val cand0 = Dedup.hammingPairs(sigs, "__dsig", "__dsig", h)
         val cand =
           if (psnrDb <= 0) cand0.select("d1", "d2")
           else {
-            val a = exact.select(col("phash").as("d1"), col("bytes").as("__ba"))
-            val b = exact.select(col("phash").as("d2"), col("bytes").as("__bb"))
+            val a = exact.select(col("__dsig").as("d1"), col("bytes").as("__ba"))
+            val b = exact.select(col("__dsig").as("d2"), col("bytes").as("__bb"))
+            val pv =
+              if (orientation) graft.functions.ImageFunctions
+                .image_psnr_oriented(col("__ba"), col("__bb"))
+              else graft.functions.ImageFunctions
+                .image_psnr(col("__ba"), col("__bb"))
             cand0.join(a, Seq("d1")).join(b, Seq("d2"))
-              .withColumn("__p", graft.functions.ImageFunctions
-                .image_psnr(col("__ba"), col("__bb")))
+              .withColumn("__p", pv)
               // NaN (size mismatch) orders above every number — exclude
               .filter(!isnan(col("__p")) && col("__p") >= psnrDb)
               .select("d1", "d2")
           }
-        val groups = Dedup.canonicalByQuality(sigs, "phash", cand,
-          exact.select(col("phash"), q.as("__q")), "__q")
+        val groups = Dedup.canonicalByQuality(sigs, "__dsig", cand,
+          exact.select(col("__dsig"), q.as("__q")), "__q")
         audit(groups.filter(col("is_kept") === 0)
-          .select(col("phash"), col("component")), "dropped_near_dup")
-        exact.join(groups.filter(col("is_kept") === 1).select("phash"),
-          Seq("phash"), "left_semi")
+          .select(col("__dsig").as("phash"), col("component")), "dropped_near_dup")
+        exact.join(groups.filter(col("is_kept") === 1).select("__dsig"),
+          Seq("__dsig"), "left_semi")
     }
+    val kept = kept0.drop("__dsig")
     // optional privacy scrub at the write: strip_image_metadata preserves
     // the pixel stream byte-for-byte, so it commutes with every gate,
     // phash, and quality stat above — applying it here (once, on the
@@ -250,6 +273,7 @@ object ImageCurateCli {
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     val nKept = curated.count()
     exact.unpersist()
+    if (orientation) sigd.unpersist()
     if (align.isDefined) aligned.unpersist()
     gated.unpersist()
     if (byteExact) preDeduped.unpersist()

@@ -28,6 +28,8 @@ object FunctionTable {
     Fn("compression_ratio", 1, es => CompressionRatio(es.head)),
     Fn("phash64", 1, es => PHash64(es.head)),
     Fn("dhash64", 1, es => DHash64(es.head)),
+    Fn("phash_canonical64", 1, es => PHashCanonical64(es.head)),
+    Fn("image_psnr_oriented", 2, es => ImagePsnrOriented(es(0), es(1))),
     Fn("image_hashes", 1, es => ImageHashes(es.head)),
     Fn("image_psnr", 2, es => ImagePsnr(es(0), es(1))),
     Fn("sniff_image_format", 1, es => SniffImageFormat(es.head)),

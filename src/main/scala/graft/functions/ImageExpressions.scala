@@ -74,6 +74,41 @@ case class ImageHashes(child: Expression)
 
 /** Decoded-pixel PSNR (dB) between two encoded images (the ≥ 40 dB lossy
   * invariant from BASELINE.json `input_hint`). */
+/** Orientation-canonical perceptual hash
+  * ([[ImageKernels.phashCanonicalOf]]): min of the DCT phash over the 8
+  * dihedral orientations, derived from ONE decode + ONE DCT by coefficient
+  * sign/transpose surgery — mirrored/rotated re-posts groupBy-collapse on
+  * this value. Undecodable → 0L (the `phash64` convention). */
+case class PHashCanonical64(child: Expression)
+    extends UnaryExpression with BinaryInputCheck {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phash_canonical64"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageKernels.phashCanonical64(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKernels.phashCanonical64($c)")
+  override protected def withNewChildInternal(newChild: Expression): PHashCanonical64 =
+    copy(child = newChild)
+}
+
+/** Orientation-aware PSNR ([[ImageKernels.psnrOriented]]): max PSNR over
+  * the 8 dihedral orientations of the RIGHT image — the pixel verifier
+  * paired with [[PHashCanonical64]] candidates. NaN when undecodable or no
+  * orientation's dimensions match. */
+case class ImagePsnrOriented(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryInputCheck {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_psnr_oriented"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ImageKernels.psnrOriented(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ImageKernels.psnrOriented($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ImagePsnrOriented =
+    copy(left = l, right = r)
+}
+
 case class ImagePsnr(left: Expression, right: Expression)
     extends BinaryExpression with BinaryInputCheck {
   override def dataType: DataType = DoubleType
@@ -237,6 +272,10 @@ case class StripImageMetadata(child: Expression)
 object ImageFunctions {
   def phash64(c: Column): Column = CB.column(PHash64(CB.expression(c)))
   def dhash64(c: Column): Column = CB.column(DHash64(CB.expression(c)))
+  def phash_canonical64(c: Column): Column =
+    CB.column(PHashCanonical64(CB.expression(c)))
+  def image_psnr_oriented(a: Column, b: Column): Column =
+    CB.column(ImagePsnrOriented(CB.expression(a), CB.expression(b)))
   def image_hashes(c: Column): Column = CB.column(ImageHashes(CB.expression(c)))
   def image_psnr(a: Column, b: Column): Column =
     CB.column(ImagePsnr(CB.expression(a), CB.expression(b)))
@@ -258,7 +297,8 @@ object ImageFunctions {
 
   def registerAll(spark: SparkSession): Unit =
     FunctionTable.register(spark, FunctionTable.byName(
-      "phash64", "dhash64", "image_hashes", "image_psnr", "sniff_image_format",
+      "phash64", "dhash64", "phash_canonical64", "image_hashes",
+      "image_psnr", "image_psnr_oriented", "sniff_image_format",
       "image_stats", "image_sig", "image_dims", "image_resample",
       "strip_image_metadata"))
 }

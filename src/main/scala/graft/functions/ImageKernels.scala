@@ -86,9 +86,13 @@ object ImageKernels {
   /** [[phash64]] over an already-decoded image — shared with
     * [[imageSigRow]] so the one-decode combined signature cannot diverge
     * from the standalone hash. */
-  def phashOf(img: BufferedImage): Long = {
+  def phashOf(img: BufferedImage): Long = bitsOf(dctBlockOf(img))
+
+  /** The 8×8 low-frequency block of the 2-D DCT-II over the 32×32
+    * grayscale resample — the shared intermediate of [[phashOf]] and
+    * [[phashCanonicalOf]]. */
+  private def dctBlockOf(img: BufferedImage): Array[Array[Double]] = {
     val g = grayResample(img, N)
-    // 2D DCT-II, only the 8×8 low-frequency block is needed
     val block = Array.ofDim[Double](8, 8)
     var u = 0
     while (u < 8) {
@@ -105,6 +109,15 @@ object ImageKernels {
       }
       u += 1
     }
+    block
+  }
+
+  /** Median-threshold bit extraction over the 63 AC coefficients of an
+    * 8×8 DCT block (row-major, DC excluded) — the tail of the classic
+    * pHash recipe, split out so [[phashCanonicalOf]] can re-run it per
+    * orientation variant (sign flips reorder the AC distribution, so the
+    * median must be recomputed for each). */
+  private def bitsOf(block: Array[Array[Double]]): Long = {
     val ac = (for (i <- 0 until 8; j <- 0 until 8 if !(i == 0 && j == 0)) yield block(i)(j)).toArray
     val sorted = ac.sorted
     val median = (sorted(31) + sorted(32)) / 2.0
@@ -112,6 +125,72 @@ object ImageKernels {
     var i = 0
     while (i < 63) { if (ac(i) > median) bits |= (1L << i); i += 1 }
     bits
+  }
+
+  /** Orientation-canonical perceptual hash: the minimum of [[phashOf]]
+    * over the image's 8 dihedral orientations (identity, the three
+    * rotations, and the four mirror images). A mirrored or rotated
+    * re-post — the standard orientation-dup class of a crawled image
+    * corpus — canonicalizes to the SAME 64-bit value (exactly, for a
+    * lossless re-encode), so orientation dups collapse in an exact
+    * groupBy on this hash.
+    *
+    * Cost: ONE decode, then 8 cheap remaps of the decoded raster — the
+    * decode dominates the image hot path, so this prices like one plain
+    * `phash64` on real payloads. Exactness: [[orientOf]] enumerates the
+    * full dihedral group, so the SET of 8 oriented rasters is identical
+    * (pixel-for-pixel) for an image and for any of its orientations; the
+    * min over that set is therefore exactly invariant — no floating-point
+    * caveats.
+    *
+    * Why NOT the tempting one-DCT shortcut (derive all 8 hashes from one
+    * coefficient block by sign flips and transposes — DCT-II of a flipped
+    * signal is the original block with (−1)^u / (−1)^v sign surgery):
+    * that is only exact if the 32×32 resample commutes with flips, and
+    * [[grayResample]] uses FLOOR cell boundaries (`gx·w/32`), whose
+    * partition is NOT mirror-symmetric unless 32 divides the dimension —
+    * a 21-px-wide image resamples its mirror into DIFFERENT boxes and the
+    * surgery-derived hashes drift by real bits (measured, not
+    * hypothetical). The raster-space min is exact for every size and
+    * costs only remaps. Undecodable → 0L, the [[phash64]] convention. */
+  def phashCanonicalOf(img: BufferedImage): Long = {
+    var best = Long.MaxValue // bits occupy 0..62, so every hash is ≥ 0
+    var k = 0
+    while (k < 8) {
+      val h = phashOf(orientOf(img, k))
+      if (h < best) best = h
+      k += 1
+    }
+    best
+  }
+
+  /** [[phashCanonicalOf]] over encoded bytes; undecodable → 0L. */
+  def phashCanonical64(bytes: Array[Byte]): Long = {
+    val img = try decode(bytes) catch { case _: Exception => null }
+    if (img == null) 0L else phashCanonicalOf(img)
+  }
+
+  /** The `k`-th dihedral orientation of `img`, k ∈ [0, 8): bit 0 =
+    * horizontal flip, bit 1 = vertical flip, bit 2 = transpose — the same
+    * enumeration [[phashCanonicalOf]] minimizes over. */
+  def orientOf(img: BufferedImage, k: Int): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val t = (k & 4) != 0
+    val out = new BufferedImage(if (t) h else w, if (t) w else h,
+      BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val sx = if ((k & 1) != 0) w - 1 - x else x
+        val sy = if ((k & 2) != 0) h - 1 - y else y
+        if (t) out.setRGB(y, x, img.getRGB(sx, sy))
+        else out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
@@ -179,6 +258,12 @@ object ImageKernels {
     val a = try decode(aBytes) catch { case _: Exception => null }
     val b = try decode(bBytes) catch { case _: Exception => null }
     if (a == null || b == null) return Double.NaN
+    psnrOf(a, b)
+  }
+
+  /** PSNR between two decoded images (no re-decode) — the [[psnr]] core.
+    * NaN on size mismatch, +Inf when identical. */
+  private def psnrOf(a: BufferedImage, b: BufferedImage): Double = {
     if (a.getWidth != b.getWidth || a.getHeight != b.getHeight) return Double.NaN
     var se = 0.0
     var y = 0
@@ -198,6 +283,34 @@ object ImageKernels {
     }
     val mse = se / (a.getWidth.toLong * a.getHeight * 3)
     if (mse == 0.0) Double.PositiveInfinity else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  /** Orientation-aware PSNR: the MAXIMUM of [[psnr]] over the 8 dihedral
+    * orientations of the SECOND image — the pixel-verification partner of
+    * [[phashCanonical64]] (a rotated re-post PSNRs to NaN/garbage against
+    * the original in its stored orientation; against the right orientation
+    * it verifies like any near-dup). Decodes each side ONCE; only the 8
+    * cheap pixel remaps and comparisons repeat, and orientation k is
+    * skipped when its dimensions cannot match. NaN when either side is
+    * undecodable or no orientation matches dimensions — same drop
+    * semantics as [[psnr]]. */
+  def psnrOriented(aBytes: Array[Byte], bBytes: Array[Byte]): Double = {
+    val a = try decode(aBytes) catch { case _: Exception => null }
+    val b = try decode(bBytes) catch { case _: Exception => null }
+    if (a == null || b == null) return Double.NaN
+    var best = Double.NaN
+    var k = 0
+    while (k < 8) {
+      val dimsMatch =
+        if ((k & 4) == 0) b.getWidth == a.getWidth && b.getHeight == a.getHeight
+        else b.getHeight == a.getWidth && b.getWidth == a.getHeight
+      if (dimsMatch) {
+        val p = psnrOf(a, orientOf(b, k))
+        if (best.isNaN || p > best) best = p
+      }
+      k += 1
+    }
+    best
   }
 
   /** Deterministic exact-target resample with PINNED integer sampling —

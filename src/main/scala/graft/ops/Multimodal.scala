@@ -301,6 +301,38 @@ object Multimodal {
     * a phash column (the streaming curation path computed one via
     * `image_sig`) passes its name as `deltaPhashCol` to skip the
     * per-batch re-decode. */
+  /** Orientation-dup pairs: the [[verifiedPhashDup]] construction with
+    * the signature replaced by the orientation-CANONICAL phash
+    * (`phash_canonical64` — min of the DCT phash over the 8 dihedral
+    * orientations, ONE decode) and the verifier by the orientation-aware
+    * PSNR (`image_psnr_oriented` — max over the 8 orientations of the
+    * right image). Catches the re-post class plain phash dedup is blind
+    * to: the same image mirrored or rotated, stored under different
+    * bytes. Same scale shape — candidates are a bucketed hamming join
+    * over (id, canonical-hash) only; bytes re-attach to candidates by id
+    * equi-joins; undecodable/odd-dimensioned candidates PSNR to NaN and
+    * drop; precision is owned by the pixel check. An UN-rotated exact or
+    * near dup is also caught (identity is one of the 8 orientations), so
+    * this is a strict superset of the plain verified near-dup at equal
+    * radius — run it INSTEAD of, not after, `verifiedPhashDup` when
+    * orientation dups matter. */
+  def verifiedOrientationDup(images: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 6, minPsnrDb: Double = 40.0,
+      maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ph = images.select(col(idCol),
+      graft.functions.ImageFunctions.phash_canonical64(col(bytesCol)).as("phash"))
+    val cand = phashNearDup(ph, idCol, maxHamming, maxBlockPopulation)
+    val a = images.select(col(idCol).as("d1"), col(bytesCol).as("__ba"))
+    val b = images.select(col(idCol).as("d2"), col(bytesCol).as("__bb"))
+    cand.join(a, Seq("d1")).join(b, Seq("d2"))
+      .withColumn("psnr_db",
+        graft.functions.ImageFunctions.image_psnr_oriented(col("__ba"), col("__bb")))
+      // NaN sorts above every number in Spark SQL — exclude explicitly
+      .filter(!isnan(col("psnr_db")) && col("psnr_db") >= minPsnrDb)
+      .select("d1", "d2", "hamming", "psnr_db")
+  }
+
   def verifiedPhashDupIncremental(corpus: DataFrame, delta: DataFrame,
       idCol: String, bytesCol: String, phashCol: String = "phash",
       maxHamming: Int = 6, minPsnrDb: Double = 40.0,

@@ -84,6 +84,56 @@ class ImageCurateCliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/audit/dropped_near_dup").count() == 1)
   }
 
+  test("--orientation: mirrored/rotated re-posts collapse in canonical signature space; default stays blind") {
+    val cap = "a photo of a red barn"
+    // irregular content so the 8 orientations are far apart under the
+    // PLAIN phash (a smooth gradient would be nearly mirror-symmetric)
+    val base = {
+      val im = new java.awt.image.BufferedImage(40, 30,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(2026L)
+      for (y <- 0 until 30; x <- 0 until 40) im.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      im
+    }
+    val orig = ImageKernels.encode(base, "png")
+    val mirror = ImageKernels.encode(ImageKernels.orientOf(base, 1), "png")
+    val rot = ImageKernels.encode(ImageKernels.orientOf(base, 6), "png") // 30×40
+    // fixture premise: plain phash scatters the orientations beyond the
+    // radius-2 near-dup join, so only canonical space can collapse them
+    val plains = Seq(orig, mirror, rot).map(ImageKernels.phash64)
+    assert(plains.combinations(2).forall { case Seq(a, b) =>
+      ImageKernels.hamming64(a, b) > 2 }, s"fixture drift: $plains")
+    val other = content(9)
+    def row(id: String, bytes: Array[Byte], w: Int, h: Int) =
+      (id, bytes, w, h, "png", cap, ImageKernels.phash64(bytes))
+    val rows = Seq(row("x1", orig, 40, 30), row("x2", mirror, 40, 30),
+      row("x3", rot, 30, 40), row("y1", other, 40, 30))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val in = Files.createTempDirectory("imgcurate-or-in-").toString
+    rows.write.mode("overwrite").parquet(in)
+
+    // default mode: three distinct stored phashes, no cluster bridges them
+    val outOff = Files.createTempDirectory("imgcurate-or-off-").toString
+    ImageCurateCli.run(spark, Array(in, outOff,
+      "--min-w", "16", "--min-h", "12", "--near-dup", "2", "--psnr", "40"))
+    assert(spark.read.parquet(s"$outOff/curated")
+      .select("image_id").as[String].collect().toSet ==
+      Set("x1", "x2", "x3", "y1"))
+
+    // orientation mode: all three orientations share ONE canonical
+    // signature and collapse in the exact stage (decoded pixel counts tie
+    // → max image_id wins, deterministic); y1 is untouched
+    val outOn = Files.createTempDirectory("imgcurate-or-on-").toString
+    val s = ImageCurateCli.run(spark, Array(in, outOn,
+      "--min-w", "16", "--min-h", "12", "--near-dup", "2", "--psnr", "40",
+      "--orientation"))
+    assert(spark.read.parquet(s"$outOn/curated")
+      .select("image_id").as[String].collect().toSet == Set("x3", "y1"))
+    assert(spark.read.parquet(s"$outOn/audit/dropped_exact")
+      .select("image_id").as[String].collect().toSet == Set("x1", "x2"))
+    assert(s.kept == 2 && s.droppedExact == 2, s.toString)
+  }
+
   test("--batches: banded, resampled, complete training batches over curated pairs") {
     // 9 distinct landscape images (40x30 -> milli-aspect 1333 -> band
     // 'wide'); batch size 4 with dropIncomplete keeps 8 rows (2 batches),
