@@ -91,8 +91,10 @@ object ImageKernels {
   /** The 8×8 low-frequency block of the 2-D DCT-II over the 32×32
     * grayscale resample — the shared intermediate of [[phashOf]] and
     * [[phashCanonicalOf]]. */
-  private def dctBlockOf(img: BufferedImage): Array[Array[Double]] = {
-    val g = grayResample(img, N)
+  private def dctBlockOf(img: BufferedImage): Array[Array[Double]] =
+    dctOfGrid(grayResample(img, N))
+
+  private def dctOfGrid(g: Array[Array[Double]]): Array[Array[Double]] = {
     val block = Array.ofDim[Double](8, 8)
     var u = 0
     while (u < 8) {
@@ -154,11 +156,55 @@ object ImageKernels {
     * hypothetical). The raster-space min is exact for every size and
     * costs only remaps. Undecodable → 0L, the [[phash64]] convention. */
   def phashCanonicalOf(img: BufferedImage): Long = {
+    // one bulk pixel grab + one luma precompute, then each orientation's
+    // 32×32 box-resample reads the luma array through index arithmetic —
+    // bit-identical to `phashOf(orientOf(img, k))` (same luma expression,
+    // same box bounds in oriented coordinates, same summation order) but
+    // without materializing 8 BufferedImages through per-pixel
+    // getRGB/setRGB, which measured 6× the decode on small payloads
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val lu = new Array[Double](w * h)
+    var i = 0
+    while (i < lu.length) {
+      val rgb = px(i)
+      lu(i) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      i += 1
+    }
     var best = Long.MaxValue // bits occupy 0..62, so every hash is ≥ 0
     var k = 0
     while (k < 8) {
-      val h = phashOf(orientOf(img, k))
-      if (h < best) best = h
+      // oriented(x, y) = source(sx, sy): pre-transpose (X, Y), then the
+      // flip bits — the same mapping [[orientOf]] writes pixel-by-pixel
+      val t = (k & 4) != 0
+      val ow = if (t) h else w; val oh = if (t) w else h
+      val g = Array.ofDim[Double](N, N)
+      var gy = 0
+      while (gy < N) {
+        val y0 = gy * oh / N; val y1 = math.max(y0 + 1, (gy + 1) * oh / N)
+        var gx = 0
+        while (gx < N) {
+          val x0 = gx * ow / N; val x1 = math.max(x0 + 1, (gx + 1) * ow / N)
+          var s = 0.0; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val xx = if (t) y else x; val yy = if (t) x else y
+              val sx = if ((k & 1) != 0) w - 1 - xx else xx
+              val sy = if ((k & 2) != 0) h - 1 - yy else yy
+              s += lu(sy * w + sx)
+              x += 1
+            }
+            y += 1
+          }
+          g(gy)(gx) = s / ((y1 - y0) * (x1 - x0))
+          gx += 1
+        }
+        gy += 1
+      }
+      val hb = bitsOf(dctOfGrid(g))
+      if (hb < best) best = hb
       k += 1
     }
     best

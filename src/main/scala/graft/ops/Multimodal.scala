@@ -338,13 +338,47 @@ object Multimodal {
       maxHamming: Int = 6, minPsnrDb: Double = 40.0,
       maxBlockPopulation: Long = Long.MaxValue,
       deltaPhashCol: String = "",
-      materializeCandidates: Boolean = false): DataFrame = {
+      materializeCandidates: Boolean = false): DataFrame =
+    verifiedDupIncrementalCore(corpus, delta, idCol, bytesCol, phashCol,
+      maxHamming, minPsnrDb, maxBlockPopulation, deltaPhashCol,
+      materializeCandidates,
+      graft.functions.ImageFunctions.phash64,
+      graft.functions.ImageFunctions.image_psnr)
+
+  /** [[verifiedOrientationDup]], incrementally: delta vs a standing corpus
+    * whose ORIENTATION-CANONICAL hashes are already stored (`sigCol` — the
+    * corpus never re-decodes; persist `phash_canonical64` at ingest the
+    * way the snapshot table persists `phash`). The delta's canonical hash
+    * is computed from its bytes unless `deltaSigCol` names a precomputed
+    * column; verification is the orientation-aware PSNR. Same scale shape
+    * and `materializeCandidates` per-trigger option as the plain
+    * incremental path. */
+  def verifiedOrientationDupIncremental(corpus: DataFrame, delta: DataFrame,
+      idCol: String, bytesCol: String, sigCol: String = "phash_canonical",
+      maxHamming: Int = 6, minPsnrDb: Double = 40.0,
+      maxBlockPopulation: Long = Long.MaxValue,
+      deltaSigCol: String = "",
+      materializeCandidates: Boolean = false): DataFrame =
+    verifiedDupIncrementalCore(corpus, delta, idCol, bytesCol, sigCol,
+      maxHamming, minPsnrDb, maxBlockPopulation, deltaSigCol,
+      materializeCandidates,
+      graft.functions.ImageFunctions.phash_canonical64,
+      graft.functions.ImageFunctions.image_psnr_oriented)
+
+  private def verifiedDupIncrementalCore(corpus: DataFrame, delta: DataFrame,
+      idCol: String, bytesCol: String, phashCol: String,
+      maxHamming: Int, minPsnrDb: Double,
+      maxBlockPopulation: Long,
+      deltaPhashCol: String,
+      materializeCandidates: Boolean,
+      sigFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      psnrFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions._
     val corpusSig = corpus.select(col(idCol), col(phashCol).as("__ph"))
     val deltaSig =
       if (deltaPhashCol.nonEmpty) delta.select(col(idCol), col(deltaPhashCol).as("__ph"))
-      else delta.select(col(idCol),
-        graft.functions.ImageFunctions.phash64(col(bytesCol)).as("__ph"))
+      else delta.select(col(idCol), sigFn(col(bytesCol)).as("__ph"))
     val cand0 = Dedup.hammingPairsIncremental(corpusSig, deltaSig, idCol, "__ph",
       maxHamming, bits = 64, maxBlockPopulation = maxBlockPopulation)
     // `materializeCandidates` is the per-trigger (streaming sink) shape:
@@ -366,8 +400,7 @@ object Multimodal {
     val a = bytesRel.select(col(idCol).as("d1"), col(bytesCol).as("__ba"))
     val b = bytesRel.select(col(idCol).as("d2"), col(bytesCol).as("__bb"))
     cand.join(a, Seq("d1")).join(b, Seq("d2"))
-      .withColumn("psnr_db",
-        graft.functions.ImageFunctions.image_psnr(col("__ba"), col("__bb")))
+      .withColumn("psnr_db", psnrFn(col("__ba"), col("__bb")))
       .filter(!isnan(col("psnr_db")) && col("psnr_db") >= minPsnrDb)
       .select("d1", "d2", "hamming", "psnr_db")
   }

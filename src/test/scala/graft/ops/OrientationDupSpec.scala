@@ -106,6 +106,29 @@ class OrientationDupSpec extends AnyFunSuite {
     assert(plain == Set((3L, 103L)), plain.toString)
   }
 
+  test("incremental: a rotated re-post in the delta is found against stored canonical hashes, corpus never re-decodes") {
+    val base = (0L until 4L).map(i => (i, randImg(22, 15, 500L + i)))
+    val corpus = base.map { case (i, im) =>
+      val b = png(im)
+      (i, b, ImageKernels.phashCanonical64(b))
+    }.toDF("id", "bytes", "phash_canonical")
+    val delta = Seq(
+      (200L, png(ImageKernels.orientOf(base(1)._2, 6))), // rot90 of corpus 1
+      (201L, png(randImg(22, 15, 999L))))                // genuinely new
+      .toDF("id", "bytes")
+    val got = Multimodal.verifiedOrientationDupIncremental(
+      corpus, delta, "id", "bytes", maxHamming = 2)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 200L)), got.toString)
+    // the PLAIN incremental path over stored plain hashes misses it
+    val corpusPlain = corpus.withColumn("phash",
+      graft.functions.ImageFunctions.phash64($"bytes"))
+    val plain = Multimodal.verifiedPhashDupIncremental(
+      corpusPlain, delta, "id", "bytes", maxHamming = 2)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(plain.isEmpty, plain.toString)
+  }
+
   test("SQL registration and codegen: phash_canonical64 stays inside WholeStageCodegen") {
     graft.functions.ImageFunctions.registerAll(spark)
     val b = png(randImg(10, 10, 77L))
