@@ -56,13 +56,15 @@ object ImageCurateCli {
       |                   DECODED pixel count — recorded w/h are untrusted)
       |  --psnr DB        With --near-dup: verify candidate pairs on
       |                   decoded pixels, keep only pairs >= DB (0 = off)
-      |  --orientation    Dedup in orientation-canonical signature space:
-      |                   the exact and near-dup stages key on
-      |                   phash_canonical64 (min phash over the 8 dihedral
-      |                   orientations), so mirrored/rotated re-posts
-      |                   collapse too; --psnr verification uses the
-      |                   orientation-aware PSNR. Costs one extra decode
-      |                   per gated row
+      |  --orientation    Dedup in orientation signature space: the exact
+      |                   stage keys on phash_canonical64 (min phash over
+      |                   the 8 dihedral orientations — exact for lossless
+      |                   re-posts) and the near-dup stage hamming-joins
+      |                   the FULL 8-hash sets (lossy-robust), so
+      |                   mirrored/rotated re-posts collapse too; --psnr
+      |                   verification uses the orientation-aware PSNR.
+      |                   One extra decode per gated row; the
+      |                   dropped_near_dup audit column is phash_canonical
       |  --batches N      Also materialize training batches of N images to
       |                   batches/: header-dims aspect banding, resample to
       |                   each band's target resolution, complete batches
@@ -211,14 +213,23 @@ object ImageCurateCli {
     val nAlign = aligned.count()
 
     // signature space for the dedup stages: the stored phash, or
-    // (--orientation) the orientation-canonical hash computed from the
-    // bytes — mirrored/rotated re-posts share the canonical value, so
-    // they collapse in the exact stage and cluster in the near-dup stage.
-    // The canonical hash is one extra decode per gated row, flag-gated.
+    // (--orientation) the orientation hash set computed from the bytes —
+    // mirrored/rotated re-posts share the canonical value (array min), so
+    // they collapse in the exact stage, and their FULL 8-hash sets feed
+    // the near-dup candidate join (lossy-robust — the canonical min alone
+    // is unstable under re-encode perturbation). One extra decode per
+    // gated row, flag-gated; only the slim (id, 8×long) relation is
+    // cached — the payload bytes are never pinned twice.
+    val sigMap =
+      if (!orientation) null
+      else aligned.select(col("image_id"),
+        graft.functions.ImageFunctions.phash_orientations(col("bytes"))
+          .as("__orients")).cache()
     val sigd =
       if (!orientation) aligned.withColumn("__dsig", col("phash"))
-      else aligned.withColumn("__dsig",
-        graft.functions.ImageFunctions.phash_canonical64(col("bytes"))).cache()
+      else aligned.join(
+        sigMap.select(col("image_id"), array_min(col("__orients")).as("__dsig")),
+        Seq("image_id"))
 
     // 2. exact signature dedup: keep the best-quality row per signature
     // (quality = DECODED pixel count; ties → max image_id, deterministic)
@@ -236,7 +247,19 @@ object ImageCurateCli {
       case None => exact
       case Some(h) =>
         val sigs = exact.select(col("__dsig"))
-        val cand0 = Dedup.hammingPairs(sigs, "__dsig", "__dsig", h)
+        // candidate generation: single-hash hamming join in default mode;
+        // in orientation mode each surviving signature contributes its
+        // FULL 8-orientation hash set (8 slim rows), so a lossy rotated
+        // re-post meets its partner through the aligned orientation
+        val cand0 =
+          if (!orientation) Dedup.hammingPairs(sigs, "__dsig", "__dsig", h)
+          else {
+            val sigRel = exact.select(col("image_id"), col("__dsig"))
+              .join(sigMap, Seq("image_id"))
+              .select(col("__dsig"), explode(col("__orients")).as("__oh"))
+            Dedup.hammingPairs(sigRel, "__dsig", "__oh", h)
+              .groupBy("d1", "d2").agg(min(col("hamming")).as("hamming"))
+          }
         val cand =
           if (psnrDb <= 0) cand0.select("d1", "d2")
           else {
@@ -255,8 +278,14 @@ object ImageCurateCli {
           }
         val groups = Dedup.canonicalByQuality(sigs, "__dsig", cand,
           exact.select(col("__dsig"), q.as("__q")), "__q")
+        // audit column named for what the value IS: the stored phash in
+        // default mode, the canonical hash under --orientation (naming it
+        // "phash" there would invite a join back against the input
+        // table's phash column that can never match)
+        val auditSigName = if (orientation) "phash_canonical" else "phash"
         audit(groups.filter(col("is_kept") === 0)
-          .select(col("__dsig").as("phash"), col("component")), "dropped_near_dup")
+          .select(col("__dsig").as(auditSigName), col("component")),
+          "dropped_near_dup")
         exact.join(groups.filter(col("is_kept") === 1).select("__dsig"),
           Seq("__dsig"), "left_semi")
     }
@@ -273,7 +302,7 @@ object ImageCurateCli {
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     val nKept = curated.count()
     exact.unpersist()
-    if (orientation) sigd.unpersist()
+    if (orientation) sigMap.unpersist()
     if (align.isDefined) aligned.unpersist()
     gated.unpersist()
     if (byteExact) preDeduped.unpersist()

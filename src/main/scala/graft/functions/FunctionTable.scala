@@ -29,6 +29,7 @@ object FunctionTable {
     Fn("phash64", 1, es => PHash64(es.head)),
     Fn("dhash64", 1, es => DHash64(es.head)),
     Fn("phash_canonical64", 1, es => PHashCanonical64(es.head)),
+    Fn("phash_orientations", 1, es => PhashOrientations(es.head)),
     Fn("image_psnr_oriented", 2, es => ImagePsnrOriented(es(0), es(1))),
     Fn("image_hashes", 1, es => ImageHashes(es.head)),
     Fn("image_psnr", 2, es => ImagePsnr(es(0), es(1))),

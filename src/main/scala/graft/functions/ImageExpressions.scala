@@ -72,13 +72,37 @@ case class ImageHashes(child: Expression)
     copy(child = newChild)
 }
 
-/** Decoded-pixel PSNR (dB) between two encoded images (the ≥ 40 dB lossy
-  * invariant from BASELINE.json `input_hint`). */
+/** All 8 dihedral-orientation phashes from ONE decode
+  * ([[ImageKernels.phashOrientationsRow]]), in [[ImageKernels.orientOf]]'s
+  * k-order — element 0 is the plain `phash64`. This is the NEAR-dup
+  * signature set for orientation-robust candidate generation: explode and
+  * hamming-join the elements (see `Multimodal.verifiedOrientationDup`) —
+  * the min element alone ([[PHashCanonical64]]) is exact for LOSSLESS
+  * re-posts but unstable under lossy perturbation (a re-encode can flip
+  * which orientation is the numeric min, landing two near-identical
+  * images on uncorrelated hashes). Undecodable → 8 zeros. */
+case class PhashOrientations(child: Expression)
+    extends UnaryExpression with BinaryInputCheck {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phash_orientations"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageKernels.phashOrientationsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKernels.phashOrientationsRow($c)")
+  override protected def withNewChildInternal(newChild: Expression): PhashOrientations =
+    copy(child = newChild)
+}
+
 /** Orientation-canonical perceptual hash
-  * ([[ImageKernels.phashCanonicalOf]]): min of the DCT phash over the 8
-  * dihedral orientations, derived from ONE decode + ONE DCT by coefficient
-  * sign/transpose surgery — mirrored/rotated re-posts groupBy-collapse on
-  * this value. Undecodable → 0L (the `phash64` convention). */
+  * ([[ImageKernels.phashCanonicalOf]]): the MIN of the 8 dihedral
+  * orientation phashes, computed from ONE decode (one bulk pixel grab +
+  * 8 index-arithmetic resamples — NOT DCT coefficient surgery, which the
+  * kernel documents as inexact under the floor resample grid). Exactly
+  * invariant for lossless orientation re-posts, so they groupBy-collapse
+  * on this value; for LOSSY near-dups use [[PhashOrientations]]'s full
+  * set as the candidate signature (min-selection is unstable under
+  * perturbation). Undecodable → 0L (the `phash64` convention). */
 case class PHashCanonical64(child: Expression)
     extends UnaryExpression with BinaryInputCheck {
   override def dataType: DataType = LongType
@@ -109,6 +133,8 @@ case class ImagePsnrOriented(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Decoded-pixel PSNR (dB) between two encoded images (the ≥ 40 dB lossy
+  * invariant from BASELINE.json `input_hint`). */
 case class ImagePsnr(left: Expression, right: Expression)
     extends BinaryExpression with BinaryInputCheck {
   override def dataType: DataType = DoubleType
@@ -274,6 +300,8 @@ object ImageFunctions {
   def dhash64(c: Column): Column = CB.column(DHash64(CB.expression(c)))
   def phash_canonical64(c: Column): Column =
     CB.column(PHashCanonical64(CB.expression(c)))
+  def phash_orientations(c: Column): Column =
+    CB.column(PhashOrientations(CB.expression(c)))
   def image_psnr_oriented(a: Column, b: Column): Column =
     CB.column(ImagePsnrOriented(CB.expression(a), CB.expression(b)))
   def image_hashes(c: Column): Column = CB.column(ImageHashes(CB.expression(c)))
@@ -297,7 +325,8 @@ object ImageFunctions {
 
   def registerAll(spark: SparkSession): Unit =
     FunctionTable.register(spark, FunctionTable.byName(
-      "phash64", "dhash64", "phash_canonical64", "image_hashes",
+      "phash64", "dhash64", "phash_canonical64", "phash_orientations",
+      "image_hashes",
       "image_psnr", "image_psnr_oriented", "sniff_image_format",
       "image_stats", "image_sig", "image_dims", "image_resample",
       "strip_image_metadata"))

@@ -156,6 +156,23 @@ object ImageKernels {
     * hypothetical). The raster-space min is exact for every size and
     * costs only remaps. Undecodable → 0L, the [[phash64]] convention. */
   def phashCanonicalOf(img: BufferedImage): Long = {
+    val hs = phashOrientationsOf(img)
+    var best = hs(0); var k = 1
+    while (k < 8) { if (hs(k) < best) best = hs(k); k += 1 }
+    best
+  }
+
+  /** All 8 dihedral-orientation phashes, in [[orientOf]]'s k-order —
+    * element 0 is the plain [[phashOf]]. The full set is the LOSSY-robust
+    * near-dup signature: a re-encode perturbs each orientation hash by a
+    * few bits, so hamming-joining the exploded elements finds the pair
+    * through the ALIGNED orientation — whereas the min alone
+    * ([[phashCanonicalOf]]) can flip WHICH orientation is the numeric min
+    * under perturbation, landing two near-identical images on
+    * uncorrelated (~32-bit-apart) canonical values. Since element 0 is
+    * the plain phash, candidates generated from this set are a strict
+    * superset of plain-phash candidates at equal radius. */
+  def phashOrientationsOf(img: BufferedImage): Array[Long] = {
     // one bulk pixel grab + one luma precompute, then each orientation's
     // 32×32 box-resample reads the luma array through index arithmetic —
     // bit-identical to `phashOf(orientOf(img, k))` (same luma expression,
@@ -172,7 +189,7 @@ object ImageKernels {
         0.114 * (rgb & 0xff)
       i += 1
     }
-    var best = Long.MaxValue // bits occupy 0..62, so every hash is ≥ 0
+    val out = new Array[Long](8)
     var k = 0
     while (k < 8) {
       // oriented(x, y) = source(sx, sy): pre-transpose (X, Y), then the
@@ -203,17 +220,27 @@ object ImageKernels {
         }
         gy += 1
       }
-      val hb = bitsOf(dctOfGrid(g))
-      if (hb < best) best = hb
+      out(k) = bitsOf(dctOfGrid(g))
       k += 1
     }
-    best
+    out
   }
 
   /** [[phashCanonicalOf]] over encoded bytes; undecodable → 0L. */
   def phashCanonical64(bytes: Array[Byte]): Long = {
     val img = try decode(bytes) catch { case _: Exception => null }
     if (img == null) 0L else phashCanonicalOf(img)
+  }
+
+  /** [[phashOrientationsOf]] over encoded bytes as Catalyst array data —
+    * the codegen entry for [[graft.functions.PhashOrientations]].
+    * Undecodable → 8 zeros (each element follows the [[phash64]]
+    * convention). */
+  def phashOrientationsRow(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val img = try decode(bytes) catch { case _: Exception => null }
+    val hs = if (img == null) new Array[Long](8) else phashOrientationsOf(img)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hs)
   }
 
   /** The `k`-th dihedral orientation of `img`, k ∈ [0, 8): bit 0 =

@@ -302,27 +302,44 @@ object Multimodal {
     * `image_sig`) passes its name as `deltaPhashCol` to skip the
     * per-batch re-decode. */
   /** Orientation-dup pairs: the [[verifiedPhashDup]] construction with
-    * the signature replaced by the orientation-CANONICAL phash
-    * (`phash_canonical64` — min of the DCT phash over the 8 dihedral
-    * orientations, ONE decode) and the verifier by the orientation-aware
-    * PSNR (`image_psnr_oriented` — max over the 8 orientations of the
-    * right image). Catches the re-post class plain phash dedup is blind
-    * to: the same image mirrored or rotated, stored under different
-    * bytes. Same scale shape — candidates are a bucketed hamming join
-    * over (id, canonical-hash) only; bytes re-attach to candidates by id
-    * equi-joins; undecodable/odd-dimensioned candidates PSNR to NaN and
-    * drop; precision is owned by the pixel check. An UN-rotated exact or
-    * near dup is also caught (identity is one of the 8 orientations), so
-    * this is a strict superset of the plain verified near-dup at equal
-    * radius — run it INSTEAD of, not after, `verifiedPhashDup` when
-    * orientation dups matter. */
+    * the signature set replaced by ALL 8 dihedral orientation phashes
+    * (`phash_orientations` — ONE decode per image) and the verifier by
+    * the orientation-aware PSNR (`image_psnr_oriented` — max over the 8
+    * orientations of the right image). Catches the re-post class plain
+    * phash dedup is blind to: the same image mirrored or rotated, stored
+    * under different bytes.
+    *
+    * Candidates come from hamming-joining the EXPLODED orientation
+    * hashes, not a single canonical value: a LOSSY rotated re-post
+    * perturbs each orientation hash by a few bits, so the pair meets
+    * through its aligned orientation — whereas min-canonicalization is
+    * unstable under perturbation (the re-encode can flip WHICH
+    * orientation is the numeric min, landing the two images on
+    * uncorrelated hashes and silently losing the pair). Because element 0
+    * of the set is the plain phash, the candidate set — and, since
+    * oriented PSNR ≥ plain PSNR (identity is one of the 8) — the verified
+    * result is a strict superset of [[verifiedPhashDup]] (without the
+    * dhash gate) at equal radius: run it INSTEAD of, not after, the plain
+    * pass when orientation dups matter.
+    *
+    * Same scale shape: candidates are a bucketed hamming join over
+    * (id, hash) rows — 8 slim rows per image instead of 1, still 16
+    * bytes each; bytes re-attach to candidate pairs by id equi-joins;
+    * undecodable/odd-dimensioned candidates PSNR to NaN and drop;
+    * precision is owned by the pixel check. */
   def verifiedOrientationDup(images: DataFrame, idCol: String, bytesCol: String,
       maxHamming: Int = 6, minPsnrDb: Double = 40.0,
       maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ph = images.select(col(idCol),
-      graft.functions.ImageFunctions.phash_canonical64(col(bytesCol)).as("phash"))
-    val cand = phashNearDup(ph, idCol, maxHamming, maxBlockPopulation)
+    val sig = images.select(col(idCol),
+      explode(graft.functions.ImageFunctions.phash_orientations(col(bytesCol)))
+        .as("__oh"))
+    // one candidate pair per image pair: different orientation pairs can
+    // meet at different distances — keep the closest (same-id pairs are
+    // already excluded by the d1 < d2 convention inside hammingPairs)
+    val cand = Dedup.hammingPairs(sig, idCol, "__oh", maxHamming,
+        maxBlockPopulation = maxBlockPopulation)
+      .groupBy("d1", "d2").agg(min(col("hamming")).as("hamming"))
     val a = images.select(col(idCol).as("d1"), col(bytesCol).as("__ba"))
     val b = images.select(col(idCol).as("d2"), col(bytesCol).as("__bb"))
     cand.join(a, Seq("d1")).join(b, Seq("d2"))
@@ -341,44 +358,66 @@ object Multimodal {
       materializeCandidates: Boolean = false): DataFrame =
     verifiedDupIncrementalCore(corpus, delta, idCol, bytesCol, phashCol,
       maxHamming, minPsnrDb, maxBlockPopulation, deltaPhashCol,
-      materializeCandidates,
-      graft.functions.ImageFunctions.phash64,
-      graft.functions.ImageFunctions.image_psnr)
+      materializeCandidates)
 
   /** [[verifiedOrientationDup]], incrementally: delta vs a standing corpus
-    * whose ORIENTATION-CANONICAL hashes are already stored (`sigCol` — the
-    * corpus never re-decodes; persist `phash_canonical64` at ingest the
-    * way the snapshot table persists `phash`). The delta's canonical hash
-    * is computed from its bytes unless `deltaSigCol` names a precomputed
-    * column; verification is the orientation-aware PSNR. Same scale shape
-    * and `materializeCandidates` per-trigger option as the plain
-    * incremental path. */
+    * whose 8-element ORIENTATION hash arrays are already stored
+    * (`orientsCol` — the corpus never re-decodes; persist
+    * `phash_orientations` at ingest the way the snapshot table persists
+    * `phash`, 64 bytes/row). The delta's array is computed from its bytes
+    * unless `deltaOrientsCol` names a precomputed column. Candidates
+    * hamming-join the EXPLODED arrays (the lossy-robust signature set —
+    * see [[verifiedOrientationDup]] for why the canonical min alone loses
+    * perturbed pairs); verification is the orientation-aware PSNR. Same
+    * scale shape and `materializeCandidates` per-trigger option as the
+    * plain incremental path. */
   def verifiedOrientationDupIncremental(corpus: DataFrame, delta: DataFrame,
-      idCol: String, bytesCol: String, sigCol: String = "phash_canonical",
+      idCol: String, bytesCol: String, orientsCol: String = "phash_orients",
       maxHamming: Int = 6, minPsnrDb: Double = 40.0,
       maxBlockPopulation: Long = Long.MaxValue,
-      deltaSigCol: String = "",
-      materializeCandidates: Boolean = false): DataFrame =
-    verifiedDupIncrementalCore(corpus, delta, idCol, bytesCol, sigCol,
-      maxHamming, minPsnrDb, maxBlockPopulation, deltaSigCol,
-      materializeCandidates,
-      graft.functions.ImageFunctions.phash_canonical64,
-      graft.functions.ImageFunctions.image_psnr_oriented)
+      deltaOrientsCol: String = "",
+      materializeCandidates: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val corpusSig = corpus.select(col(idCol),
+      explode(col(orientsCol)).as("__oh"))
+    val deltaSig =
+      if (deltaOrientsCol.nonEmpty)
+        delta.select(col(idCol), explode(col(deltaOrientsCol)).as("__oh"))
+      else delta.select(col(idCol),
+        explode(graft.functions.ImageFunctions.phash_orientations(col(bytesCol)))
+          .as("__oh"))
+    val cand0 = Dedup.hammingPairsIncremental(corpusSig, deltaSig, idCol, "__oh",
+        maxHamming, bits = 64, maxBlockPopulation = maxBlockPopulation)
+      .groupBy("d1", "d2").agg(min(col("hamming")).as("hamming"))
+    val cand = if (materializeCandidates) cand0.localCheckpoint() else cand0
+    val bytesRel0 = corpus.select(col(idCol), col(bytesCol))
+      .unionByName(delta.select(col(idCol), col(bytesCol)))
+    val bytesRel = if (materializeCandidates) {
+      val candIds = cand.select(col("d1").as(idCol))
+        .unionByName(cand.select(col("d2").as(idCol))).distinct()
+      bytesRel0.join(candIds, Seq(idCol), "left_semi")
+    } else bytesRel0
+    val a = bytesRel.select(col(idCol).as("d1"), col(bytesCol).as("__ba"))
+    val b = bytesRel.select(col(idCol).as("d2"), col(bytesCol).as("__bb"))
+    cand.join(a, Seq("d1")).join(b, Seq("d2"))
+      .withColumn("psnr_db",
+        graft.functions.ImageFunctions.image_psnr_oriented(col("__ba"), col("__bb")))
+      .filter(!isnan(col("psnr_db")) && col("psnr_db") >= minPsnrDb)
+      .select("d1", "d2", "hamming", "psnr_db")
+  }
 
   private def verifiedDupIncrementalCore(corpus: DataFrame, delta: DataFrame,
       idCol: String, bytesCol: String, phashCol: String,
       maxHamming: Int, minPsnrDb: Double,
       maxBlockPopulation: Long,
       deltaPhashCol: String,
-      materializeCandidates: Boolean,
-      sigFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      psnrFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
-        => org.apache.spark.sql.Column): DataFrame = {
+      materializeCandidates: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     val corpusSig = corpus.select(col(idCol), col(phashCol).as("__ph"))
     val deltaSig =
       if (deltaPhashCol.nonEmpty) delta.select(col(idCol), col(deltaPhashCol).as("__ph"))
-      else delta.select(col(idCol), sigFn(col(bytesCol)).as("__ph"))
+      else delta.select(col(idCol),
+        graft.functions.ImageFunctions.phash64(col(bytesCol)).as("__ph"))
     val cand0 = Dedup.hammingPairsIncremental(corpusSig, deltaSig, idCol, "__ph",
       maxHamming, bits = 64, maxBlockPopulation = maxBlockPopulation)
     // `materializeCandidates` is the per-trigger (streaming sink) shape:
@@ -400,7 +439,8 @@ object Multimodal {
     val a = bytesRel.select(col(idCol).as("d1"), col(bytesCol).as("__ba"))
     val b = bytesRel.select(col(idCol).as("d2"), col(bytesCol).as("__bb"))
     cand.join(a, Seq("d1")).join(b, Seq("d2"))
-      .withColumn("psnr_db", psnrFn(col("__ba"), col("__bb")))
+      .withColumn("psnr_db",
+        graft.functions.ImageFunctions.image_psnr(col("__ba"), col("__bb")))
       .filter(!isnan(col("psnr_db")) && col("psnr_db") >= minPsnrDb)
       .select("d1", "d2", "hamming", "psnr_db")
   }

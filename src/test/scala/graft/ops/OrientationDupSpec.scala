@@ -5,16 +5,20 @@ import graft.functions.{ImageFunctions => IF}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Orientation-canonical image dedup: `phash_canonical64` (min DCT phash
-  * over the 8 dihedral orientations, derived from ONE decode + ONE DCT by
-  * coefficient sign/transpose surgery), `image_psnr_oriented` (max PSNR
-  * over the right image's orientations), and the
-  * [[Multimodal.verifiedOrientationDup]] operator over them. The central
-  * claim — coefficient-space surgery ≡ pixel-space re-hash — is pinned
-  * DIFFERENTIALLY on real encodes: for every orientation k, the canonical
-  * hash of the k-rotated/mirrored encode equals the original's, and the
-  * brute-force min over 8 per-orientation `phash64` values equals the
-  * one-decode canonical value. */
+/** Orientation-aware image dedup: `phash_orientations` (all 8 dihedral
+  * orientation phashes from ONE decode — one bulk pixel grab + 8
+  * index-arithmetic resamples, element 0 = the plain phash),
+  * `phash_canonical64` (the array min — exactly invariant for LOSSLESS
+  * orientation re-posts), `image_psnr_oriented` (max PSNR over the right
+  * image's orientations), and [[Multimodal.verifiedOrientationDup]] which
+  * hamming-joins the EXPLODED hash sets (lossy-robust: a re-encode can
+  * flip WHICH orientation is the numeric min, so the canonical value
+  * alone would land perturbed pairs on uncorrelated hashes). The
+  * index-arithmetic kernel is pinned DIFFERENTIALLY on real encodes: for
+  * every orientation k, the canonical hash of the k-rotated/mirrored
+  * encode equals the original's, and the brute-force min over 8
+  * per-orientation `phash64` values (each a real decode of a real
+  * re-encode) equals the one-decode canonical value. */
 class OrientationDupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -34,6 +38,33 @@ class OrientationDupSpec extends AnyFunSuite {
   private def png(im: java.awt.image.BufferedImage): Array[Byte] =
     ImageKernels.encode(im, "png")
 
+  /** Box-blurred grayscale noise — the JPEG-compatible lossy fixture.
+    * Why not raw noise: JPEG quantizes away the high frequencies noise
+    * lives in (phash drift 30+ bits at quality 0.95). Why not pure
+    * sinusoids: with only a handful of spectral components, most of the
+    * 63 AC coefficients cluster at ~0 right where the phash median sits,
+    * so microscopic re-encode noise flips many near-tie bits (measured
+    * 6-24). One blur pass of noise has a broadband, decaying spectrum —
+    * coefficients spread away from the median — giving DRIFT 0 on every
+    * aligned orientation at ≥ 42 dB, while distinct orientations stay
+    * ~30 bits apart (probed over 40 seeds). */
+  private def blurNoise(w: Int, h: Int, seed: Long): java.awt.image.BufferedImage = {
+    val rnd = new scala.util.Random(seed)
+    val g0 = Array.fill(h, w)(rnd.nextInt(256).toDouble)
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      var s = 0.0; var c = 0
+      for (dy <- -1 to 1; dx <- -1 to 1) {
+        val yy = y + dy; val xx = x + dx
+        if (yy >= 0 && yy < h && xx >= 0 && xx < w) { s += g0(yy)(xx); c += 1 }
+      }
+      val v = (s / c).toInt.max(0).min(255)
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    im
+  }
+
   test("canonical hash is invariant under all 8 dihedral orientations (differential vs pixel-space)") {
     // non-square on purpose: rotations swap w/h, exercising the resample
     // commutation argument, not just in-place flips
@@ -46,11 +77,15 @@ class OrientationDupSpec extends AnyFunSuite {
           s"seed $seed orientation $k: canonical hash not invariant")
         ImageKernels.phash64(rotated)
       }
-      // the one-decode coefficient-space min equals the brute-force
-      // 8-decode pixel-space min — the exactness claim itself
+      // the one-decode index-arithmetic min equals the brute-force
+      // 8-decode pixel-space min — the bit-exactness claim itself
       assert(perOrientation.min == canon,
-        s"seed $seed: coefficient-space canonical ${canon.toHexString} != " +
+        s"seed $seed: index-arithmetic canonical ${canon.toHexString} != " +
           s"pixel-space min ${perOrientation.min.toHexString}")
+      // and the full orientation array matches the 8 per-encode hashes
+      // element-wise in k-order (PNG round-trips pixels exactly)
+      assert(ImageKernels.phashOrientationsOf(
+        ImageKernels.decode(png(base))).toSeq == perOrientation)
       // and the orientations genuinely differ under the PLAIN phash
       // (otherwise this spec would test nothing)
       assert(perOrientation.distinct.size > 1, s"seed $seed: degenerate fixture")
@@ -85,6 +120,37 @@ class OrientationDupSpec extends AnyFunSuite {
     assert(ImageKernels.psnrOriented("junk".getBytes, a).isNaN)
   }
 
+  test("LOSSY rotated re-post: found via the exploded hash set even when min-canonicalization flips orientation") {
+    // the instability the exploded-set design exists for: a JPEG
+    // re-encode perturbs every orientation hash by a few bits, which can
+    // change WHICH orientation is the numeric min — two near-identical
+    // images then carry uncorrelated canonical values, and a canonical-
+    // hash hamming join would silently lose the pair. The exploded join
+    // meets the pair through its ALIGNED orientation regardless.
+    val imgs = (0 until 40).map(s => blurNoise(96, 72, 3000L + s))
+    val rows = imgs.zipWithIndex.map { case (im, i) => (i.toLong, png(im)) } ++
+      imgs.zipWithIndex.map { case (im, i) =>
+        // rotated + lossy re-encoded copy of every image
+        (1000L + i, ImageKernels.encode(ImageKernels.orientOf(im, 6), "jpeg"))
+      }
+    val df = rows.toDF("id", "bytes")
+    val got = Multimodal.verifiedOrientationDup(df, "id", "bytes",
+      maxHamming = 6, minPsnrDb = 40.0)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val want = (0 until 40).map(i => (i.toLong, 1000L + i)).toSet
+    // every planted pair is recovered; nothing spurious survives PSNR
+    assert(got == want, s"missing: ${want -- got}; spurious: ${got -- want}")
+    // at least one planted pair genuinely flips its canonical orientation
+    // under the re-encode — the scenario a canonical-only join loses
+    val flipped = rows.toMap
+    val canonFlips = (0 until 40).count { i =>
+      val ha = ImageKernels.phashOrientationsOf(ImageKernels.decode(flipped(i.toLong)))
+      val hb = ImageKernels.phashOrientationsOf(ImageKernels.decode(flipped(1000L + i)))
+      ImageKernels.hamming64(ha.min, hb.min) > 6
+    }
+    assert(canonFlips > 0, "fixture no longer exercises the min-flip instability")
+  }
+
   test("verifiedOrientationDup finds planted mirrored/rotated re-posts; plain verified near-dup is blind to them") {
     // 10 distinct images; image 0 re-posted mirrored (id 100) and
     // rotated 90° (id 101); image 3 re-posted unmodified (id 103)
@@ -106,25 +172,25 @@ class OrientationDupSpec extends AnyFunSuite {
     assert(plain == Set((3L, 103L)), plain.toString)
   }
 
-  test("incremental: a rotated re-post in the delta is found against stored canonical hashes, corpus never re-decodes") {
-    val base = (0L until 4L).map(i => (i, randImg(22, 15, 500L + i)))
+  test("incremental: a rotated re-post in the delta is found against stored orientation arrays, corpus never re-decodes") {
+    val base = (0L until 4L).map(i => (i, blurNoise(64, 48, 500L + i)))
     val corpus = base.map { case (i, im) =>
       val b = png(im)
-      (i, b, ImageKernels.phashCanonical64(b))
-    }.toDF("id", "bytes", "phash_canonical")
+      (i, b, ImageKernels.phashOrientationsOf(ImageKernels.decode(b)).toSeq)
+    }.toDF("id", "bytes", "phash_orients")
     val delta = Seq(
-      (200L, png(ImageKernels.orientOf(base(1)._2, 6))), // rot90 of corpus 1
+      (200L, ImageKernels.encode(ImageKernels.orientOf(base(1)._2, 6), "jpeg")), // lossy rot90 of corpus 1
       (201L, png(randImg(22, 15, 999L))))                // genuinely new
       .toDF("id", "bytes")
     val got = Multimodal.verifiedOrientationDupIncremental(
-      corpus, delta, "id", "bytes", maxHamming = 2)
+      corpus, delta, "id", "bytes", maxHamming = 6, minPsnrDb = 40.0)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 200L)), got.toString)
     // the PLAIN incremental path over stored plain hashes misses it
     val corpusPlain = corpus.withColumn("phash",
       graft.functions.ImageFunctions.phash64($"bytes"))
     val plain = Multimodal.verifiedPhashDupIncremental(
-      corpusPlain, delta, "id", "bytes", maxHamming = 2)
+      corpusPlain, delta, "id", "bytes", maxHamming = 6)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(plain.isEmpty, plain.toString)
   }
