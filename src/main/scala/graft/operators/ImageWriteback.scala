@@ -178,7 +178,14 @@ object ImageWriteback {
       // provenance from the admitted bytes before they ever hit storage
       // (strip_image_metadata — pixel stream verbatim, so the phash and
       // every gate verdict computed above still describe the stored bytes)
-      stripMetadata: Boolean = false): (Long, DataFrame) = {
+      stripMetadata: Boolean = false,
+      // opt-in orientation-dedup enablement: append the 8-element
+      // `phash_orients` array (64 bytes/row, ONE extra decode per
+      // ADMITTED row) so later orientation sweeps — batch or incremental
+      // (Multimodal.verifiedOrientationDupIncremental) — run in signature
+      // space with zero corpus re-decodes. Off by default: the table
+      // keeps the exact `input_hint` 7-column shape unless asked.
+      storeOrientations: Boolean = false): (Long, DataFrame) = {
     val annotated = graft.ops.Multimodal.pairReasons(
         payloadRows(outcome.found, pages, images),
         minTokens, maxTokens, minAlphaRatio, minW, minH, maxAspect,
@@ -187,14 +194,20 @@ object ImageWriteback {
     try {
       val audit = annotated.filter(col("reason").isNotNull)
         .select("image_id", "reason")
-      val outBytes =
+      val storedBytes =
         if (stripMetadata)
-          graft.functions.ImageFunctions.strip_image_metadata(col("bytes")).as("bytes")
+          graft.functions.ImageFunctions.strip_image_metadata(col("bytes"))
         else col("bytes")
+      val baseCols = Seq(col("image_id"), storedBytes.as("bytes"), col("w"),
+        col("h"), col("fmt"), col("caption"), col("phash"))
+      val outCols =
+        if (!storeOrientations) baseCols
+        // hashed over the bytes actually stored (the strip preserves the
+        // pixel stream, so this equals the pre-strip hashes either way)
+        else baseCols :+ graft.functions.ImageFunctions
+          .phash_orientations(storedBytes).as("phash_orients")
       val inserted = table.mergeInsert(
-        annotated.filter(col("reason").isNull)
-          .select(col("image_id"), outBytes, col("w"), col("h"), col("fmt"),
-            col("caption"), col("phash")),
+        annotated.filter(col("reason").isNull).select(outCols: _*),
         "phash")
       (inserted, audit.localCheckpoint(true))
     } finally annotated.unpersist()

@@ -184,6 +184,45 @@ class ImagePipelineSpec extends AnyFunSuite {
     assert(ImageKernels.phash64(sb) == sp, "stored phash no longer describes stored bytes")
   }
 
+  test("pair-gated writeback with storeOrientations: stored arrays serve incremental orientation dedup with zero corpus re-decodes") {
+    import graft.model.PageRow
+    val pages = (1 to 2).map(i => PageRow(s"http://o.com/$i", 200, None,
+      if (i < 2) Seq(s"http://o.com/${i + 1}") else Nil, None,
+      Some("text/html"), None, Some(s"img$i")))
+    val imgs = (1 to 2).map(i =>
+      ImageGen.imageFor(i.toLong, seed = 29L, dupEvery = 100).copy(image_id = s"img$i"))
+    val out = new FrontierCrawler(spark, pages.toDS(),
+      CrawlConfig(maxConcurrent = 8)).crawl("http://o.com/1")
+    val t = new IceLite(spark, Files.createTempDirectory("icelite-orients-").toString)
+    val (inserted, _) = ImageWriteback.ingestCuratedPairs(
+      out, pages.toDS(), imgs.toDS(), t, storeOrientations = true)
+    assert(inserted == 2)
+    // the stored array is the real 8-orientation hash set of the stored
+    // bytes (element 0 = the stored phash), ready for signature-space use
+    val stored = t.read().select("image_id", "bytes", "phash", "phash_orients")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Array[Byte]]("bytes"), r.getLong(2), r.getSeq[Long](3)))).toMap
+    stored.values.foreach { case (b, ph, orients) =>
+      assert(orients.length == 8)
+      assert(orients.head == ph, "element 0 must be the stored phash")
+      assert(orients == ImageKernels.phashOrientationsOf(ImageKernels.decode(b)).toSeq)
+    }
+    // a rotated re-post of a stored image arrives later: the incremental
+    // sweep finds it against the STORED arrays — the corpus side carries
+    // no decode (bytes attach to candidate pairs only). Lossless rotation
+    // keeps this fixture exact-by-construction; the LOSSY robustness of
+    // the exploded-set join is OrientationDupSpec's job.
+    val (srcBytes, _, _) = stored("img1")
+    val delta = Seq(("delta1",
+        ImageKernels.encode(ImageKernels.orientOf(ImageKernels.decode(srcBytes), 6), "png")),
+      ("delta2", ImageKernels.encode(ImageGen.render(77L, 29L, 40, 30), "png")))
+      .toDF("image_id", "bytes")
+    val dup = graft.ops.Multimodal.verifiedOrientationDupIncremental(
+      t.read(), delta, "image_id", "bytes", maxHamming = 6, minPsnrDb = 40.0)
+      .select("d1", "d2").as[(String, String)].collect().toSet
+    assert(dup == Set(("delta1", "img1")), dup.toString)
+  }
+
   test("re-crawl writeback: keep-best upsert replaces lower-res copies, keeps better ones") {
     import graft.model.PageRow
     import graft.sources.ImageRow
