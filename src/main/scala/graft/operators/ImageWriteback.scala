@@ -108,10 +108,21 @@ object ImageWriteback {
     * (which consolidates history into one batch) widens it to the full
     * table until new commits accumulate — compact on a coarser cadence
     * than the trigger, or sweep-and-archive (see `readRecent`). Returns
-    * rows inserted. */
+    * rows inserted.
+    *
+    * `orientation = true` upgrades the suppression to the orientation
+    * rung: candidates hamming-join the 8-element `phash_orients` arrays
+    * (the table MUST carry the column — seed it with
+    * `ingestCuratedPairs(storeOrientations = true)` or a prior run of
+    * this sink, which appends it to every insert so the table stays
+    * self-sustaining), verification is the orientation-aware PSNR, and a
+    * mirrored/rotated re-encode of a stored image is suppressed like any
+    * other near-dup. Costs one extra decode per ADMITTED batch row (the
+    * batch's own arrays); the corpus side still never re-decodes. */
   def mergeInsertNearDup(table: IceLite, batch: DataFrame,
       maxHamming: Int = 6, minPsnrDb: Double = 40.0,
-      corpusWindow: Int = Int.MaxValue): Long = {
+      corpusWindow: Int = Int.MaxValue,
+      orientation: Boolean = false): Long = {
     // Truncate the micro-batch's lineage ONCE per trigger (eager
     // localCheckpoint): a foreachBatch DataFrame is a PLAN, not data — the
     // DAG below references the batch in three places (delta signatures,
@@ -134,18 +145,39 @@ object ImageWriteback {
       if (dbg) println(f"    [sink] $label ${(System.nanoTime() - t0) / 1e9}%.1f s @${System.currentTimeMillis}")
       r
     }
-    val b = timed("replay+checkpoint batch")(batch.localCheckpoint())
+    // orientation mode: the batch's 8-hash arrays are computed here, once
+    // per admitted row, INSIDE the checkpointed relation — both the dup
+    // sweep and the MERGE below consume the same materialized arrays, and
+    // every inserted row carries its array into the table (self-sustaining)
+    val b = timed("replay+checkpoint batch")({
+      val b0 = if (!orientation) batch
+        else batch.withColumn("phash_orients",
+          graft.functions.ImageFunctions.phash_orientations(col("bytes")))
+      b0.localCheckpoint()
+    })
     if (table.isEmpty) return timed("mergeInsert(empty)")(
       table.mergeInsert(b, "phash"))
+    if (orientation)
+      require(table.read().columns.contains("phash_orients"),
+        "mergeInsertNearDup(orientation): table has no phash_orients column — " +
+          "seed it with ingestCuratedPairs(storeOrientations = true)")
     val corpus = (if (corpusWindow == Int.MaxValue) table.read()
       else table.readRecent(corpusWindow))
-      .select(col("image_id"), col("bytes"), col("phash"))
-    val dup = graft.ops.Multimodal.verifiedPhashDupIncremental(
-      corpus, b, "image_id", "bytes",
-      maxHamming = maxHamming, minPsnrDb = minPsnrDb, deltaPhashCol = "phash",
-      // per-trigger shape: candidates checkpoint eagerly so the corpus
-      // bytes attach is ONE semi-join-pruned scan (see the scaladoc there)
-      materializeCandidates = true)
+      .select(col("image_id") +: col("bytes") +:
+        (if (orientation) Seq(col("phash_orients")) else Seq(col("phash"))): _*)
+    val dup = (if (!orientation)
+        graft.ops.Multimodal.verifiedPhashDupIncremental(
+          corpus, b, "image_id", "bytes",
+          maxHamming = maxHamming, minPsnrDb = minPsnrDb, deltaPhashCol = "phash",
+          // per-trigger shape: candidates checkpoint eagerly so the corpus
+          // bytes attach is ONE semi-join-pruned scan (see the scaladoc there)
+          materializeCandidates = true)
+      else
+        graft.ops.Multimodal.verifiedOrientationDupIncremental(
+          corpus, b, "image_id", "bytes", orientsCol = "phash_orients",
+          maxHamming = maxHamming, minPsnrDb = minPsnrDb,
+          deltaOrientsCol = "phash_orients",
+          materializeCandidates = true))
       .persist()
     try {
       // `dup` is scanned twice below (both pair orientations); without the

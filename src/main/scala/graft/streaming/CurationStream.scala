@@ -88,7 +88,9 @@ object CurationStream {
     * stream's state only owns the watermark horizon) — or
     * `ImageWriteback.mergeInsertNearDup` to additionally suppress
     * hamming-radius re-encodes whose PSNR-verified duplicate already sits
-    * in the table (exact-dup semantics unchanged, no extra keyed state). Rows surviving the
+    * in the table (exact-dup semantics unchanged, no extra keyed state;
+    * with `orientation = true`, mirrored/rotated re-posts of stored
+    * images are suppressed too). Rows surviving the
     * cheap gates pay exactly ONE decode — `image_sig` computes the quality
     * stats and the phash dedup key together — and every stage stays a
     * stateless codegen'd column program. Audit tap: [[pairReasons]] is the

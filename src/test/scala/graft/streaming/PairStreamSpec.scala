@@ -174,6 +174,50 @@ class PairStreamSpec extends AnyFunSuite {
     assert(ids == Set("a", "b", "c"), s"got $ids")
   }
 
+  test("orientation MERGE sink: a ROTATED re-post of a stored image is NOT inserted; table stays self-sustaining") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = new IceLite(spark, Files.createTempDirectory("pairstream-or-").toString)
+    val aBytes = textured(3)
+    // lossless rot90: pixel-identical content, but the PLAIN phash moves
+    // far beyond any radius — only the orientation rung can suppress it
+    val aRot = ImageKernels.encode(
+      ImageKernels.orientOf(ImageKernels.decode(aBytes), 6), "png")
+    val plainDist = ImageKernels.hamming64(
+      ImageKernels.phash64(aBytes), ImageKernels.phash64(aRot))
+    assert(plainDist > 6, s"fixture drift: rotation only moved $plainDist bits")
+
+    val in = MemoryStream[PairEvent]
+    val out = CurationStream.curatePairs(in.toDS(), watermarkDelay = "1 hour",
+      minW = 16, minH = 12)
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.ImageWriteback.mergeInsertNearDup(
+          table, batch.drop("eventTime"), orientation = true); ()
+      }.start()
+    try {
+      in.addData(ev("a", aBytes, "png", goodCap, 100),
+        ev("b", textured(2), "png", goodCap, 101))
+      q.processAllAvailable()
+      in.addData(
+        ev("a-rot", aRot, "png", goodCap, 200),   // rotated re-post → suppressed
+        ev("c", textured(5), "png", goodCap, 201)) // genuinely new → inserts
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = table.read().select("image_id", "bytes", "phash", "phash_orients")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Array[Byte]]("bytes"), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(rows.keySet == Set("a", "b", "c"), s"got ${rows.keySet}")
+    // every insert (empty-table path AND near-dup path) carried its array,
+    // and the stored arrays are the real hashes of the stored bytes
+    rows.values.foreach { case (bytes, ph, orients) =>
+      assert(orients.length == 8 && orients.head == ph)
+      assert(orients ==
+        ImageKernels.phashOrientationsOf(ImageKernels.decode(bytes)).toSeq)
+    }
+  }
+
   test("pairReasons audit annotation labels every gate; batch and stream shapes agree") {
     import spark.implicits._
     val batch = Seq(
