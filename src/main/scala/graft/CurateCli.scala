@@ -53,9 +53,36 @@ object CurateCli {
       |  --sample R       Deterministic hash sample at rate R (0..1];
       |                   per-stratum when --strata-col is given
       |  --pack-budget N  Assign fixed-N-token pack ids (per --pack-col
-      |                   stream when given)""".stripMargin
+      |                   stream when given)
+      |  --split SPEC     Add a leakage-safe train/val/test column to the
+      |                   curated output, keyed on the DEDUP GROUP label
+      |                   (the near-dup component under --near-dup, else
+      |                   the doc's exact-dup representative id) so
+      |                   near-duplicates never straddle an eval boundary.
+      |                   SPEC: name:weight[,name:weight...], sum 1, e.g.
+      |                   train:0.8,val:0.1,test:0.1""".stripMargin
 
   private[graft] final case class CliUsageError(msg: String) extends Exception(msg)
+
+  /** `name:weight[,name:weight...]` → validated split spec (weights ≥ 0,
+    * sum 1) — shared by the text and image curation CLIs' `--split`. */
+  private[graft] def parseSplitSpec(v: String): Seq[(String, Double)] = {
+    val parsed = v.split(",").toSeq.map { part =>
+      part.split(":") match {
+        case Array(n, w) if n.nonEmpty =>
+          val d = try w.toDouble catch {
+            case _: NumberFormatException =>
+              throw CliUsageError(s"--split: not a number: '$w'")
+          }
+          n -> d
+        case _ =>
+          throw CliUsageError(s"--split: expected name:weight, got '$part'")
+      }
+    }
+    if (parsed.exists(_._2 < 0) || math.abs(parsed.map(_._2).sum - 1.0) >= 1e-9)
+      throw CliUsageError(s"--split: weights must be >= 0 and sum to 1: '$v'")
+    parsed
+  }
 
   final case class CurateSummary(
       input: Long,
@@ -63,7 +90,8 @@ object CurateCli {
       droppedDup: Long,
       droppedSample: Long,
       kept: Long,
-      droppedSpanEmpty: Long = -1) // -1: --drop-spans not requested
+      droppedSpanEmpty: Long = -1, // -1: --drop-spans not requested
+      splitCounts: Map[String, Long] = Map.empty) // empty: --split not requested
 
   private[graft] def run(spark: SparkSession, args: Array[String]): CurateSummary = {
     var pos = Vector.empty[String]
@@ -80,6 +108,7 @@ object CurateCli {
     var sample: Option[Double] = None; var strataCol: Option[String] = None
     var salt = "mix"
     var packBudget: Option[Long] = None; var packCol: Option[String] = None
+    var splitSpec: Option[Seq[(String, Double)]] = None
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -114,6 +143,7 @@ object CurateCli {
         case "--salt" => salt = value("--salt")
         case "--pack-budget" => packBudget = Some(num("--pack-budget", _.toLong))
         case "--pack-col" => packCol = Some(value("--pack-col"))
+        case "--split" => splitSpec = Some(parseSplitSpec(value("--split")))
         case flag if flag.startsWith("--") => throw CliUsageError(s"unknown flag: $flag")
         case p => pos :+= p
       }
@@ -167,12 +197,19 @@ object CurateCli {
     // keep-join, and with --near-dup the pair generation's keep-join) is
     // re-read by the nDedup count, the PII audit, the nSampled count AND
     // the final write — without the cache each of those re-executes it
+    // with --split, the kept rows' dedup-group labels survive the stage:
+    // the split column is keyed on them (never the row id — id-hash splits
+    // are the leak Dedup.leakageSafeSplit documents)
+    var dupLabels: Option[DataFrame] = None
     val deduped = (nearDup match {
       case None => exactDeduped
       case Some(t) =>
         val pairs = Dedup.jaccardPairs(exactDeduped, idCol, textCol, t, maxDf, ngram)
         val groups = Dedup.dedupComponents(exactDeduped, idCol, pairs)
         audit(groups.filter(col("is_kept") === 0), "dropped_near_dup")
+        if (splitSpec.isDefined)
+          dupLabels = Some(groups.filter(col("is_kept") === 1)
+            .select(col(idCol), col("component").as("__lbl")))
         exactDeduped.join(groups.filter(col("is_kept") === 1).select(idCol), Seq(idCol))
     }).cache()
     val nDedup = deduped.count()
@@ -236,19 +273,44 @@ object CurateCli {
             .select(col(idCol), col("pack_id")), Seq(idCol))
     }
 
-    packed.write.mode("overwrite").parquet(s"$outDir/curated")
+    // optional leakage-safe split column: near-dup component label when the
+    // clustering ran, else the doc's exact-dup representative id (the
+    // survivor IS the min id of its identical-content group, so the label
+    // is already the group key). Downstream stages only REMOVE rows, so
+    // the left join re-attaches a label to every survivor.
+    val written = splitSpec match {
+      case None => packed
+      case Some(spec) =>
+        val labeled = dupLabels match {
+          case Some(l) => packed.join(l, Seq(idCol), "left")
+            .withColumn("__lbl", coalesce(col("__lbl"), col(idCol).cast("long")))
+          case None => packed.withColumn("__lbl", col(idCol).cast("long"))
+        }
+        labeled.withColumn("split", Dedup.splitAssign(col("__lbl"), spec))
+          .drop("__lbl")
+    }
+    written.write.mode("overwrite").parquet(s"$outDir/curated")
     cleanedCache.foreach(_.unpersist())
     deduped.unpersist()
     afterQuality.unpersist()
+    val splitCounts =
+      if (splitSpec.isEmpty) Map.empty[String, Long]
+      else spark.read.parquet(s"$outDir/curated").groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val s = CurateSummary(nInput, nInput - nQuality, nQuality - nDedup,
       nSpan - nSampled, nSampled,
-      if (dropSpans.isDefined) nDedup - nSpan else -1L)
+      if (dropSpans.isDefined) nDedup - nSpan else -1L,
+      splitCounts)
     val spanJson =
       if (s.droppedSpanEmpty >= 0) s""","dropped_span_empty":${s.droppedSpanEmpty}"""
       else ""
+    val splitJson =
+      if (s.splitCounts.isEmpty) ""
+      else s.splitCounts.toSeq.sorted
+        .map { case (k, v) => s""""$k":$v""" }.mkString(""","splits":{""", ",", "}")
     println(s"""{"input":${s.input},"dropped_quality":${s.droppedQuality},""" +
       s""""dropped_dup":${s.droppedDup}$spanJson,"dropped_sample":${s.droppedSample},""" +
-      s""""kept":${s.kept}}""")
+      s""""kept":${s.kept}$splitJson}""")
     s
   }
 

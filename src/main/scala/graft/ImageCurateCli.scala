@@ -56,6 +56,18 @@ object ImageCurateCli {
       |                   DECODED pixel count — recorded w/h are untrusted)
       |  --psnr DB        With --near-dup: verify candidate pairs on
       |                   decoded pixels, keep only pairs >= DB (0 = off)
+      |  --caption-cap N  After dedup, keep at most N pairs per caption
+      |                   (templated alt text boilerplate control; salted
+      |                   two-phase top-k, deterministic ascending-id
+      |                   order; audit: dropped_caption_cap)
+      |  --caption-salts K  Salt buckets for --caption-cap (default 64)
+      |  --split SPEC     Add a leakage-safe train/val/test column to the
+      |                   curated output, keyed on the DEDUP GROUP label
+      |                   (the near-dup component under --near-dup, else
+      |                   the exact-dedup signature) so near-duplicates
+      |                   can never straddle an eval boundary. SPEC is
+      |                   name:weight[,name:weight...], weights sum to 1,
+      |                   e.g. train:0.8,val:0.1,test:0.1
       |  --orientation    Dedup in orientation signature space: the exact
       |                   stage keys on phash_canonical64 (min phash over
       |                   the 8 dihedral orientations — exact for lossless
@@ -88,7 +100,9 @@ object ImageCurateCli {
       kept: Long,
       batchRows: Long = -1,        // -1: --batches not requested
       droppedAlignment: Long = -1, // -1: --align not requested
-      droppedByteExact: Long = -1) // -1: --byte-exact not requested
+      droppedByteExact: Long = -1, // -1: --byte-exact not requested
+      droppedCaptionCap: Long = -1, // -1: --caption-cap not requested
+      splitCounts: Map[String, Long] = Map.empty) // empty: --split not requested
 
   private[graft] def run(spark: SparkSession, args: Array[String]): ImageCurateSummary = {
     var pos = Vector.empty[String]
@@ -99,6 +113,8 @@ object ImageCurateCli {
     var batches: Option[Int] = None; var batchSide = 512
     var batchMode = "area"; var batchShards = 1
     var stripMetadata = false; var byteExact = false; var orientation = false
+    var captionCap: Option[Int] = None; var captionSalts = 64
+    var splitSpec: Option[Seq[(String, Double)]] = None
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -134,6 +150,10 @@ object ImageCurateCli {
         case "--strip-metadata" => stripMetadata = true
         case "--byte-exact" => byteExact = true
         case "--orientation" => orientation = true
+        case "--caption-cap" => captionCap = Some(num("--caption-cap", _.toInt))
+        case "--caption-salts" => captionSalts = num("--caption-salts", _.toInt)
+        case "--split" =>
+          splitSpec = Some(CurateCli.parseSplitSpec(value("--split")))
         case flag if flag.startsWith("--") =>
           throw CurateCli.CliUsageError(s"unknown flag: $flag")
         case p => pos :+= p
@@ -242,9 +262,13 @@ object ImageCurateCli {
       .select(col("image_id"), col("phash")), "dropped_exact")
     val nExact = exact.count()
 
-    // 3. near-dup clustering over DISTINCT signatures
+    // 3. near-dup clustering over DISTINCT signatures. The stage also
+    // yields the dedup-group LABEL each survivor represents (`__lbl`: its
+    // near-dup component, or its own signature when clustering is off) —
+    // the key --split assigns eval membership on, so near-duplicates the
+    // configured radius can see never straddle a train/eval boundary.
     val kept0 = nearDup match {
-      case None => exact
+      case None => exact.withColumn("__lbl", col("__dsig"))
       case Some(h) =>
         val sigs = exact.select(col("__dsig"))
         // candidate generation: single-hash hamming join in default mode;
@@ -286,15 +310,42 @@ object ImageCurateCli {
         audit(groups.filter(col("is_kept") === 0)
           .select(col("__dsig").as(auditSigName), col("component")),
           "dropped_near_dup")
-        exact.join(groups.filter(col("is_kept") === 1).select("__dsig"),
-          Seq("__dsig"), "left_semi")
+        exact.join(groups.filter(col("is_kept") === 1)
+          .select(col("__dsig"), col("component").as("__lbl")), Seq("__dsig"))
     }
-    val kept = kept0.drop("__dsig")
+
+    // 3b. optional caption-frequency cap — AFTER dedup on purpose: the cap
+    // rations DISTINCT surviving images per caption; letting byte- or
+    // phash-copies consume the budget would re-admit the boilerplate the
+    // dedup stages exist to collapse. The cap runs on the slim
+    // (image_id, caption) projection and survivors re-attach by semi-join
+    // — payload bytes never ride the caption shuffle.
+    val (capped, nNear) = captionCap match {
+      case None => (kept0, -1L)
+      case Some(n) =>
+        val before = kept0.count()
+        val cc = Multimodal.captionCap(
+          kept0.select(col("image_id"), col("caption")),
+          "image_id", "caption", n, captionSalts)
+        audit(cc.filter(!col("kept"))
+          .select(col("image_id"), col("caption_freq")), "dropped_caption_cap")
+        (kept0.join(cc.filter(col("kept")).select("image_id"),
+          Seq("image_id"), "left_semi"), before)
+    }
+    val kept = capped.drop("__dsig")
     // optional privacy scrub at the write: strip_image_metadata preserves
     // the pixel stream byte-for-byte, so it commutes with every gate,
     // phash, and quality stat above — applying it here (once, on the
     // survivors) is both the cheapest and the provably-equivalent placement
-    val curated0 = kept.select(cols.map(col): _*)
+    // optional leakage-safe split column: the assignment hashes the dedup-
+    // group label (never the row id — id-hash splits are exactly the leak
+    // Dedup.leakageSafeSplit documents), so whatever near-dup evidence the
+    // run had is structurally incapable of straddling an eval boundary
+    val curated0 = splitSpec match {
+      case None => kept.select(cols.map(col): _*)
+      case Some(spec) => kept.select(cols.map(col) :+
+        Dedup.splitAssign(col("__lbl"), spec).as("split"): _*)
+    }
     val curated =
       if (!stripMetadata) curated0
       else curated0.withColumn("bytes",
@@ -329,10 +380,19 @@ object ImageCurateCli {
         spark.read.parquet(s"$outDir/batches").count()
     }
 
+    // split receipt: bounded by the number of named splits, read off the
+    // written table's slim split column
+    val splitCounts =
+      if (splitSpec.isEmpty) Map.empty[String, Long]
+      else spark.read.parquet(s"$outDir/curated").groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
     val s = ImageCurateSummary(nInput, nByte - nGates, nAlign - nExact,
-      nExact - nKept, nKept, nBatchRows,
+      (if (nNear >= 0) nExact - nNear else nExact - nKept), nKept, nBatchRows,
       if (align.isDefined) nGates - nAlign else -1L,
-      if (byteExact) nInput - nByte else -1L)
+      if (byteExact) nInput - nByte else -1L,
+      if (nNear >= 0) nNear - nKept else -1L,
+      splitCounts)
     val batchJson = if (s.batchRows >= 0) s""","batch_rows":${s.batchRows}""" else ""
     val alignJson =
       if (s.droppedAlignment >= 0) s""","dropped_alignment":${s.droppedAlignment}"""
@@ -340,9 +400,16 @@ object ImageCurateCli {
     val byteJson =
       if (s.droppedByteExact >= 0) s""","dropped_byte_exact":${s.droppedByteExact}"""
       else ""
+    val capJson =
+      if (s.droppedCaptionCap >= 0) s""","dropped_caption_cap":${s.droppedCaptionCap}"""
+      else ""
+    val splitJson =
+      if (s.splitCounts.isEmpty) ""
+      else s.splitCounts.toSeq.sorted
+        .map { case (k, v) => s""""$k":$v""" }.mkString(""","splits":{""", ",", "}")
     println(s"""{"input":${s.input}$byteJson,"dropped_gates":${s.droppedGates}$alignJson,""" +
-      s""""dropped_exact":${s.droppedExact},"dropped_near_dup":${s.droppedNearDup},""" +
-      s""""kept":${s.kept}$batchJson}""")
+      s""""dropped_exact":${s.droppedExact},"dropped_near_dup":${s.droppedNearDup}$capJson,""" +
+      s""""kept":${s.kept}$batchJson$splitJson}""")
     s
   }
 

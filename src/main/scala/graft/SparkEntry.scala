@@ -93,7 +93,9 @@ object SparkEntry {
     "q59_stats_skipping" -> ContractQueries.q59StatsSkipping _,
     "q60_dhash" -> ContractQueries.q60DHash _,
     "q61_bloom_lookup" -> ContractQueries.q61BloomLookup _,
-    "q62_byte_exact" -> ContractQueries.q62ByteExact _)
+    "q62_byte_exact" -> ContractQueries.q62ByteExact _,
+    "q63_leakage_split" -> ContractQueries.q63LeakageSplit _,
+    "q64_caption_cap" -> ContractQueries.q64CaptionCap _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -953,5 +955,32 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies
         |FROM documents WHERE doc_id < 400
         |GROUP BY doc_id % 25
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q63_leakage_split" ->
+      """SELECT doc_id, comp AS component,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, comp,
+        |    ('0x' || substr(md5('split:' || comp), 1, 15))::BIGINT % 10000 AS b
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 8 = 7 THEN 7 ELSE doc_id END AS comp
+        |        FROM documents WHERE doc_id < 48))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q64_caption_cap" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 < 2 THEN 'stock photo'
+        |         ELSE substr(text, 1, 40) END AS caption
+        |  FROM documents WHERE doc_id < 500),
+        |r AS (
+        |  SELECT doc_id, caption,
+        |    count(*) OVER (PARTITION BY caption) AS caption_freq,
+        |    row_number() OVER (PARTITION BY caption ORDER BY doc_id) AS rk
+        |  FROM p)
+        |SELECT doc_id, caption, caption_freq, rk <= 3 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

@@ -451,6 +451,57 @@ object Dedup {
         (col(idCol).cast("long") === col("__keep")).cast("int").as("is_kept"))
   }
 
+  /** Near-dup-aware train/val/test split: assigns every row a split such
+    * that ALL members of a duplicate component land on the same side — the
+    * split is keyed on the component label, not the row id. Hashing row
+    * ids (the obvious construction) leaks: two near-duplicate documents
+    * hash independently, one lands in train and one in test, and the
+    * eval measures memorization. Keying on the component representative
+    * makes straddling impossible by construction.
+    *
+    * Buckets are `md5("salt:component")`'s first 15 hex digits mod 10000
+    * (the [[tokenHash]] / hashSample convention — engine-portable, the
+    * DuckDB oracle replays it), assigned against cumulative `splits`
+    * weights in declaration order. Deterministic across runs AND across
+    * corpus growth: appending rows to an existing component cannot move
+    * the component (its label is its minimum id, which unions only ever
+    * lower — a component's split is stable unless new evidence MERGES two
+    * components, which is exactly when it must be re-decided).
+    *
+    * Scale shape: one connected-components run in (id, id) label space
+    * (the pairs come from whatever candidate rung produced them — bytes
+    * and text never enter), then a pure column program over the label
+    * relation. No window, no extra shuffle beyond the components run. */
+  def leakageSafeSplit(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], salt: String = "split",
+      aCol: String = "d1", bCol: String = "d2"): DataFrame = {
+    val comp = dedupComponents(corpus, idCol, pairs, aCol, bCol)
+      .select(col(idCol), col("component"))
+    comp.withColumn("split", splitAssign(col("component"), splits, salt))
+  }
+
+  /** The bucket-assignment half of [[leakageSafeSplit]], reusable when the
+    * group label is already in hand (a CLI pipeline that just ran the
+    * components stage, a signature column that IS the dedup key): maps any
+    * label column to a split name by the same portable md5 arithmetic.
+    * Splitting on a row id with this is exactly the leakage the operator
+    * exists to prevent — key it on the duplicate-group label. */
+  def splitAssign(label: Column, splits: Seq[(String, Double)],
+      salt: String = "split"): Column = {
+    require(splits.nonEmpty, "splitAssign: at least one split required")
+    require(splits.forall(_._2 >= 0.0) && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"splitAssign: weights must be >= 0 and sum to 1, got $splits")
+    val bucket = pmod(
+      conv(substring(md5(concat_ws(":", lit(salt), label)), 1, 15), 16, 10)
+        .cast("long"),
+      lit(10000L))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), t), acc) =>
+        when(bucket < lit(math.round(t * 10000)), name).otherwise(acc)
+    }
+  }
+
   /** Every `n`-token window of every document, with its 1-based start
     * position: `(idCol, pos, win)`. NOT distinct — position multiplicity is
     * the point (span-level dedup counts occurrences, not documents). The

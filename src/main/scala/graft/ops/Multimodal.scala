@@ -522,6 +522,47 @@ object Multimodal {
       .when(letters.cast("double") / nonspace < minAlphaRatio, "caption_low_alpha")
   }
 
+  /** Caption-frequency boilerplate control: identical captions are a
+    * signature failure of web image+caption corpora — templated alt text
+    * ("stock photo", a CMS's default caption) attaches one string to
+    * millions of images, and a model trained on the raw pairs overfits
+    * the template. Annotates every pair with its caption's corpus-wide
+    * frequency and a `kept` flag that admits at most `cap` rows per
+    * caption (deterministic ascending-`idCol` order, so re-runs and
+    * engines agree). The hot caption IS the expected case, so the kept
+    * set uses the two-phase salted top-k (the trap-guard / polite-
+    * scheduler construction): phase 1 ranks within (caption, salt-of-id)
+    * and keeps ≤ `cap` per salt bucket — a superset of the global
+    * survivors since phase 2's order is identical — then phase 2 ranks
+    * the ≤ `saltBuckets`×`cap` remainder per caption. The admitted set is
+    * bit-identical to a global per-caption window's without ever
+    * funneling a boilerplate caption's rows through one task; dropped
+    * rows are never ranked at all (the flag re-attaches by id join).
+    * Captions shuffle as 8-byte `xxhash64` keys, not strings — the
+    * repo-wide 64-bit signature-identity convention (collision odds
+    * ~n²/2⁶⁴). Output: input columns + `caption_freq` + `kept`. */
+  def captionCap(pairs: DataFrame, idCol: String, captionCol: String,
+      cap: Int, saltBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(cap >= 1, s"captionCap: cap=$cap must be >= 1")
+    val keyed = pairs.withColumn("__ck", xxhash64(col(captionCol)))
+    val freq = keyed.groupBy("__ck").agg(count(lit(1)).as("caption_freq"))
+    val salt = pmod(xxhash64(col(idCol)), lit(math.max(saltBuckets, 1).toLong))
+    val w1 = Window.partitionBy(col("__ck"), salt).orderBy(col(idCol))
+    val w2 = Window.partitionBy(col("__ck")).orderBy(col(idCol))
+    val kept = keyed.select(col(idCol), col("__ck"))
+      .withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= cap)
+      .withColumn("__rk", row_number().over(w2))
+      .filter(col("__rk") <= cap)
+      .select(col(idCol), lit(true).as("kept"))
+    keyed.join(freq, Seq("__ck"))
+      .join(kept, Seq(idCol), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(false)))
+      .drop("__ck")
+  }
+
   /** Container-consistency gate for the payload table's untrusted
     * `fmt:string` column: first failing reason or null when the claim is
     * consistent. `unknown_container` — the payload's magic bytes match no

@@ -1043,4 +1043,41 @@ object ContractQueries {
       .unionByName(part("low", 100, 160))
       .orderBy("part", "k")
   }
+
+  /** Leakage-safe split ([[graft.ops.Dedup.leakageSafeSplit]]) over the
+    * q35 planted image corpus (dupEvery=8 ⇒ component = 7 for ids ≡ 7
+    * mod 8, else the id itself): near-dup components land WHOLE in
+    * train/val/test. The oracle re-derives the component from id
+    * arithmetic and replays the md5 bucket assignment — a component
+    * straddling a boundary, or a bucket-arithmetic drift, breaks the
+    * hash. */
+  def q63LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.ImageGen
+    val ids = t(spark, dir, "documents")
+      .filter(col("doc_id") < 48).select(col("doc_id")).as[Long]
+      .repartition(8)
+    val imgs = ids.mapPartitions(_.map { id =>
+      (id, ImageGen.imageFor(id, seed = 42L, dupEvery = 8).phash)
+    }).toDF("doc_id", "phash")
+    val pairs = Multimodal.phashNearDup(imgs, "doc_id", maxHamming = 1)
+    Dedup.leakageSafeSplit(imgs, "doc_id", pairs,
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+  }
+
+  /** Caption-frequency boilerplate cap
+    * ([[graft.ops.Multimodal.captionCap]]): 40% of the pairs share one
+    * templated caption (the hot key the salted two-phase top-k exists
+    * for); at most 3 pairs per caption survive, in ascending-id order.
+    * The oracle computes the SAME kept set with a plain global window —
+    * equality proves the salted construction admits bit-identically. */
+  def q64CaptionCap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 < 2, lit("stock photo"))
+          .otherwise(substring(col("text"), 1, 40)).as("caption"))
+    Multimodal.captionCap(pairs, "doc_id", "caption", cap = 3, saltBuckets = 8)
+      .orderBy("doc_id")
+  }
 }

@@ -180,9 +180,49 @@ class CurateCliSpec extends AnyFunSuite {
       Array("/tmp/x", "/tmp/y", "--bogus"),      // unknown flag
       Array("/tmp/x", "/tmp/y", "--sample", "2"), // out of range
       Array("/tmp/x", "/tmp/y", "--min-tokens", "abc"), // not a number
-      Array("/tmp/x", "/tmp/y", "--near-dup"))   // missing value
+      Array("/tmp/x", "/tmp/y", "--near-dup"),   // missing value
+      Array("/tmp/x", "/tmp/y", "--split", "train:0.4"), // weights != 1
+      Array("/tmp/x", "/tmp/y", "--split", "garbage"))   // not name:weight
     cases.foreach { a =>
       assertThrows[CurateCli.CliUsageError](CurateCli.run(spark, a))
     }
+  }
+
+  test("--split: keyed on the near-dup component label, md5-replayable, deterministic") {
+    // same replay as LeakageSplitSpec / the q63 oracle
+    def expectedSplit(label: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$label".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(15)
+      val b = java.lang.Long.parseLong(hex, 16) % 10000L
+      if (b < 8000) "train" else if (b < 9000) "val" else "test"
+    }
+    val in = corpusDir()
+    def runOnce(): Map[Long, String] = {
+      val out = Files.createTempDirectory("curate-split-").toString
+      val s = CurateCli.run(spark, Array(in, out,
+        "--min-tokens", "10", "--min-distinct-ratio", "0.3",
+        "--near-dup", "0.5", "--ngram", "2",
+        "--split", "train:0.8,val:0.1,test:0.1"))
+      assert(s.splitCounts.values.sum == s.kept, s.toString)
+      spark.read.parquet(s"$out/curated")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    }
+    val got = runOnce()
+    // survivors 1, 4, 7: doc 1 represents the {1,2,3} dup component
+    // (label = min id 1), docs 4 and 7 are singletons (label = own id)
+    assert(got == Map(1L -> expectedSplit(1L), 4L -> expectedSplit(4L),
+      7L -> expectedSplit(7L)))
+    assert(runOnce() == got)
+
+    // without --near-dup the label falls back to the exact-dup
+    // representative id — the same md5 assignment applies
+    val out2 = Files.createTempDirectory("curate-split2-").toString
+    CurateCli.run(spark, Array(in, out2,
+      "--min-tokens", "10", "--min-distinct-ratio", "0.3",
+      "--split", "train:0.8,val:0.1,test:0.1"))
+    val noCluster = spark.read.parquet(s"$out2/curated")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    noCluster.foreach { case (id, sp) => assert(sp == expectedSplit(id)) }
   }
 }

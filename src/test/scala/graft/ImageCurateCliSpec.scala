@@ -289,5 +289,86 @@ class ImageCurateCliSpec extends AnyFunSuite {
     assert(fails(Array("only-one")).contains("required"))
     assert(fails(Array("a", "b", "--bogus")).contains("unknown flag"))
     assert(fails(Array("a", "b", "--near-dup", "soon")).contains("not a number"))
+    assert(fails(Array("a", "b", "--split", "train:0.5")).contains("sum to 1"))
+    assert(fails(Array("a", "b", "--split", "nonsense")).contains("name:weight"))
+    assert(fails(Array("a", "b", "--split", "train:zero,val:1.0"))
+      .contains("not a number"))
+  }
+
+  test("--caption-cap: templated caption rationed AFTER dedup, smallest ids win, audit carries frequency") {
+    val hot = "a stock photo of something"
+    // 6 DISTINCT images sharing one templated caption + 2 unique-caption
+    // rows; all distinct content, so no dedup stage collapses anything
+    // and the cap is the only thing dropping rows
+    val rows = (1 to 6).map(i => ("c" + i, content(100L + i), hot)) ++
+      Seq(("u1", content(200L), "a photo of a red barn"),
+        ("u2", content(201L), "a photo of a blue door"))
+    assert(rows.map(r => ImageKernels.phash64(r._2)).distinct.size == 8,
+      "fixture drift: phashes must be distinct")
+    val df = rows.map { case (id, b, c) => (id, b, 40, 30, "png", c,
+      ImageKernels.phash64(b)) }
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val in = Files.createTempDirectory("imgcap-in-").toString
+    df.write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("imgcap-out-").toString
+
+    val s = ImageCurateCli.run(spark, Array(in, out,
+      "--min-w", "16", "--min-h", "12", "--caption-cap", "2",
+      "--caption-salts", "4"))
+    assert(s == ImageCurateCli.ImageCurateSummary(8, 0, 0, 0, 4,
+      droppedCaptionCap = 4), s.toString)
+    // deterministic ascending-id admission: c1, c2 keep the hot caption
+    assert(spark.read.parquet(s"$out/curated")
+      .select("image_id").as[String].collect().toSet ==
+      Set("c1", "c2", "u1", "u2"))
+    val au = spark.read.parquet(s"$out/audit/dropped_caption_cap")
+      .as[(String, Long)].collect().toMap
+    assert(au == Map("c3" -> 6L, "c4" -> 6L, "c5" -> 6L, "c6" -> 6L))
+  }
+
+  test("--split: leakage-safe column keyed on the dedup-group label, md5-replayable, stable across runs") {
+    val cap = "a photo of a red barn"
+    val aBytes = content(1)
+    val bBytes = content(17)
+    val bEdit = content(17, edit = true)
+    val (pa, pb1, pb2) = (ImageKernels.phash64(aBytes),
+      ImageKernels.phash64(bBytes), ImageKernels.phash64(bEdit))
+    val rows = Seq(
+      ("a1", aBytes, 40, 30, "png", cap, pa),
+      ("b1", bBytes, 40, 30, "png", cap, pb1),
+      ("b2", bEdit, 40, 30, "png", cap, pb2))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val in = Files.createTempDirectory("imgsplit-in-").toString
+    rows.write.mode("overwrite").parquet(in)
+
+    // the operator's md5 arithmetic, replayed independently (same replay
+    // as LeakageSplitSpec / the q63 oracle)
+    def expectedSplit(label: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$label".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(15)
+      val b = java.lang.Long.parseLong(hex, 16) % 10000L
+      if (b < 8000) "train" else if (b < 9000) "val" else "test"
+    }
+    def runOnce(): Map[String, String] = {
+      val out = Files.createTempDirectory("imgsplit-out-").toString
+      val s = ImageCurateCli.run(spark, Array(in, out,
+        "--min-w", "16", "--min-h", "12", "--near-dup", "8",
+        "--split", "train:0.8,val:0.1,test:0.1"))
+      assert(s.splitCounts.values.sum == s.kept, s.toString)
+      spark.read.parquet(s"$out/curated")
+        .select("image_id", "split").as[(String, String)].collect().toMap
+    }
+    val got = runOnce()
+    // survivors: a1 (singleton — label is its own phash) and the b-group
+    // winner (label = the component representative, min signed phash)
+    val keepB = if (pb1 < pb2) "b1" else "b2"
+    assert(got.keySet == Set("a1", keepB))
+    assert(got("a1") == expectedSplit(pa))
+    assert(got(keepB) == expectedSplit(math.min(pb1, pb2)))
+    // a re-run assigns identically — the split is a pure function of the
+    // group label, so re-curating (or growing, as long as the component
+    // representative survives) cannot move a group across the boundary
+    assert(runOnce() == got)
   }
 }
