@@ -95,7 +95,8 @@ object SparkEntry {
     "q61_bloom_lookup" -> ContractQueries.q61BloomLookup _,
     "q62_byte_exact" -> ContractQueries.q62ByteExact _,
     "q63_leakage_split" -> ContractQueries.q63LeakageSplit _,
-    "q64_caption_cap" -> ContractQueries.q64CaptionCap _)
+    "q64_caption_cap" -> ContractQueries.q64CaptionCap _,
+    "q65_image_decontam" -> ContractQueries.q65ImageDecontam _)
 
   // DuckDB-dialect oracles. Shared fragments:
   private val H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -982,5 +983,19 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY caption ORDER BY doc_id) AS rk
         |  FROM p)
         |SELECT doc_id, caption, caption_freq, rk <= 3 AS kept
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q65_image_decontam" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id * 64 AS sig
+        |  FROM documents WHERE doc_id < 500),
+        |e AS (
+        |  SELECT 100000 + doc_id AS eid, (doc_id + 3) * 64 + doc_id % 4 AS sig
+        |  FROM documents WHERE doc_id < 500 AND doc_id % 50 = 0),
+        |p AS (
+        |  SELECT c.doc_id, bit_count(xor(c.sig, e.sig))::BIGINT AS h
+        |  FROM c CROSS JOIN e
+        |  WHERE bit_count(xor(c.sig, e.sig)) <= 2)
+        |SELECT doc_id, count(*) AS n_eval_hits, min(h) AS min_hamming
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -522,6 +522,45 @@ object Multimodal {
       .when(letters.cast("double") / nonspace < minAlphaRatio, "caption_low_alpha")
   }
 
+  /** Benchmark-image decontamination — the image counterpart of
+    * [[TextOps.contamination]]: corpus rows whose perceptual signature
+    * sits within `maxHamming` of ANY eval-set signature are flagged
+    * (training on them turns the benchmark into training data — the
+    * held-out score measures memorization, the exact failure eval-image
+    * leakage audits keep finding in web-scraped pair corpora). Works over
+    * any int64 signature column: stored phash, dhash, or the orientation
+    * canonical hash (which also catches mirrored/rotated benchmark
+    * re-posts).
+    *
+    * Candidates come from the delta-vs-corpus pigeonhole join
+    * ([[Dedup.hammingPairsIncremental]], eval set as the delta), so the
+    * join cost is ∝ eval-set size — benchmarks are tiny relative to a
+    * training corpus, exactly the asymmetry [[TextOps.contamination]]
+    * exploits — and the corpus is never self-joined. Ids must be distinct
+    * across the two inputs (different id spaces). Returns one row per
+    * CONTAMINATED corpus id: (idCol, n_eval_hits, min_hamming). */
+  def imageDecontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 3,
+      maxBlockPopulation: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.hammingPairsIncremental(
+      corpus.select(col(idCol), col(sigCol)),
+      evalSet.select(col(idCol), col(sigCol)),
+      idCol, sigCol, maxHamming, bits = 64, maxBlockPopulation)
+    // every pair touches the eval side and the corpus never self-joins, so
+    // each pair is corpus–eval or eval–eval; unpivot to ends and anti-join
+    // the eval ids away — what survives is one row per (corpus, eval) hit
+    val evalIds = evalSet.select(col(idCol).as("__eid")).distinct()
+    val ends = pairs.select(explode(array(
+        struct(col("d1").as("m"), col("hamming")),
+        struct(col("d2").as("m"), col("hamming")))).as("e"))
+      .select(col("e.m").as(idCol), col("e.hamming").as("hamming"))
+    ends.join(evalIds, ends(idCol) === evalIds("__eid"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_eval_hits"),
+        min("hamming").cast("long").as("min_hamming"))
+  }
+
   /** Caption-frequency boilerplate control: identical captions are a
     * signature failure of web image+caption corpora — templated alt text
     * ("stock photo", a CMS's default caption) attaches one string to

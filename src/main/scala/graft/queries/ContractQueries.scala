@@ -1080,4 +1080,23 @@ object ContractQueries {
     Multimodal.captionCap(pairs, "doc_id", "caption", cap = 3, saltBuckets = 8)
       .orderBy("doc_id")
   }
+
+  /** Benchmark-image decontamination
+    * ([[graft.ops.Multimodal.imageDecontaminate]]): corpus signatures are
+    * id arithmetic; every 50th id plants an eval signature `bit_count(d%4)`
+    * bits away from corpus id d+3 (plus whatever other corpus rows land
+    * within radius 2 — the 64-multiples lattice has genuine extra
+    * neighbors). The DuckDB oracle is the BRUTE-FORCE quadratic scan —
+    * equality proves the pigeonhole candidate join finds exactly the pairs
+    * an exhaustive comparison would. */
+  def q65ImageDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 500)
+    val corpus = docs.select(col("doc_id"), (col("doc_id") * 64).as("sig"))
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        ((col("doc_id") + 3) * 64 + col("doc_id") % 4).as("sig"))
+    Multimodal.imageDecontaminate(corpus, evalSet, "doc_id", "sig",
+      maxHamming = 2)
+      .orderBy("doc_id")
+  }
 }
