@@ -50,6 +50,15 @@ object CurateCli {
       |                   window (8 bytes) instead of the window string — the
       |                   petabyte-corpus trade (SCALE.md 7e): less shuffle
       |                   volume, negligible collision odds
+      |  --decontam P     Benchmark decontamination: P is an eval-corpus
+      |                   parquet (same id/text column names); docs sharing
+      |                   >= --decontam-min distinct word n-grams with ANY
+      |                   eval doc drop before dedup (audit:
+      |                   dropped_decontam with overlap counts) — an eval
+      |                   answer pasted into the crawl must never reach
+      |                   training
+      |  --decontam-ngram N  Shingle width for --decontam (default 3)
+      |  --decontam-min M Minimum shared distinct shingles (default 2)
       |  --sample R       Deterministic hash sample at rate R (0..1];
       |                   per-stratum when --strata-col is given
       |  --pack-budget N  Assign fixed-N-token pack ids (per --pack-col
@@ -91,7 +100,8 @@ object CurateCli {
       droppedSample: Long,
       kept: Long,
       droppedSpanEmpty: Long = -1, // -1: --drop-spans not requested
-      splitCounts: Map[String, Long] = Map.empty) // empty: --split not requested
+      splitCounts: Map[String, Long] = Map.empty, // empty: --split not requested
+      droppedDecontam: Long = -1)  // -1: --decontam not requested
 
   private[graft] def run(spark: SparkSession, args: Array[String]): CurateSummary = {
     var pos = Vector.empty[String]
@@ -109,6 +119,8 @@ object CurateCli {
     var salt = "mix"
     var packBudget: Option[Long] = None; var packCol: Option[String] = None
     var splitSpec: Option[Seq[(String, Double)]] = None
+    var decontam: Option[String] = None
+    var decontamNgram = 3; var decontamMin = 2L
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -144,6 +156,9 @@ object CurateCli {
         case "--pack-budget" => packBudget = Some(num("--pack-budget", _.toLong))
         case "--pack-col" => packCol = Some(value("--pack-col"))
         case "--split" => splitSpec = Some(parseSplitSpec(value("--split")))
+        case "--decontam" => decontam = Some(value("--decontam"))
+        case "--decontam-ngram" => decontamNgram = num("--decontam-ngram", _.toInt)
+        case "--decontam-min" => decontamMin = num("--decontam-min", _.toLong)
         case flag if flag.startsWith("--") => throw CliUsageError(s"unknown flag: $flag")
         case p => pos :+= p
       }
@@ -189,10 +204,27 @@ object CurateCli {
       .drop("__dr", "__cr", "repetition_ok", "tokens_ok").cache()
     val nQuality = afterQuality.count()
 
+    // 1b. optional benchmark decontamination — BEFORE dedup, so a
+    // contaminated doc can never survive as its dup cluster's canonical
+    // representative. The eval set is the broadcast-small build side of
+    // the shingle join (TextOps.contamination); drops re-attach by
+    // anti-join on the slim flagged-id relation.
+    val decontamed = decontam match {
+      case None => afterQuality
+      case Some(path) =>
+        val evalSet = spark.read.parquet(path)
+        val flagged = TextOps.contamination(afterQuality, evalSet, idCol,
+          textCol, decontamNgram, decontamMin)
+        audit(flagged, "dropped_decontam")
+        afterQuality.join(flagged.select(idCol), Seq(idCol), "left_anti")
+          .cache()
+    }
+    val nDecontam = if (decontam.isDefined) decontamed.count() else nQuality
+
     // 2. dedup: exact always; near-dup clustering when requested
-    val exactKeep = Dedup.exact(afterQuality, idCol, textCol)
+    val exactKeep = Dedup.exact(decontamed, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    val exactDeduped = afterQuality.join(exactKeep, Seq(idCol))
+    val exactDeduped = decontamed.join(exactKeep, Seq(idCol))
     // cached like afterQuality: the dedup subtree (exact-dedup agg +
     // keep-join, and with --near-dup the pair generation's keep-join) is
     // re-read by the nDedup count, the PII audit, the nSampled count AND
@@ -292,15 +324,17 @@ object CurateCli {
     written.write.mode("overwrite").parquet(s"$outDir/curated")
     cleanedCache.foreach(_.unpersist())
     deduped.unpersist()
+    if (decontam.isDefined) decontamed.unpersist()
     afterQuality.unpersist()
     val splitCounts =
       if (splitSpec.isEmpty) Map.empty[String, Long]
       else spark.read.parquet(s"$outDir/curated").groupBy("split").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val s = CurateSummary(nInput, nInput - nQuality, nQuality - nDedup,
+    val s = CurateSummary(nInput, nInput - nQuality, nDecontam - nDedup,
       nSpan - nSampled, nSampled,
       if (dropSpans.isDefined) nDedup - nSpan else -1L,
-      splitCounts)
+      splitCounts,
+      if (decontam.isDefined) nQuality - nDecontam else -1L)
     val spanJson =
       if (s.droppedSpanEmpty >= 0) s""","dropped_span_empty":${s.droppedSpanEmpty}"""
       else ""
@@ -308,7 +342,10 @@ object CurateCli {
       if (s.splitCounts.isEmpty) ""
       else s.splitCounts.toSeq.sorted
         .map { case (k, v) => s""""$k":$v""" }.mkString(""","splits":{""", ",", "}")
-    println(s"""{"input":${s.input},"dropped_quality":${s.droppedQuality},""" +
+    val deconJson =
+      if (s.droppedDecontam >= 0) s""","dropped_decontam":${s.droppedDecontam}"""
+      else ""
+    println(s"""{"input":${s.input},"dropped_quality":${s.droppedQuality}$deconJson,""" +
       s""""dropped_dup":${s.droppedDup}$spanJson,"dropped_sample":${s.droppedSample},""" +
       s""""kept":${s.kept}$splitJson}""")
     s

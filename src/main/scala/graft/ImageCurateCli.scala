@@ -56,6 +56,14 @@ object ImageCurateCli {
       |                   DECODED pixel count — recorded w/h are untrusted)
       |  --psnr DB        With --near-dup: verify candidate pairs on
       |                   decoded pixels, keep only pairs >= DB (0 = off)
+      |  --decontam P     Benchmark decontamination: P is a parquet with a
+      |                   phash column (the eval benchmark's signatures);
+      |                   pairs whose STORED phash sits within
+      |                   --decontam-radius of any eval signature drop
+      |                   (audit: dropped_decontam with hit counts) — an
+      |                   eval image re-posted into the crawl must never
+      |                   reach training
+      |  --decontam-radius H  Hamming radius for --decontam (default 4)
       |  --caption-cap N  After dedup, keep at most N pairs per caption
       |                   (templated alt text boilerplate control; salted
       |                   two-phase top-k, deterministic ascending-id
@@ -102,7 +110,8 @@ object ImageCurateCli {
       droppedAlignment: Long = -1, // -1: --align not requested
       droppedByteExact: Long = -1, // -1: --byte-exact not requested
       droppedCaptionCap: Long = -1, // -1: --caption-cap not requested
-      splitCounts: Map[String, Long] = Map.empty) // empty: --split not requested
+      splitCounts: Map[String, Long] = Map.empty, // empty: --split not requested
+      droppedDecontam: Long = -1)  // -1: --decontam not requested
 
   private[graft] def run(spark: SparkSession, args: Array[String]): ImageCurateSummary = {
     var pos = Vector.empty[String]
@@ -115,6 +124,7 @@ object ImageCurateCli {
     var stripMetadata = false; var byteExact = false; var orientation = false
     var captionCap: Option[Int] = None; var captionSalts = 64
     var splitSpec: Option[Seq[(String, Double)]] = None
+    var decontam: Option[String] = None; var decontamRadius = 4
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -150,6 +160,9 @@ object ImageCurateCli {
         case "--strip-metadata" => stripMetadata = true
         case "--byte-exact" => byteExact = true
         case "--orientation" => orientation = true
+        case "--decontam" => decontam = Some(value("--decontam"))
+        case "--decontam-radius" =>
+          decontamRadius = num("--decontam-radius", _.toInt)
         case "--caption-cap" => captionCap = Some(num("--caption-cap", _.toInt))
         case "--caption-salts" => captionSalts = num("--caption-salts", _.toInt)
         case "--split" =>
@@ -232,6 +245,30 @@ object ImageCurateCli {
     }
     val nAlign = aligned.count()
 
+    // 1c. optional benchmark decontamination — runs BEFORE dedup so a
+    // contaminated row can never become its phash group's keep-best
+    // winner. Signature space only: the corpus side contributes its slim
+    // (image_id, stored-phash) projection, the eval side is the cheap
+    // delta of the pigeonhole join (benchmarks are tiny vs a crawl), and
+    // the drop re-attaches by anti-join — payload bytes ride nothing.
+    // Eval ids are synthesized under the reserved `__eval:` prefix so the
+    // two id spaces cannot collide.
+    val decontamed = decontam match {
+      case None => aligned
+      case Some(path) =>
+        val evalSigs = spark.read.parquet(path)
+          .select(col("phash").cast("long").as("phash")).distinct()
+          .select(concat(lit("__eval:"), col("phash")).as("image_id"),
+            col("phash"))
+        val flagged = Multimodal.imageDecontaminate(
+          aligned.select(col("image_id"), col("phash")), evalSigs,
+          "image_id", "phash", decontamRadius)
+        audit(flagged, "dropped_decontam")
+        aligned.join(flagged.select("image_id"), Seq("image_id"), "left_anti")
+          .cache()
+    }
+    val nDecontam = if (decontam.isDefined) decontamed.count() else nAlign
+
     // signature space for the dedup stages: the stored phash, or
     // (--orientation) the orientation hash set computed from the bytes —
     // mirrored/rotated re-posts share the canonical value (array min), so
@@ -242,12 +279,12 @@ object ImageCurateCli {
     // cached — the payload bytes are never pinned twice.
     val sigMap =
       if (!orientation) null
-      else aligned.select(col("image_id"),
+      else decontamed.select(col("image_id"),
         graft.functions.ImageFunctions.phash_orientations(col("bytes"))
           .as("__orients")).cache()
     val sigd =
-      if (!orientation) aligned.withColumn("__dsig", col("phash"))
-      else aligned.join(
+      if (!orientation) decontamed.withColumn("__dsig", col("phash"))
+      else decontamed.join(
         sigMap.select(col("image_id"), array_min(col("__orients")).as("__dsig")),
         Seq("image_id"))
 
@@ -354,6 +391,7 @@ object ImageCurateCli {
     val nKept = curated.count()
     exact.unpersist()
     if (orientation) sigMap.unpersist()
+    if (decontam.isDefined) decontamed.unpersist()
     if (align.isDefined) aligned.unpersist()
     gated.unpersist()
     if (byteExact) preDeduped.unpersist()
@@ -387,12 +425,13 @@ object ImageCurateCli {
       else spark.read.parquet(s"$outDir/curated").groupBy("split").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    val s = ImageCurateSummary(nInput, nByte - nGates, nAlign - nExact,
+    val s = ImageCurateSummary(nInput, nByte - nGates, nDecontam - nExact,
       (if (nNear >= 0) nExact - nNear else nExact - nKept), nKept, nBatchRows,
       if (align.isDefined) nGates - nAlign else -1L,
       if (byteExact) nInput - nByte else -1L,
       if (nNear >= 0) nNear - nKept else -1L,
-      splitCounts)
+      splitCounts,
+      if (decontam.isDefined) nAlign - nDecontam else -1L)
     val batchJson = if (s.batchRows >= 0) s""","batch_rows":${s.batchRows}""" else ""
     val alignJson =
       if (s.droppedAlignment >= 0) s""","dropped_alignment":${s.droppedAlignment}"""
@@ -403,11 +442,14 @@ object ImageCurateCli {
     val capJson =
       if (s.droppedCaptionCap >= 0) s""","dropped_caption_cap":${s.droppedCaptionCap}"""
       else ""
+    val deconJson =
+      if (s.droppedDecontam >= 0) s""","dropped_decontam":${s.droppedDecontam}"""
+      else ""
     val splitJson =
       if (s.splitCounts.isEmpty) ""
       else s.splitCounts.toSeq.sorted
         .map { case (k, v) => s""""$k":$v""" }.mkString(""","splits":{""", ",", "}")
-    println(s"""{"input":${s.input}$byteJson,"dropped_gates":${s.droppedGates}$alignJson,""" +
+    println(s"""{"input":${s.input}$byteJson,"dropped_gates":${s.droppedGates}$alignJson$deconJson,""" +
       s""""dropped_exact":${s.droppedExact},"dropped_near_dup":${s.droppedNearDup}$capJson,""" +
       s""""kept":${s.kept}$batchJson$splitJson}""")
     s

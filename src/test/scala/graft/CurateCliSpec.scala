@@ -188,6 +188,33 @@ class CurateCliSpec extends AnyFunSuite {
     }
   }
 
+  test("--decontam: docs sharing eval shingles drop before dedup; audit carries overlap") {
+    val in = corpusDir()
+    // eval doc = a verbatim slice of doc 4's text (>= 2 shared trigrams);
+    // doc 1's vocabulary is disjoint enough to stay clean
+    val evalText = spark.read.parquet(in)
+      .filter($"doc_id" === 4L).select("text").as[String].head()
+      .split(" ").slice(3, 9).mkString(" ")
+    val evalDir = Files.createTempDirectory("curate-eval-").toString
+    Seq((9000L, evalText, "eval")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(evalDir)
+    val out = Files.createTempDirectory("curate-decon-").toString
+    val s = CurateCli.run(spark, Array(in, out,
+      "--min-tokens", "10", "--min-distinct-ratio", "0.3",
+      "--near-dup", "0.5", "--ngram", "2",
+      "--decontam", evalDir))
+    // vs the baseline run (kept 1, 4, 7): doc 4 now drops to the
+    // benchmark overlap, before the dedup stage
+    assert(s.droppedDecontam == 1L, s.toString)
+    assert(s.kept == 2L, s.toString)
+    val ids = spark.read.parquet(s"$out/curated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 7L))
+    val au = spark.read.parquet(s"$out/audit/dropped_decontam")
+      .select("doc_id", "n_eval_hits").as[(Long, Long)].collect().toMap
+    assert(au == Map(4L -> 1L))
+  }
+
   test("--split: keyed on the near-dup component label, md5-replayable, deterministic") {
     // same replay as LeakageSplitSpec / the q63 oracle
     def expectedSplit(label: Long): String = {

@@ -326,6 +326,36 @@ class ImageCurateCliSpec extends AnyFunSuite {
     assert(au == Map("c3" -> 6L, "c4" -> 6L, "c5" -> 6L, "c6" -> 6L))
   }
 
+  test("--decontam: benchmark re-posts drop before dedup, clean corpus unaffected") {
+    val cap = "a photo of a red barn"
+    val aBytes = content(1)
+    val bBytes = content(17)
+    val bEdit = content(17, edit = true)   // phash within 8 of bBytes
+    val rows = Seq(
+      ("a1", aBytes, 40, 30, "png", cap, ImageKernels.phash64(aBytes)),
+      ("b1", bBytes, 40, 30, "png", cap, ImageKernels.phash64(bBytes)))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val in = Files.createTempDirectory("imgdecon-in-").toString
+    rows.write.mode("overwrite").parquet(in)
+    // the benchmark contains an EDITED copy of b — the stored phash is
+    // near, not equal; radius-8 decontamination must still catch b1
+    val evalDir = Files.createTempDirectory("imgdecon-eval-").toString
+    Seq(Tuple1(ImageKernels.phash64(bEdit)), Tuple1(0x1234567890abcdefL))
+      .toDF("phash").write.mode("overwrite").parquet(evalDir)
+    val out = Files.createTempDirectory("imgdecon-out-").toString
+
+    val s = ImageCurateCli.run(spark, Array(in, out,
+      "--min-w", "16", "--min-h", "12",
+      "--decontam", evalDir, "--decontam-radius", "8"))
+    assert(s == ImageCurateCli.ImageCurateSummary(2, 0, 0, 0, 1,
+      droppedDecontam = 1), s.toString)
+    assert(spark.read.parquet(s"$out/curated")
+      .select("image_id").as[String].collect().toSet == Set("a1"))
+    val au = spark.read.parquet(s"$out/audit/dropped_decontam")
+      .select("image_id", "n_eval_hits").as[(String, Long)].collect().toMap
+    assert(au == Map("b1" -> 1L))
+  }
+
   test("--split: leakage-safe column keyed on the dedup-group label, md5-replayable, stable across runs") {
     val cap = "a photo of a red barn"
     val aBytes = content(1)
