@@ -62,7 +62,12 @@ object ImageCurateCli {
       |                   --decontam-radius of any eval signature drop
       |                   (audit: dropped_decontam with hit counts) — an
       |                   eval image re-posted into the crawl must never
-      |                   reach training
+      |                   reach training. To also catch MIRRORED/ROTATED
+      |                   benchmark re-posts, emit all 8 orientation
+      |                   hashes per eval image into P (one row each,
+      |                   explode(phash_orientations(bytes))): a re-post's
+      |                   stored phash IS one of the original's
+      |                   orientation hashes, so the same join catches it
       |  --decontam-radius H  Hamming radius for --decontam (default 4)
       |  --caption-cap N  After dedup, keep at most N pairs per caption
       |                   (templated alt text boilerplate control; salted

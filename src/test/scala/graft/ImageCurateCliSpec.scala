@@ -356,6 +356,49 @@ class ImageCurateCliSpec extends AnyFunSuite {
     assert(au == Map("b1" -> 1L))
   }
 
+  test("--decontam with 8-orientation eval hashes: a MIRRORED benchmark re-post is caught") {
+    val cap = "a photo of a red barn"
+    // irregular content: mirroring must move the plain phash far (a
+    // smooth gradient would be nearly mirror-symmetric)
+    val base = {
+      val im = new java.awt.image.BufferedImage(40, 30,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(77L)
+      for (y <- 0 until 30; x <- 0 until 40) im.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      im
+    }
+    val origBytes = ImageKernels.encode(base, "png")
+    val mirrored = ImageKernels.encode(ImageKernels.orientOf(base, 1), "png")
+    val clean = content(4)
+    // fixture premise: the mirrored raster's plain phash is far from the
+    // original's — plain-phash decontamination would NOT catch it
+    val plainDist = ImageKernels.hamming64(
+      ImageKernels.phash64(origBytes), ImageKernels.phash64(mirrored))
+    assert(plainDist > 8, s"fixture drift: mirror moved phash only $plainDist")
+    val rows = Seq(
+      ("repost", mirrored, 40, 30, "png", cap, ImageKernels.phash64(mirrored)),
+      ("clean", clean, 40, 30, "png", cap, ImageKernels.phash64(clean)))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val in = Files.createTempDirectory("imgodecon-in-").toString
+    rows.write.mode("overwrite").parquet(in)
+    // eval parquet: all 8 orientation hashes of the ORIGINAL benchmark
+    // image, one row each — the documented mirrored-re-post recipe
+    val evalDir = Files.createTempDirectory("imgodecon-eval-").toString
+    Seq(Tuple1(origBytes)).toDF("bytes")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.ImageFunctions.phash_orientations($"bytes")).as("phash"))
+      .write.mode("overwrite").parquet(evalDir)
+    val out = Files.createTempDirectory("imgodecon-out-").toString
+    val s = ImageCurateCli.run(spark, Array(in, out,
+      "--min-w", "16", "--min-h", "12", "--decontam", evalDir,
+      "--decontam-radius", "8"))
+    assert(s.droppedDecontam == 1L, s.toString)
+    assert(spark.read.parquet(s"$out/curated")
+      .select("image_id").as[String].collect().toSet == Set("clean"))
+    assert(spark.read.parquet(s"$out/audit/dropped_decontam")
+      .select("image_id").as[String].collect().toSet == Set("repost"))
+  }
+
   test("--split: leakage-safe column keyed on the dedup-group label, md5-replayable, stable across runs") {
     val cap = "a photo of a red barn"
     val aBytes = content(1)
