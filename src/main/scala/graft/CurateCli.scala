@@ -88,10 +88,28 @@ object CurateCli {
           throw CliUsageError(s"--split: expected name:weight, got '$part'")
       }
     }
-    if (parsed.exists(_._2 < 0) || math.abs(parsed.map(_._2).sum - 1.0) >= 1e-9)
+    // NaN poisons every comparison below to false, so reject it explicitly
+    // (the pipeline must fail at PARSE time, exit 2, not at write time)
+    if (parsed.exists(w => w._2.isNaN || w._2 < 0) ||
+        !(math.abs(parsed.map(_._2).sum - 1.0) < 1e-9))
       throw CliUsageError(s"--split: weights must be >= 0 and sum to 1: '$v'")
     parsed
   }
+
+  /** Split receipt off the written table's slim `split` column — bounded
+    * by the number of named splits; shared by both curation CLIs so the
+    * receipt cannot drift between the text and image pipelines. */
+  private[graft] def splitCountsOf(spark: SparkSession, curatedDir: String)
+      : Map[String, Long] =
+    spark.read.parquet(curatedDir).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** `,"splits":{"name":n,...}` (sorted) or empty — the summary-JSON
+    * fragment for the split receipt, shared by both CLIs. */
+  private[graft] def splitsJson(counts: Map[String, Long]): String =
+    if (counts.isEmpty) ""
+    else counts.toSeq.sorted
+      .map { case (k, v) => s""""$k":$v""" }.mkString(""","splits":{""", ",", "}")
 
   final case class CurateSummary(
       input: Long,
@@ -209,12 +227,16 @@ object CurateCli {
     // representative. The eval set is the broadcast-small build side of
     // the shingle join (TextOps.contamination); drops re-attach by
     // anti-join on the slim flagged-id relation.
+    var flaggedCache: Option[DataFrame] = None
     val decontamed = decontam match {
       case None => afterQuality
       case Some(path) =>
         val evalSet = spark.read.parquet(path)
+        // cached: the corpus-side shingle pass feeds BOTH the audit write
+        // and the anti-join — without the cache it runs twice
         val flagged = TextOps.contamination(afterQuality, evalSet, idCol,
-          textCol, decontamNgram, decontamMin)
+          textCol, decontamNgram, decontamMin).cache()
+        flaggedCache = Some(flagged)
         audit(flagged, "dropped_decontam")
         afterQuality.join(flagged.select(idCol), Seq(idCol), "left_anti")
           .cache()
@@ -233,11 +255,16 @@ object CurateCli {
     // the split column is keyed on them (never the row id — id-hash splits
     // are the leak Dedup.leakageSafeSplit documents)
     var dupLabels: Option[DataFrame] = None
+    var groupsCache: Option[DataFrame] = None
     val deduped = (nearDup match {
       case None => exactDeduped
       case Some(t) =>
         val pairs = Dedup.jaccardPairs(exactDeduped, idCol, textCol, t, maxDf, ngram)
-        val groups = Dedup.dedupComponents(exactDeduped, idCol, pairs)
+        // cached: the jaccard-pairs + connected-components subtree is the
+        // pipeline's most expensive stage and feeds the audit, the keep
+        // join, and (with --split) the label join — one execution, not 3
+        val groups = Dedup.dedupComponents(exactDeduped, idCol, pairs).cache()
+        groupsCache = Some(groups)
         audit(groups.filter(col("is_kept") === 0), "dropped_near_dup")
         if (splitSpec.isDefined)
           dupLabels = Some(groups.filter(col("is_kept") === 1)
@@ -310,13 +337,19 @@ object CurateCli {
     // survivor IS the min id of its identical-content group, so the label
     // is already the group key). Downstream stages only REMOVE rows, so
     // the left join re-attaches a label to every survivor.
+    // labels render through their STRING form (concat_ws does the same),
+    // so a long component 5 and a long id 5 hash identically — and a
+    // non-numeric --id-col (uuid strings) labels by the id itself instead
+    // of silently casting to null (which would collapse every row into
+    // one md5("split:") bucket)
     val written = splitSpec match {
       case None => packed
       case Some(spec) =>
         val labeled = dupLabels match {
           case Some(l) => packed.join(l, Seq(idCol), "left")
-            .withColumn("__lbl", coalesce(col("__lbl"), col(idCol).cast("long")))
-          case None => packed.withColumn("__lbl", col(idCol).cast("long"))
+            .withColumn("__lbl",
+              coalesce(col("__lbl").cast("string"), col(idCol).cast("string")))
+          case None => packed.withColumn("__lbl", col(idCol).cast("string"))
         }
         labeled.withColumn("split", Dedup.splitAssign(col("__lbl"), spec))
           .drop("__lbl")
@@ -324,12 +357,13 @@ object CurateCli {
     written.write.mode("overwrite").parquet(s"$outDir/curated")
     cleanedCache.foreach(_.unpersist())
     deduped.unpersist()
+    groupsCache.foreach(_.unpersist())
+    flaggedCache.foreach(_.unpersist())
     if (decontam.isDefined) decontamed.unpersist()
     afterQuality.unpersist()
     val splitCounts =
       if (splitSpec.isEmpty) Map.empty[String, Long]
-      else spark.read.parquet(s"$outDir/curated").groupBy("split").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else splitCountsOf(spark, s"$outDir/curated")
     val s = CurateSummary(nInput, nInput - nQuality, nDecontam - nDedup,
       nSpan - nSampled, nSampled,
       if (dropSpans.isDefined) nDedup - nSpan else -1L,
@@ -338,10 +372,7 @@ object CurateCli {
     val spanJson =
       if (s.droppedSpanEmpty >= 0) s""","dropped_span_empty":${s.droppedSpanEmpty}"""
       else ""
-    val splitJson =
-      if (s.splitCounts.isEmpty) ""
-      else s.splitCounts.toSeq.sorted
-        .map { case (k, v) => s""""$k":$v""" }.mkString(""","splits":{""", ",", "}")
+    val splitJson = splitsJson(s.splitCounts)
     val deconJson =
       if (s.droppedDecontam >= 0) s""","dropped_decontam":${s.droppedDecontam}"""
       else ""

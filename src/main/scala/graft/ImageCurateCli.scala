@@ -258,6 +258,7 @@ object ImageCurateCli {
     // the drop re-attaches by anti-join — payload bytes ride nothing.
     // Eval ids are synthesized under the reserved `__eval:` prefix so the
     // two id spaces cannot collide.
+    var decontamFlagged: Option[DataFrame] = None
     val decontamed = decontam match {
       case None => aligned
       case Some(path) =>
@@ -265,9 +266,12 @@ object ImageCurateCli {
           .select(col("phash").cast("long").as("phash")).distinct()
           .select(concat(lit("__eval:"), col("phash")).as("image_id"),
             col("phash"))
+        // cached: the pigeonhole candidate join feeds BOTH the audit
+        // write and the anti-join — without the cache it runs twice
         val flagged = Multimodal.imageDecontaminate(
           aligned.select(col("image_id"), col("phash")), evalSigs,
-          "image_id", "phash", decontamRadius)
+          "image_id", "phash", decontamRadius).cache()
+        decontamFlagged = Some(flagged)
         audit(flagged, "dropped_decontam")
         aligned.join(flagged.select("image_id"), Seq("image_id"), "left_anti")
           .cache()
@@ -309,6 +313,7 @@ object ImageCurateCli {
     // near-dup component, or its own signature when clustering is off) —
     // the key --split assigns eval membership on, so near-duplicates the
     // configured radius can see never straddle a train/eval boundary.
+    var groupsCache: Option[DataFrame] = None
     val kept0 = nearDup match {
       case None => exact.withColumn("__lbl", col("__dsig"))
       case Some(h) =>
@@ -342,8 +347,13 @@ object ImageCurateCli {
               .filter(!isnan(col("__p")) && col("__p") >= psnrDb)
               .select("d1", "d2")
           }
+        // cached: the candidate-join + components subtree feeds the audit
+        // write, the keep join, and (with --caption-cap or --split)
+        // further passes over kept0 — one execution of the slim
+        // (signature, component) relation, not one per consumer
         val groups = Dedup.canonicalByQuality(sigs, "__dsig", cand,
-          exact.select(col("__dsig"), q.as("__q")), "__q")
+          exact.select(col("__dsig"), q.as("__q")), "__q").cache()
+        groupsCache = Some(groups)
         // audit column named for what the value IS: the stored phash in
         // default mode, the canonical hash under --orientation (naming it
         // "phash" there would invite a join back against the input
@@ -395,6 +405,8 @@ object ImageCurateCli {
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     val nKept = curated.count()
     exact.unpersist()
+    groupsCache.foreach(_.unpersist())
+    decontamFlagged.foreach(_.unpersist())
     if (orientation) sigMap.unpersist()
     if (decontam.isDefined) decontamed.unpersist()
     if (align.isDefined) aligned.unpersist()
@@ -427,8 +439,7 @@ object ImageCurateCli {
     // written table's slim split column
     val splitCounts =
       if (splitSpec.isEmpty) Map.empty[String, Long]
-      else spark.read.parquet(s"$outDir/curated").groupBy("split").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else CurateCli.splitCountsOf(spark, s"$outDir/curated")
 
     val s = ImageCurateSummary(nInput, nByte - nGates, nDecontam - nExact,
       (if (nNear >= 0) nExact - nNear else nExact - nKept), nKept, nBatchRows,
@@ -450,10 +461,7 @@ object ImageCurateCli {
     val deconJson =
       if (s.droppedDecontam >= 0) s""","dropped_decontam":${s.droppedDecontam}"""
       else ""
-    val splitJson =
-      if (s.splitCounts.isEmpty) ""
-      else s.splitCounts.toSeq.sorted
-        .map { case (k, v) => s""""$k":$v""" }.mkString(""","splits":{""", ",", "}")
+    val splitJson = CurateCli.splitsJson(s.splitCounts)
     println(s"""{"input":${s.input}$byteJson,"dropped_gates":${s.droppedGates}$alignJson$deconJson,""" +
       s""""dropped_exact":${s.droppedExact},"dropped_near_dup":${s.droppedNearDup}$capJson,""" +
       s""""kept":${s.kept}$batchJson$splitJson}""")

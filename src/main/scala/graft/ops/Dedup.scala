@@ -21,6 +21,15 @@ object Dedup {
   def tokenHash(token: Column): Column =
     conv(substring(md5(token), 1, 15), 16, 10).cast("long")
 
+  /** The engine-portable salted bucket in [0, 10000):
+    * `md5("salt:label")` first 15 hex digits mod 10000 — the single
+    * definition behind deterministic sampling ([[TextOps.hashSample]])
+    * and split assignment ([[splitAssign]]), replayed verbatim by the
+    * DuckDB oracles (q37/q63); any drift here breaks the cross-engine
+    * replay, which is why there is exactly one copy. */
+  def saltedBucket(salt: String, label: Column): Column =
+    pmod(tokenHash(concat_ws(":", lit(salt), label)), lit(10000L))
+
   /** Exact dedup: one row per distinct content fingerprint with the
     * surviving (minimum) id and the copy count. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -491,10 +500,7 @@ object Dedup {
     require(splits.nonEmpty, "splitAssign: at least one split required")
     require(splits.forall(_._2 >= 0.0) && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"splitAssign: weights must be >= 0 and sum to 1, got $splits")
-    val bucket = pmod(
-      conv(substring(md5(concat_ws(":", lit(salt), label)), 1, 15), 16, 10)
-        .cast("long"),
-      lit(10000L))
+    val bucket = saltedBucket(salt, label)
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), t), acc) =>

@@ -128,12 +128,10 @@ object TextOps {
   def hashSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double,
       salt: String = "mix"): DataFrame = {
-    val h = conv(substring(md5(concat_ws(":", lit(salt), col(idCol))), 1, 15), 16, 10)
-      .cast("long")
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    df.withColumn("bucket", pmod(h, lit(10000L)))
+    df.withColumn("bucket", Dedup.saltedBucket(salt, col(idCol)))
       .withColumn("keep_rate", rate)
       .filter(col("bucket") < col("keep_rate") * 10000)
   }

@@ -252,4 +252,27 @@ class CurateCliSpec extends AnyFunSuite {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     noCluster.foreach { case (id, sp) => assert(sp == expectedSplit(id)) }
   }
+
+  test("--split with a STRING id column labels by the id itself, never a null cast") {
+    // non-numeric ids: a silent cast-to-long would null every label and
+    // collapse the whole corpus into one md5(\"split:\") bucket
+    def txt(k: Int) = (0 until 20).map(i => s"v${(i * k + 3) % 17} t$i").mkString(" ")
+    val rows = Seq(("doc-a", txt(2)), ("doc-b", txt(5)), ("doc-c", txt(7)))
+    val in = Files.createTempDirectory("curate-sid-in-").toString
+    rows.toDF("uuid", "text").write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("curate-sid-out-").toString
+    CurateCli.run(spark, Array(in, out, "--id-col", "uuid",
+      "--min-tokens", "10", "--min-distinct-ratio", "0.3", "--no-pii",
+      "--split", "train:0.34,val:0.33,test:0.33"))
+    def expectedOf(label: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$label".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(15)
+      val b = java.lang.Long.parseLong(hex, 16) % 10000L
+      if (b < 3400) "train" else if (b < 6700) "val" else "test"
+    }
+    val got = spark.read.parquet(s"$out/curated")
+      .select("uuid", "split").as[(String, String)].collect().toMap
+    assert(got == rows.map(r => r._1 -> expectedOf(r._1)).toMap, got.toString)
+  }
 }

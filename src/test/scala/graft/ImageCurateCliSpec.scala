@@ -291,6 +291,10 @@ class ImageCurateCliSpec extends AnyFunSuite {
     assert(fails(Array("a", "b", "--near-dup", "soon")).contains("not a number"))
     assert(fails(Array("a", "b", "--split", "train:0.5")).contains("sum to 1"))
     assert(fails(Array("a", "b", "--split", "nonsense")).contains("name:weight"))
+    // NaN parses as a double and poisons every numeric comparison to
+    // false — the parser must reject it at parse time, not at write time
+    assert(fails(Array("a", "b", "--split", "train:NaN,val:1.0"))
+      .contains("sum to 1"))
     assert(fails(Array("a", "b", "--split", "train:zero,val:1.0"))
       .contains("not a number"))
   }
