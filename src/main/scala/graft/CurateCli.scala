@@ -79,6 +79,10 @@ object CurateCli {
     val parsed = v.split(",").toSeq.map { part =>
       part.split(":") match {
         case Array(n, w) if n.nonEmpty =>
+          // names become partition directory values (split=<name>/) —
+          // restrict to path-safe characters at parse time
+          if (!n.matches("[A-Za-z0-9._-]+"))
+            throw CliUsageError(s"--split: name must be path-safe [A-Za-z0-9._-]: '$n'")
           val d = try w.toDouble catch {
             case _: NumberFormatException =>
               throw CliUsageError(s"--split: not a number: '$w'")
@@ -354,7 +358,12 @@ object CurateCli {
         labeled.withColumn("split", Dedup.splitAssign(col("__lbl"), spec))
           .drop("__lbl")
     }
-    written.write.mode("overwrite").parquet(s"$outDir/curated")
+    // with --split, lay the table out by split (split=train/ ...): a
+    // training consumer reads exactly one side and the partition column
+    // prunes at the path level — no job ever scans the other side's files
+    val writer = written.write.mode("overwrite")
+    (if (splitSpec.isDefined) writer.partitionBy("split") else writer)
+      .parquet(s"$outDir/curated")
     cleanedCache.foreach(_.unpersist())
     deduped.unpersist()
     groupsCache.foreach(_.unpersist())

@@ -69,6 +69,17 @@ object ImageCurateCli {
       |                   stored phash IS one of the original's
       |                   orientation hashes, so the same join catches it
       |  --decontam-radius H  Hamming radius for --decontam (default 4)
+      |  --semantic P     Semantic dedup rung (SemDeDup): P is an
+      |                   inference-output parquet (image_id, image_emb);
+      |                   images whose embeddings cosine >= --semantic-min
+      |                   (LSH-bucketed candidates, exact-cosine verified)
+      |                   cluster, keep-best-DECODED-quality per cluster —
+      |                   collapses same-content different-pixel re-posts
+      |                   (crops, re-renders) that no pixel rung can see.
+      |                   Pairs missing from P pass through unclustered
+      |                   (audit: dropped_semantic)
+      |  --semantic-min T Cosine threshold for --semantic (default 0.95)
+      |  --semantic-planes N  LSH hyperplanes for --semantic (default 16)
       |  --caption-cap N  After dedup, keep at most N pairs per caption
       |                   (templated alt text boilerplate control; salted
       |                   two-phase top-k, deterministic ascending-id
@@ -116,7 +127,8 @@ object ImageCurateCli {
       droppedByteExact: Long = -1, // -1: --byte-exact not requested
       droppedCaptionCap: Long = -1, // -1: --caption-cap not requested
       splitCounts: Map[String, Long] = Map.empty, // empty: --split not requested
-      droppedDecontam: Long = -1)  // -1: --decontam not requested
+      droppedDecontam: Long = -1,  // -1: --decontam not requested
+      droppedSemantic: Long = -1)  // -1: --semantic not requested
 
   private[graft] def run(spark: SparkSession, args: Array[String]): ImageCurateSummary = {
     var pos = Vector.empty[String]
@@ -130,6 +142,8 @@ object ImageCurateCli {
     var captionCap: Option[Int] = None; var captionSalts = 64
     var splitSpec: Option[Seq[(String, Double)]] = None
     var decontam: Option[String] = None; var decontamRadius = 4
+    var semantic: Option[String] = None
+    var semanticMin = 0.95; var semanticPlanes = 16
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -168,6 +182,10 @@ object ImageCurateCli {
         case "--decontam" => decontam = Some(value("--decontam"))
         case "--decontam-radius" =>
           decontamRadius = num("--decontam-radius", _.toInt)
+        case "--semantic" => semantic = Some(value("--semantic"))
+        case "--semantic-min" => semanticMin = num("--semantic-min", _.toDouble)
+        case "--semantic-planes" =>
+          semanticPlanes = num("--semantic-planes", _.toInt)
         case "--caption-cap" => captionCap = Some(num("--caption-cap", _.toInt))
         case "--caption-salts" => captionSalts = num("--caption-salts", _.toInt)
         case "--split" =>
@@ -366,6 +384,52 @@ object ImageCurateCli {
           .select(col("__dsig"), col("component").as("__lbl")), Seq("__dsig"))
     }
 
+    // 3a-bis. optional semantic dedup rung (SemDeDup) — the identity no
+    // pixel rung can see: the same CONTENT re-rendered with different
+    // pixels (crops, scaled re-renders, different encoders) clusters by
+    // embedding cosine. LSH-bucketed candidates verified by exact cosine
+    // (ids-first: embeddings re-attach to candidates only), components in
+    // 64-bit surrogate-id space (string image_ids surrogate through
+    // xxhash64 — the repo-wide signature-identity convention — because
+    // the components engine labels in int64 space), keep-best by DECODED
+    // pixels like every other rung. Rows missing from the inference
+    // output pass through unclustered: absence of an embedding is not
+    // evidence of uniqueness, and dedup must not silently drop them.
+    var semGroups: Option[DataFrame] = None
+    val nAfterNear = if (semantic.isDefined) kept0.count() else -1L
+    val semDeduped = semantic match {
+      case None => kept0
+      case Some(path) =>
+        val emb = spark.read.parquet(path)
+          .select(col("image_id"), col("image_emb"))
+        val sidOf = kept0.select(col("image_id"))
+          .withColumn("__sid", xxhash64(col("image_id")))
+        val scored = sidOf.join(emb, Seq("image_id"))
+        val dimsOpt = scored
+          .select(size(col("image_emb")).as("d")).filter(col("d") > 0)
+          .limit(1).collect().headOption.map(_.getInt(0))
+        dimsOpt match {
+          case None => kept0 // nothing scorable — nothing to cluster
+          case Some(dims) =>
+            val pairs = graft.ops.Similarity.lshNearDupPairs(
+              scored.select(col("__sid"), col("image_emb")),
+              "__sid", "image_emb", semanticPlanes, dims, semanticMin)
+            val quality = kept0.join(sidOf, Seq("image_id"))
+              .select(col("__sid"), col("__dq").cast("double").as("__q"))
+            val groups = Dedup.canonicalByQuality(
+              scored.select(col("__sid")), "__sid", pairs, quality, "__q",
+              "v1", "v2").cache()
+            semGroups = Some(groups)
+            val droppedIds = sidOf
+              .join(groups.filter(col("is_kept") === 0), Seq("__sid"))
+            audit(droppedIds.select(col("image_id"), col("component")),
+              "dropped_semantic")
+            kept0.join(droppedIds.select("image_id"), Seq("image_id"),
+              "left_anti")
+        }
+    }
+    val nSem = if (semantic.isDefined) semDeduped.count() else -1L
+
     // 3b. optional caption-frequency cap — AFTER dedup on purpose: the cap
     // rations DISTINCT surviving images per caption; letting byte- or
     // phash-copies consume the budget would re-admit the boilerplate the
@@ -373,15 +437,15 @@ object ImageCurateCli {
     // (image_id, caption) projection and survivors re-attach by semi-join
     // — payload bytes never ride the caption shuffle.
     val (capped, nNear) = captionCap match {
-      case None => (kept0, -1L)
+      case None => (semDeduped, -1L)
       case Some(n) =>
-        val before = kept0.count()
+        val before = if (nSem >= 0) nSem else semDeduped.count()
         val cc = Multimodal.captionCap(
-          kept0.select(col("image_id"), col("caption")),
+          semDeduped.select(col("image_id"), col("caption")),
           "image_id", "caption", n, captionSalts)
         audit(cc.filter(!col("kept"))
           .select(col("image_id"), col("caption_freq")), "dropped_caption_cap")
-        (kept0.join(cc.filter(col("kept")).select("image_id"),
+        (semDeduped.join(cc.filter(col("kept")).select("image_id"),
           Seq("image_id"), "left_semi"), before)
     }
     val kept = capped.drop("__dsig")
@@ -402,10 +466,16 @@ object ImageCurateCli {
       if (!stripMetadata) curated0
       else curated0.withColumn("bytes",
         graft.functions.ImageFunctions.strip_image_metadata(col("bytes")))
-    curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    // with --split, lay the table out by split (split=train/ ...): a
+    // training consumer reads exactly one side and the partition column
+    // prunes at the path level — no job ever scans the other side's files
+    val curatedWriter = curated.write.mode("overwrite")
+    (if (splitSpec.isDefined) curatedWriter.partitionBy("split")
+     else curatedWriter).parquet(s"$outDir/curated")
     val nKept = curated.count()
     exact.unpersist()
     groupsCache.foreach(_.unpersist())
+    semGroups.foreach(_.unpersist())
     decontamFlagged.foreach(_.unpersist())
     if (orientation) sigMap.unpersist()
     if (decontam.isDefined) decontamed.unpersist()
@@ -441,13 +511,16 @@ object ImageCurateCli {
       if (splitSpec.isEmpty) Map.empty[String, Long]
       else CurateCli.splitCountsOf(spark, s"$outDir/curated")
 
+    val afterNear =
+      if (nAfterNear >= 0) nAfterNear else if (nNear >= 0) nNear else nKept
     val s = ImageCurateSummary(nInput, nByte - nGates, nDecontam - nExact,
-      (if (nNear >= 0) nExact - nNear else nExact - nKept), nKept, nBatchRows,
+      nExact - afterNear, nKept, nBatchRows,
       if (align.isDefined) nGates - nAlign else -1L,
       if (byteExact) nInput - nByte else -1L,
       if (nNear >= 0) nNear - nKept else -1L,
       splitCounts,
-      if (decontam.isDefined) nAlign - nDecontam else -1L)
+      if (decontam.isDefined) nAlign - nDecontam else -1L,
+      if (semantic.isDefined) nAfterNear - nSem else -1L)
     val batchJson = if (s.batchRows >= 0) s""","batch_rows":${s.batchRows}""" else ""
     val alignJson =
       if (s.droppedAlignment >= 0) s""","dropped_alignment":${s.droppedAlignment}"""
@@ -461,9 +534,12 @@ object ImageCurateCli {
     val deconJson =
       if (s.droppedDecontam >= 0) s""","dropped_decontam":${s.droppedDecontam}"""
       else ""
+    val semJson =
+      if (s.droppedSemantic >= 0) s""","dropped_semantic":${s.droppedSemantic}"""
+      else ""
     val splitJson = CurateCli.splitsJson(s.splitCounts)
     println(s"""{"input":${s.input}$byteJson,"dropped_gates":${s.droppedGates}$alignJson$deconJson,""" +
-      s""""dropped_exact":${s.droppedExact},"dropped_near_dup":${s.droppedNearDup}$capJson,""" +
+      s""""dropped_exact":${s.droppedExact},"dropped_near_dup":${s.droppedNearDup}$semJson$capJson,""" +
       s""""kept":${s.kept}$batchJson$splitJson}""")
     s
   }

@@ -20,6 +20,22 @@ final case class PairEvent(
     caption: String,
     eventTime: java.sql.Timestamp)
 
+/** A pair that PASSED [[CurationStream.curatePairs]] — the payload-table
+  * row shape plus event time (w/h decoded, fmt sniffed, phash computed). */
+final case class CuratedPair(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long,
+    eventTime: java.sql.Timestamp)
+
+/** Keyed state for [[CurationStream.captionBudget]]: how many pairs this
+  * caption has ever been admitted for. */
+final case class CaptionBudgetState(admitted: Long)
+
 /** Streaming counterpart of the batch curation stages — the shape that
   * runs against a Kafka ingest topic: content dedup with BOUNDED keyed
   * state (`dropDuplicatesWithinWatermark` on the md5 content fingerprint —
@@ -130,6 +146,39 @@ object CurationStream {
         col("__sig.width").as("w"), col("__sig.height").as("h"),
         graft.functions.ImageFunctions.sniff_image_format(col("bytes")).as("fmt"),
         col("caption"), col("phash"), col("eventTime"))
+  }
+
+  /** Streaming per-caption admission budget — the batch caption cap's
+    * (q64 / `Multimodal.captionCap`) continuous form, for the templated
+    * alt-text failure ("stock photo" on millions of images) arriving as a
+    * stream. Keyed state holds one LIFETIME admitted count per distinct
+    * caption (boilerplate control wants a lifetime budget, so no state
+    * timeout — the same growth class as any seen-filter: one small entry
+    * per distinct caption ever admitted-from, and rejected rows never
+    * grow it past the cap). Admission order is arrival order with a
+    * deterministic ascending-`image_id` tiebreak inside each micro-batch
+    * — the streaming analog of the batch cap's ascending-id order; the
+    * batch re-run over the landed table remains the reproducible
+    * artifact. Apply AFTER [[curatePairs]] (its output shape), so gated
+    * and deduped rows never consume budget. */
+  def captionBudget(curated: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"captionBudget: cap=$cap must be >= 1")
+    import curated.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    curated.select("image_id", "bytes", "w", "h", "fmt", "caption",
+        "phash", "eventTime")
+      .as[CuratedPair]
+      .groupByKey(_.caption)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[CuratedPair],
+            state: org.apache.spark.sql.streaming.GroupState[CaptionBudgetState]) =>
+          val used = state.getOption.map(_.admitted).getOrElse(0L)
+          val room = math.max(0L, cap.toLong - used).toInt
+          val out = rows.toSeq.sortBy(_.image_id).take(room)
+          if (out.nonEmpty) state.update(CaptionBudgetState(used + out.size))
+          out.iterator
+      }
+      .toDF()
   }
 
   /** The pair gate ladder as a stateless annotation (see

@@ -274,5 +274,13 @@ class CurateCliSpec extends AnyFunSuite {
     val got = spark.read.parquet(s"$out/curated")
       .select("uuid", "split").as[(String, String)].collect().toMap
     assert(got == rows.map(r => r._1 -> expectedOf(r._1)).toMap, got.toString)
+    // the table is laid out by split: one split=<name>/ directory per
+    // assigned side, so a training consumer prunes at the path level
+    val dirs = new java.io.File(s"$out/curated").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == got.values.toSet.map((v: String) => s"split=$v"), dirs.toString)
+    // and non-path-safe split names are rejected at parse time
+    assertThrows[CurateCli.CliUsageError](CurateCli.run(spark,
+      Array(in, out, "--split", "tr ain:0.5,val:0.5")))
   }
 }

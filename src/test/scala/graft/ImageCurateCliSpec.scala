@@ -403,6 +403,47 @@ class ImageCurateCliSpec extends AnyFunSuite {
       .select("image_id").as[String].collect().toSet == Set("repost"))
   }
 
+  test("--semantic: same-content different-pixel re-posts collapse by embedding, keep-best decoded; missing embeddings pass through") {
+    val cap = "a photo of a red barn"
+    // A and its re-render Asmall are DIFFERENT pixels (distinct phash —
+    // no pixel rung relates them) but share a near-identical embedding;
+    // B has its own embedding; C is missing from the inference output
+    val aBytes = ImageKernels.encode(
+      graft.sources.ImageGen.render(1L, seed = 31L, w = 40, h = 30), "png")
+    val aSmall = ImageKernels.encode(
+      graft.sources.ImageGen.render(1L, seed = 31L, w = 20, h = 15), "png")
+    val bBytes = content(3)
+    val cBytes = content(4)
+    assert(ImageKernels.phash64(aBytes) != ImageKernels.phash64(aSmall),
+      "fixture drift: the re-render must not collapse in the exact stage")
+    val rows = Seq(
+      ("a-big", aBytes), ("a-small", aSmall), ("b", bBytes), ("c", cBytes))
+      .map { case (id, bs) =>
+        (id, bs, 40, 30, "png", cap, ImageKernels.phash64(bs)) }
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val in = Files.createTempDirectory("imgsem-in-").toString
+    rows.write.mode("overwrite").parquet(in)
+    val embA = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val embA2 = Seq(1.0, 1e-6, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val embB = Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val embDir = Files.createTempDirectory("imgsem-emb-").toString
+    Seq(("a-big", embA), ("a-small", embA2), ("b", embB))
+      .toDF("image_id", "image_emb").write.mode("overwrite").parquet(embDir)
+    val out = Files.createTempDirectory("imgsem-out-").toString
+
+    val s = ImageCurateCli.run(spark, Array(in, out,
+      "--min-w", "16", "--min-h", "12",
+      "--semantic", embDir, "--semantic-min", "0.95"))
+    assert(s == ImageCurateCli.ImageCurateSummary(4, 0, 0, 0, 3,
+      droppedSemantic = 1), s.toString)
+    // keep-best by DECODED pixels: the 40x30 render wins its cluster;
+    // the un-embedded row c is NOT dropped
+    assert(spark.read.parquet(s"$out/curated")
+      .select("image_id").as[String].collect().toSet == Set("a-big", "b", "c"))
+    assert(spark.read.parquet(s"$out/audit/dropped_semantic")
+      .select("image_id").as[String].collect().toSet == Set("a-small"))
+  }
+
   test("--split: leakage-safe column keyed on the dedup-group label, md5-replayable, stable across runs") {
     val cap = "a photo of a red barn"
     val aBytes = content(1)

@@ -243,4 +243,37 @@ class PairStreamSpec extends AnyFunSuite {
       "stretch" -> Some("extreme_aspect"),
       "flat" -> Some("low_entropy")))
   }
+
+  test("captionBudget: lifetime per-caption admission across micro-batches, other captions unaffected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[PairEvent]
+    val out = CurationStream.captionBudget(
+      CurationStream.curatePairs(in.toDS(), watermarkDelay = "1 hour",
+        minW = 16, minH = 12), cap = 2)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("capbudget").start()
+    try {
+      // batch 1: three distinct images with the SAME caption (distinct
+      // phash so dedup admits all three) + one other-caption image;
+      // in-batch order must admit the 2 smallest ids
+      in.addData(
+        ev("h3", textured(3), "png", goodCap, 0),
+        ev("h1", textured(1), "png", goodCap, 1),
+        ev("h2", textured(2), "png", goodCap, 2),
+        ev("u1", textured(4), "png", "a photo of a blue door", 3))
+      q.processAllAvailable()
+      // batch 2: the budget is LIFETIME — two more same-caption images
+      // get nothing even though this batch alone is under the cap; the
+      // other caption still has room
+      in.addData(
+        ev("h4", textured(5), "png", goodCap, 10),
+        ev("h5", textured(6), "png", goodCap, 11),
+        ev("u2", textured(7), "png", "a photo of a blue door", 12))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT image_id FROM capbudget")
+      .as[String].collect().toSet
+    assert(got == Set("h1", "h2", "u1", "u2"), got.toString)
+  }
 }
