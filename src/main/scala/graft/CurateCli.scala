@@ -105,7 +105,10 @@ object CurateCli {
     * receipt cannot drift between the text and image pipelines. */
   private[graft] def splitCountsOf(spark: SparkSession, curatedDir: String)
       : Map[String, Long] =
-    spark.read.parquet(curatedDir).groupBy("split").count()
+    // the cast matters: partition-column type inference turns all-numeric
+    // split names (split=1/) into an int column, and getString would throw
+    spark.read.parquet(curatedDir)
+      .groupBy(col("split").cast("string").as("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** `,"splits":{"name":n,...}` (sorted) or empty — the summary-JSON
@@ -370,8 +373,11 @@ object CurateCli {
     flaggedCache.foreach(_.unpersist())
     if (decontam.isDefined) decontamed.unpersist()
     afterQuality.unpersist()
+    // nSampled guard: an everything-filtered corpus under partitionBy
+    // writes only _SUCCESS (no schema-bearing file), so the read-back
+    // would fail where the receipt should just say zero everywhere
     val splitCounts =
-      if (splitSpec.isEmpty) Map.empty[String, Long]
+      if (splitSpec.isEmpty || nSampled == 0) Map.empty[String, Long]
       else splitCountsOf(spark, s"$outDir/curated")
     val s = CurateSummary(nInput, nInput - nQuality, nDecontam - nDedup,
       nSpan - nSampled, nSampled,

@@ -79,7 +79,11 @@ object ImageCurateCli {
       |                   Pairs missing from P pass through unclustered
       |                   (audit: dropped_semantic)
       |  --semantic-min T Cosine threshold for --semantic (default 0.95)
-      |  --semantic-planes N  LSH hyperplanes for --semantic (default 16)
+      |  --semantic-planes N  LSH hyperplanes PER BAND (default 8)
+      |  --semantic-bands B   LSH bands (default 8; 8x8 catches ~99% of
+      |                   cos-0.95 pairs — the amplified AND-OR
+      |                   construction, precision owned by the
+      |                   exact-cosine verify)
       |  --caption-cap N  After dedup, keep at most N pairs per caption
       |                   (templated alt text boilerplate control; salted
       |                   two-phase top-k, deterministic ascending-id
@@ -143,7 +147,7 @@ object ImageCurateCli {
     var splitSpec: Option[Seq[(String, Double)]] = None
     var decontam: Option[String] = None; var decontamRadius = 4
     var semantic: Option[String] = None
-    var semanticMin = 0.95; var semanticPlanes = 16
+    var semanticMin = 0.95; var semanticPlanes = 8; var semanticBands = 8
     var i = 0
     def value(flag: String): String = {
       i += 1
@@ -186,6 +190,8 @@ object ImageCurateCli {
         case "--semantic-min" => semanticMin = num("--semantic-min", _.toDouble)
         case "--semantic-planes" =>
           semanticPlanes = num("--semantic-planes", _.toInt)
+        case "--semantic-bands" =>
+          semanticBands = num("--semantic-bands", _.toInt)
         case "--caption-cap" => captionCap = Some(num("--caption-cap", _.toInt))
         case "--caption-salts" => captionSalts = num("--caption-salts", _.toInt)
         case "--split" =>
@@ -396,31 +402,52 @@ object ImageCurateCli {
     // output pass through unclustered: absence of an embedding is not
     // evidence of uniqueness, and dedup must not silently drop them.
     var semGroups: Option[DataFrame] = None
+    var semScored: Option[DataFrame] = None
     val nAfterNear = if (semantic.isDefined) kept0.count() else -1L
     val semDeduped = semantic match {
       case None => kept0
       case Some(path) =>
+        // duplicate inference rows would duplicate component rows and
+        // audit output — restore the operator's distinct-id contract at
+        // the boundary (mirrors the decontam path's evalSigs.distinct)
         val emb = spark.read.parquet(path)
           .select(col("image_id"), col("image_emb"))
-        val sidOf = kept0.select(col("image_id"))
+          .dropDuplicates("image_id")
+        // cached: this slim (id, surrogate, embedding) relation appears in
+        // the LSH signature build, both candidate re-attach joins, the
+        // components corpus AND the dims probe — one shuffle join, not 5
+        val scored = kept0.select(col("image_id"))
           .withColumn("__sid", xxhash64(col("image_id")))
-        val scored = sidOf.join(emb, Seq("image_id"))
+          .join(emb, Seq("image_id")).cache()
+        semScored = Some(scored)
         val dimsOpt = scored
           .select(size(col("image_emb")).as("d")).filter(col("d") > 0)
           .limit(1).collect().headOption.map(_.getInt(0))
         dimsOpt match {
-          case None => kept0 // nothing scorable — nothing to cluster
+          case None =>
+            // nothing scorable — still write the (empty) audit: a
+            // governance consumer must be able to distinguish "stage ran,
+            // found nothing" from "stage never ran"
+            import spark.implicits._
+            audit(Seq.empty[(String, Long)].toDF("image_id", "component"),
+              "dropped_semantic")
+            kept0
           case Some(dims) =>
-            val pairs = graft.ops.Similarity.lshNearDupPairs(
+            // banded LSH: a SINGLE 16-plane band catches a cos-0.95 pair
+            // with probability ~0.18 — amplification is what makes the
+            // recall the help text promises (8 planes × 8 bands ≈ 0.99)
+            val pairs = graft.ops.Similarity.lshBandedNearDupPairs(
               scored.select(col("__sid"), col("image_emb")),
-              "__sid", "image_emb", semanticPlanes, dims, semanticMin)
-            val quality = kept0.join(sidOf, Seq("image_id"))
+              "__sid", "image_emb", semanticPlanes, semanticBands, dims,
+              semanticMin)
+            val quality = kept0.select(col("image_id"), col("__dq"))
+              .withColumn("__sid", xxhash64(col("image_id")))
               .select(col("__sid"), col("__dq").cast("double").as("__q"))
             val groups = Dedup.canonicalByQuality(
               scored.select(col("__sid")), "__sid", pairs, quality, "__q",
               "v1", "v2").cache()
             semGroups = Some(groups)
-            val droppedIds = sidOf
+            val droppedIds = scored.select(col("image_id"), col("__sid"))
               .join(groups.filter(col("is_kept") === 0), Seq("__sid"))
             audit(droppedIds.select(col("image_id"), col("component")),
               "dropped_semantic")
@@ -476,6 +503,7 @@ object ImageCurateCli {
     exact.unpersist()
     groupsCache.foreach(_.unpersist())
     semGroups.foreach(_.unpersist())
+    semScored.foreach(_.unpersist())
     decontamFlagged.foreach(_.unpersist())
     if (orientation) sigMap.unpersist()
     if (decontam.isDefined) decontamed.unpersist()
@@ -507,8 +535,11 @@ object ImageCurateCli {
 
     // split receipt: bounded by the number of named splits, read off the
     // written table's slim split column
+    // nKept guard: an everything-filtered corpus under partitionBy writes
+    // only _SUCCESS (no schema-bearing file), so the read-back would fail
+    // where the receipt should just say zero everywhere
     val splitCounts =
-      if (splitSpec.isEmpty) Map.empty[String, Long]
+      if (splitSpec.isEmpty || nKept == 0) Map.empty[String, Long]
       else CurateCli.splitCountsOf(spark, s"$outDir/curated")
 
     val afterNear =

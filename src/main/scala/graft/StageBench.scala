@@ -18,9 +18,8 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * exactly what these stages see: payload bytes never enter any of them. */
 object StageBench {
   def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_STAGE_ROWS", "4000000").toLong
-    val evalN = sys.env.getOrElse("SPARK_GRAFT_STAGE_EVAL", "20000").toLong
-    import graft.sources.SiteGraph.mix
+    val rows = sys.env.getOrElse("SPARK_GRAFT_STAGE_ROWS", "16000000").toLong
+    val evalN = sys.env.getOrElse("SPARK_GRAFT_STAGE_EVAL", "50000").toLong
 
     val cells = Seq(8, 32, 8, 32).flatMap { cpus =>
       val spark = SparkSession.builder()

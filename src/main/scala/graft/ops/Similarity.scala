@@ -129,6 +129,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Banded (amplified) LSH near-dup pairs — [[lshNearDupPairs]] with the
+    * standard AND-OR construction: `bands` independent `planes`-bit
+    * signatures per vector (band b uses plane indices [b·planes,
+    * (b+1)·planes) of the same deterministic family), candidates = pairs
+    * agreeing on ANY band's full signature, each verified once by exact
+    * cosine. One band of k planes catches a θ-angle pair with probability
+    * (1−θ/π)^k — at cos 0.95 and k=16 that is ~0.18, i.e. a single band
+    * MISSES most threshold-level pairs; B bands amplify to
+    * 1−(1−(1−θ/π)^k)^B (k=8, B=8 → ~0.99 at cos 0.95). Precision is owned
+    * by the exact-cosine verify, so extra candidates only cost compute.
+    * Ids-first like the single-band form: only (band, sig, id) rides the
+    * bucket shuffle; vectors re-attach to the deduplicated candidate set. */
+  def lshBandedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, bands: Int, dims: Int, threshold: Double): DataFrame = {
+    require(planes >= 1 && bands >= 1,
+      s"lshBandedNearDupPairs: planes=$planes bands=$bands must be >= 1")
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+    val sigs = (0 until bands).map { b =>
+      val sig = (0 until planes).map { p =>
+        val d = graft.functions.VectorFunctions.array_dot(
+          col("e"), typedLit(planeWeights(b * planes + p, dims)))
+        when(d > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      e.select(col(idCol), lit(b).as("band"), sig.as("sig"))
+    }.reduce(_ unionByName _)
+    val ids = sigs.select(col("band"), col("sig"), col(idCol))
+    val l = ids.select(col("band"), col("sig"), col(idCol).as("v1"))
+    val r = ids.select(col("band"), col("sig"), col(idCol).as("v2"))
+    val cand = l.join(r, Seq("band", "sig")).filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct() // a pair may collide in several bands
+    cand
+      .join(e.select(col(idCol).as("v1"), col("e").as("e1")), Seq("v1"))
+      .join(e.select(col(idCol).as("v2"), col("e").as("e2")), Seq("v2"))
+      .withColumn("cos", round(
+        dot("e1", "e2") / (sqrt(dot("e1", "e1")) * sqrt(dot("e2", "e2"))), 6))
+      .filter(col("cos") >= threshold)
+      .select("v1", "v2", "cos")
+  }
+
   /** SemDeDup-style semantic deduplication: embedding near-dup pairs
     * (LSH-bucketed candidates verified by exact cosine) clustered into
     * connected components, exactly one representative kept per cluster.

@@ -174,9 +174,27 @@ object CurationStream {
             state: org.apache.spark.sql.streaming.GroupState[CaptionBudgetState]) =>
           val used = state.getOption.map(_.admitted).getOrElse(0L)
           val room = math.max(0L, cap.toLong - used).toInt
-          val out = rows.toSeq.sortBy(_.image_id).take(room)
-          if (out.nonEmpty) state.update(CaptionBudgetState(used + out.size))
-          out.iterator
+          if (room == 0) {
+            // budget spent: drain without buffering — a backlogged hot
+            // caption can deliver millions of byte-carrying rows in one
+            // micro-batch, and holding them to sort would OOM on exactly
+            // the workload this operator exists for
+            rows.foreach(_ => ())
+            Iterator.empty
+          } else {
+            // bounded smallest-`room`-ids selection: a max-heap of size
+            // ≤ room (≤ cap) is the most this task ever holds
+            val byId: Ordering[CuratedPair] = Ordering.by(_.image_id)
+            val heap =
+              scala.collection.mutable.PriorityQueue.empty[CuratedPair](byId)
+            rows.foreach { r =>
+              if (heap.size < room) heap.enqueue(r)
+              else if (byId.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+            }
+            val out = heap.toSeq.sortBy(_.image_id)
+            if (out.nonEmpty) state.update(CaptionBudgetState(used + out.size))
+            out.iterator
+          }
       }
       .toDF()
   }

@@ -41,6 +41,43 @@ class SimilaritySpec extends AnyFunSuite {
         s"LSH found ${lsh.size} of ${exact.size} pairs")
   }
 
+  test("lshBandedNearDupPairs: amplification recovers high-cosine pairs single-band LSH misses; still a verified subset") {
+    // planted near-dup corpus in the regime the semantic rung targets
+    // (cos ≥ ~0.95 — the testdata embeddings have no pairs above 0.5):
+    // 40 random base directions × 5 small perturbations each
+    val rnd = new scala.util.Random(2026L)
+    val dims = 32
+    val rows = (0 until 40).flatMap { c =>
+      val base = Array.fill(dims)(rnd.nextGaussian())
+      (0 until 5).map { j =>
+        val v = base.map(_ + 0.05 * rnd.nextGaussian())
+        ((c * 5 + j).toLong, v.toSeq)
+      }
+    }
+    val planted = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(planted, "vec_id", "embedding", 0.95)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 100, s"fixture premise: planted pairs, got ${exact.size}")
+    val single = Similarity.lshNearDupPairs(planted, "vec_id", "embedding",
+      planes = 8, dims = dims, threshold = 0.95)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val banded = Similarity.lshBandedNearDupPairs(planted, "vec_id",
+      "embedding", planes = 8, bands = 8, dims = dims, threshold = 0.95)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    // precision is owned by the cosine verify: both are subsets of exact
+    assert(single.subsetOf(exact) && banded.subsetOf(exact))
+    // band 0 of the banded form IS the single-band form (same plane
+    // family), so amplification can only add candidates
+    assert(single.subsetOf(banded))
+    // the AND-OR construction amplifies: ≥90% recall at the default 8×8
+    // where one 8-plane band misses a large share of the same pairs
+    val bandedRecall = banded.size.toDouble / exact.size
+    assert(bandedRecall >= 0.9,
+      s"banded recall $bandedRecall (${banded.size}/${exact.size})")
+    assert(banded.size > single.size,
+      s"amplification added nothing: single=${single.size} banded=${banded.size}")
+  }
+
   test("semanticDedup: LSH-found clusters collapse to their minimum, nothing invents edges") {
     val bounded = emb.filter($"vec_id" < 120)
     val got = Similarity.semanticDedup(bounded, "vec_id", "embedding",
