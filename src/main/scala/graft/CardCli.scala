@@ -54,6 +54,8 @@ object CardCli {
             case _: NumberFormatException =>
               throw CurateCli.CliUsageError(s"--top-k: not a number: '${args(i)}'")
           }
+          if (topK < 1)
+            throw CurateCli.CliUsageError(s"--top-k: must be >= 1, got $topK")
         case flag if flag.startsWith("--") =>
           throw CurateCli.CliUsageError(s"unknown flag: $flag")
         case p => pos :+= p
@@ -64,20 +66,28 @@ object CardCli {
     val dir = pos.head
     val fs = graft.io.StateFs(spark)
 
+    // absence (or a schema-less empty partitioned write — a fully-filtered
+    // --split run emits only _SUCCESS) reads as None; REAL I/O errors
+    // propagate — a governance card must never silently omit a receipt
+    // because a read failed (only AnalysisException means "no table here")
     def tableIfExists(path: String): Option[DataFrame] =
       if (!fs.exists(path)) None
       else try {
         val df = spark.read.parquet(path)
         if (df.columns.isEmpty) None else Some(df)
-      } catch { case _: Exception => None } // empty partitioned dir etc.
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
-    val curated = tableIfExists(s"$dir/curated").getOrElse(
-      throw CurateCli.CliUsageError(s"no readable curated/ table under $dir"))
-    val cols = curated.columns.toSet
+    if (!fs.exists(s"$dir/curated"))
+      throw CurateCli.CliUsageError(s"no curated/ table under $dir")
+    // an existing-but-schema-less curated dir is a legitimate zero-row
+    // run: the card reports rows 0 plus whatever audits exist
+    val curatedOpt = tableIfExists(s"$dir/curated")
+    val cols = curatedOpt.map(_.columns.toSet).getOrElse(Set.empty[String])
+    val curated = curatedOpt.getOrElse(spark.emptyDataFrame)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // one aggregate pass over the slim columns of the curated table
-    val rows = curated.count()
+    val rows = if (curatedOpt.isEmpty) 0L else curated.count()
     parts += s""""rows":$rows"""
 
     if (cols("split") && rows > 0) {
@@ -92,27 +102,41 @@ object CardCli {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
       parts += s""""top_$c":${countsJson(top)}"""
     }
+    // locale-proof fixed-point formatting: the f-interpolator uses the
+    // JVM default locale, which on comma-decimal locales would emit
+    // invalid JSON
+    def num1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     if (cols("caption") && rows > 0) {
-      val st = curated.agg(
+      // nulls excluded like the other string columns (a null caption
+      // would NPE the JSON escaping and poison the average)
+      val caps = curated.filter(col("caption").isNotNull)
+        .select(col("caption").cast("string").as("caption"))
+      val st = caps.agg(
         countDistinct("caption"), avg(length(col("caption")))).head()
       parts += s""""distinct_captions":${st.getLong(0)}"""
-      parts += f""""avg_caption_chars":${st.getDouble(1)}%.1f"""
-      val top = curated.groupBy("caption").count()
+      if (!st.isNullAt(1))
+        parts += s""""avg_caption_chars":${num1(st.getDouble(1))}"""
+      val top = caps.groupBy("caption").count()
         .orderBy(desc("count"), col("caption")).limit(topK)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
       parts += s""""top_captions":${countsJson(top)}"""
     }
     if (cols("text") && rows > 0) {
-      val st = curated.agg(
+      val st = curated.filter(col("text").isNotNull).agg(
         sum(size(split(col("text"), " "))), avg(length(col("text")))).head()
-      parts += s""""total_tokens":${st.getLong(0)}"""
-      parts += f""""avg_text_chars":${st.getDouble(1)}%.1f"""
+      if (!st.isNullAt(0)) parts += s""""total_tokens":${st.getLong(0)}"""
+      if (!st.isNullAt(1))
+        parts += s""""avg_text_chars":${num1(st.getDouble(1))}"""
     }
     if (cols("w") && cols("h") && rows > 0) {
       // resolution histogram by megapixel-ish bands over the RECORDED
-      // dims (the card describes the table as shipped)
-      val band = when(col("w") * col("h") < 256 * 256, "lt_0.07MP")
-        .when(col("w") * col("h") < 1024 * 1024, "0.07-1MP")
+      // dims (the card describes the table as shipped — and recorded
+      // dims are untrusted, so the arithmetic is 64-bit and null dims
+      // get their own band instead of leaking into the largest)
+      val px = col("w").cast("long") * col("h").cast("long")
+      val band = when(col("w").isNull || col("h").isNull, "unknown")
+        .when(px < 256L * 256L, "lt_0.07MP")
+        .when(px < 1024L * 1024L, "0.07-1MP")
         .otherwise("gte_1MP")
       val hist = curated.groupBy(band.as("k")).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq

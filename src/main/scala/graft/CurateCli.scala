@@ -375,10 +375,13 @@ object CurateCli {
     afterQuality.unpersist()
     // nSampled guard: an everything-filtered corpus under partitionBy
     // writes only _SUCCESS (no schema-bearing file), so the read-back
-    // would fail where the receipt should just say zero everywhere
-    val splitCounts =
-      if (splitSpec.isEmpty || nSampled == 0) Map.empty[String, Long]
-      else splitCountsOf(spark, s"$outDir/curated")
+    // would fail — the receipt instead says zero for every named split
+    // (still distinguishable from "--split never requested")
+    val splitCounts = splitSpec match {
+      case None => Map.empty[String, Long]
+      case Some(spec) if nSampled == 0 => spec.map(_._1 -> 0L).toMap
+      case Some(_) => splitCountsOf(spark, s"$outDir/curated")
+    }
     val s = CurateSummary(nInput, nInput - nQuality, nDecontam - nDedup,
       nSpan - nSampled, nSampled,
       if (dropSpans.isDefined) nDedup - nSpan else -1L,

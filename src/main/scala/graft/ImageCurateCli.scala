@@ -409,10 +409,13 @@ object ImageCurateCli {
       case Some(path) =>
         // duplicate inference rows would duplicate component rows and
         // audit output — restore the operator's distinct-id contract at
-        // the boundary (mirrors the decontam path's evalSigs.distinct)
+        // the boundary. The pick is DETERMINISTIC (max over the array
+        // ordering), not dropDuplicates' partition-order roulette: two
+        // inference passes appended with conflicting embeddings must
+        // yield the same clustering on every run
         val emb = spark.read.parquet(path)
           .select(col("image_id"), col("image_emb"))
-          .dropDuplicates("image_id")
+          .groupBy("image_id").agg(max("image_emb").as("image_emb"))
         // cached: this slim (id, surrogate, embedding) relation appears in
         // the LSH signature build, both candidate re-attach joins, the
         // components corpus AND the dims probe — one shuffle join, not 5
@@ -537,10 +540,13 @@ object ImageCurateCli {
     // written table's slim split column
     // nKept guard: an everything-filtered corpus under partitionBy writes
     // only _SUCCESS (no schema-bearing file), so the read-back would fail
-    // where the receipt should just say zero everywhere
-    val splitCounts =
-      if (splitSpec.isEmpty || nKept == 0) Map.empty[String, Long]
-      else CurateCli.splitCountsOf(spark, s"$outDir/curated")
+    // — the receipt instead says zero for every named split (still
+    // distinguishable from "--split never requested")
+    val splitCounts = splitSpec match {
+      case None => Map.empty[String, Long]
+      case Some(spec) if nKept == 0 => spec.map(_._1 -> 0L).toMap
+      case Some(_) => CurateCli.splitCountsOf(spark, s"$outDir/curated")
+    }
 
     val afterNear =
       if (nAfterNear >= 0) nAfterNear else if (nNear >= 0) nNear else nKept

@@ -146,15 +146,20 @@ object Similarity {
     require(planes >= 1 && bands >= 1,
       s"lshBandedNearDupPairs: planes=$planes bands=$bands must be >= 1")
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
-    val sigs = (0 until bands).map { b =>
+    // ONE scan of the input: all bands' signatures are computed in a
+    // single projection (an array of (band, sig) structs, exploded) — a
+    // union-of-per-band-selects would re-scan the relation `bands` times
+    val sigStructs = (0 until bands).map { b =>
       val sig = (0 until planes).map { p =>
         val d = graft.functions.VectorFunctions.array_dot(
           col("e"), typedLit(planeWeights(b * planes + p, dims)))
         when(d > 0, lit(1L << p)).otherwise(0L)
       }.reduce(_ + _)
-      e.select(col(idCol), lit(b).as("band"), sig.as("sig"))
-    }.reduce(_ unionByName _)
-    val ids = sigs.select(col("band"), col("sig"), col(idCol))
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val ids = e
+      .select(col(idCol), explode(array(sigStructs: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"), col(idCol))
     val l = ids.select(col("band"), col("sig"), col(idCol).as("v1"))
     val r = ids.select(col("band"), col("sig"), col(idCol).as("v2"))
     val cand = l.join(r, Seq("band", "sig")).filter(col("v1") < col("v2"))
